@@ -1,0 +1,37 @@
+package graft
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Cross-engine deterministic hashing.
+  *
+  * The reference pipeline's determinism contract is seeded shuffling
+  * (`sklearn.utils.shuffle(random_state=2020)`, Dataset_CDAE.py:79,103,111).
+  * Neither sklearn's Fisher–Yates order nor Spark's xxhash64 is reproducible
+  * in DuckDB, so the engine *defines* sampling order as a 60-bit integer
+  * derived from md5 — md5 is bit-identical everywhere, so the DuckDB oracle
+  * can replay the exact same order (SURVEY.md §7 risk 1).
+  *
+  * h60(parts…) = first 15 hex chars of md5(parts joined by ':') as a long.
+  * 15 hex digits = 60 bits, always non-negative, fits a BIGINT in both
+  * engines. Inputs must be ints/strings (never floats — float→string
+  * rendering differs across engines).
+  *
+  * At 100 TB this is a plain codegen'd expression chain (md5 + substring +
+  * conv), no UDF, no shuffle: it vectorizes inside whole-stage codegen.
+  */
+object Hashing {
+  /** Spark side: deterministic 60-bit hash of the given columns. */
+  def h60(cols: Column*): Column = {
+    val joined = concat_ws(":", cols.map(_.cast("string")): _*)
+    conv(substring(md5(joined), 1, 15), 16, 10).cast("long")
+  }
+
+  /** DuckDB side of [[h60]]: SQL text computing the identical value.
+    * `exprs` are SQL expressions of int/string type.
+    */
+  def duckH60(exprs: String*): String = {
+    val joined = exprs.map(e => s"CAST(($e) AS VARCHAR)").mkString(" || ':' || ")
+    s"CAST(('0x' || substr(md5($joined), 1, 15)) AS BIGINT)"
+  }
+}

@@ -1,13 +1,33 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract (see SURVEY.md §7 + Verify.scala / Bench.scala).
+  *
+  * Every operator from SURVEY.md §2 is a named [[QueryDef]] registered by
+  * its module; this object is just the flat registry the driver reads.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  private val modules: Seq[Map[String, QueryDef]] = Seq(
+    rel.StarQueries.defs,
+    rel.EventQueries.defs)
+
+  val defs: Map[String, QueryDef] = {
+    val merged = modules.reduce(_ ++ _)
+    require(merged.size == modules.map(_.size).sum, "duplicate query name across modules")
+    merged
+  }
+
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    defs("q1_pricing_summary").build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    defs.map { case (k, v) => k -> v.build }
+
+  /** DuckDB-equivalent SQL for each oracle-checkable query. */
+  def oracleSql: Map[String, String] =
+    defs.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }
 }

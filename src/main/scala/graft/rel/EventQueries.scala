@@ -1,0 +1,145 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Event-log analytics: JSON extraction, event-time windowed aggregation,
+  * and sessionization (SURVEY.md §2.8 gap + §2.9).
+  *
+  * The reference is purely offline (SURVEY.md §2.9), but the driver's
+  * `events` table (event_id, ts, user_id, event_type, value, props JSON)
+  * exercises the event-time surface. These run in *batch*; the identical
+  * `groupBy(window(...))` plans run unchanged under Structured Streaming
+  * (see graft.streaming.EventsStream for the streaming wiring +
+  * watermarks).
+  *
+  * 100 TB notes: all aggregations shuffle once on their group keys; the
+  * sessionize window partitions by user_id — the natural key a cluster
+  * would also bucket the event log on. JSON extraction is a codegen'd
+  * expression evaluated after scan pruning (only `props` is read for it).
+  */
+object EventQueries {
+
+  private val M = DecimalType(18, 3)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- JSON scalar extraction + aggregate per event type ----
+    "q_events_json" -> QueryDef(
+      """SELECT event_type,
+        |  COUNT(*) AS n,
+        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+        |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, d) =>
+      val k = get_json_object(col("props"), "$.k").cast("long")
+      Tables.events(spark, d)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(k).as("sum_k"), min(k).as("min_k"), max(k).as("max_k"),
+          round(sum(col("value").cast(M)), 2).cast("double").as("sum_value"))
+        .orderBy("event_type")
+    },
+
+    // ---- tumbling 1-hour event-time window ----
+    "q_events_tumbling" -> QueryDef(
+      """SELECT date_trunc('hour', ts) AS win_start,
+        |  COUNT(*) AS n,
+        |  COUNT(DISTINCT user_id) AS n_users,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (spark, d) =>
+      Tables.events(spark, d)
+        .groupBy(window(col("ts"), "1 hour").as("w"))
+        .agg(count(lit(1)).as("n"),
+          countDistinct(col("user_id")).as("n_users"),
+          round(sum(col("value").cast(M)), 2).cast("double").as("sum_value"))
+        .select(col("w.start").as("win_start"), col("n"), col("n_users"), col("sum_value"))
+        .orderBy("win_start")
+    },
+
+    // ---- hopping window: 1 hour length, 30 min slide ----
+    "q_events_hopping" -> QueryDef(
+      """SELECT make_timestamp((epoch_us(ts) // 1800000000) * 1800000000
+        |                      - off.o * 1800000000) AS win_start,
+        |  COUNT(*) AS n,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_value
+        |FROM events CROSS JOIN (VALUES (0), (1)) off(o)
+        |GROUP BY 1
+        |ORDER BY 1""".stripMargin) { (spark, d) =>
+      Tables.events(spark, d)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(M)), 2).cast("double").as("sum_value"))
+        .select(col("w.start").as("win_start"), col("n"), col("sum_value"))
+        .orderBy("win_start")
+    },
+
+    // ---- sessionization: 30-min inactivity gap, per-user session stats ----
+    "q_events_sessionize" -> QueryDef(
+      """WITH flagged AS (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+        |         THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        |), sessioned AS (
+        |  SELECT user_id, event_id,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+        |  FROM flagged
+        |), per_sess AS (
+        |  SELECT user_id, sess_id, COUNT(*) AS n_events FROM sessioned GROUP BY 1, 2
+        |)
+        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+        |       MAX(n_events) AS max_session_events
+        |FROM per_sess GROUP BY user_id
+        |ORDER BY user_id""".stripMargin) { (spark, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 1800L * 1000000L
+      Tables.events(spark, d)
+        .select(col("user_id"), col("event_id"), col("ts"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(w).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1)
+            .otherwise(0))
+        .withColumn("sess_id",
+          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("sess_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
+          max(col("n_events")).as("max_session_events"))
+        .orderBy("user_id")
+    },
+
+    // ---- lag/lead analytics: inter-event gap distribution per event type ----
+    "q_events_gaps" -> QueryDef(
+      """WITH g AS (
+        |  SELECT event_type,
+        |    epoch_us(ts) - epoch_us(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) AS gap_us
+        |  FROM events
+        |)
+        |SELECT event_type, COUNT(gap_us) AS n_gaps,
+        |       MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
+        |       SUM(gap_us) AS sum_gap_us
+        |FROM g WHERE gap_us IS NOT NULL
+        |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, d) =>
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, d)
+        .withColumn("gap_us", unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)))
+        .filter(col("gap_us").isNotNull)
+        .groupBy(col("event_type"))
+        .agg(count(col("gap_us")).as("n_gaps"),
+          min(col("gap_us")).as("min_gap_us"), max(col("gap_us")).as("max_gap_us"),
+          sum(col("gap_us")).as("sum_gap_us"))
+        .orderBy("event_type")
+    })
+}

@@ -1,0 +1,220 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Relational breadth over the TPC-H-ish star schema (SURVEY.md §7 P2).
+  *
+  * The reference has no relational joins — all correlation is dict lookup /
+  * aligned indexing (SURVEY.md §2.3) — but a complete engine must cover the
+  * star-schema surface the driver's tables exercise: scan → filter →
+  * multi-way join → hash aggregate → sort/limit, plus set ops and scalar
+  * functions. Everything here is declarative DataFrame API so Catalyst does
+  * predicate pushdown, column pruning, and join selection (broadcast for the
+  * dim tables) for free.
+  *
+  * 100 TB notes: dims (`region nation supplier`) are broadcast; fact⋈fact
+  * (`orders⋈lineitem`) is a sort-merge/shuffled-hash join on the natural key
+  * — at cluster scale both sides would be bucketed by orderkey to make it
+  * shuffle-free; AQE handles skew/coalescing at runtime. All money math is
+  * DECIMAL so partial aggregation is exact and order-independent.
+  */
+object StarQueries {
+
+  private val M = DecimalType(18, 3) // money/quantity: exact, order-independent sums
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(M)
+  private val one = lit(BigDecimal(1)).cast(M)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- TPC-H Q1-shaped pricing summary: scan → filter → hash agg ----
+    "q1_pricing_summary" -> QueryDef(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_qty,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_base_price,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (1 - CAST(l_discount AS DECIMAL(18,3)))), 2) AS DOUBLE) AS sum_disc_price,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (1 - CAST(l_discount AS DECIMAL(18,3))) * (1 + CAST(l_tax AS DECIMAL(18,3)))), 2) AS DOUBLE) AS sum_charge,
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,3))), 2) AS DOUBLE) / COUNT(*) AS avg_qty,
+        |  COUNT(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (spark, d) =>
+      Tables.lineitem(spark, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"),
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_base_price"),
+          round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+            .cast("double").as("sum_disc_price"),
+          round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount"))) *
+            (one + dec(col("l_tax")))), 2).cast("double").as("sum_charge"),
+          (round(sum(dec(col("l_quantity"))), 2).cast("double") / count(lit(1))).as("avg_qty"),
+          count(lit(1)).as("count_order"))
+        .orderBy(col("l_returnflag"), col("l_linestatus"))
+    },
+
+    // ---- global sort + limit (TakeOrderedAndProject, no full sort) ----
+    "q2_top_orders" -> QueryDef(
+      """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        |FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 25""".stripMargin) { (spark, d) =>
+      Tables.orders(spark, d)
+        .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(25)
+    },
+
+    // ---- TPC-H Q3-shaped: selective dim filter → 3-way join → agg → top-k ----
+    "q3_shipping_priority" -> QueryDef(
+      """SELECT l_orderkey,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (1 - CAST(l_discount AS DECIMAL(18,3)))), 2) AS DOUBLE) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |              JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1996-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, l_orderkey
+        |LIMIT 10""".stripMargin) { (spark, d) =>
+      val c = Tables.customer(spark, d).filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(spark, d)
+        .filter(col("o_orderdate") < lit("1998-01-01").cast("timestamp"))
+      val l = Tables.lineitem(spark, d)
+        .filter(col("l_shipdate") > lit("1996-01-01").cast("timestamp"))
+      // customer is the small filtered side → broadcast it into orders;
+      // orders⋈lineitem stays a shuffled join on the fact key.
+      o.join(broadcast(c), col("c_custkey") === col("o_custkey"))
+        .join(l, col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(col("revenue").desc, col("l_orderkey"))
+        .limit(10)
+    },
+
+    // ---- TPC-H Q5-shaped: 6-way join, dims broadcast ----
+    "q5_region_revenue" -> QueryDef(
+      """SELECT n_name,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (1 - CAST(l_discount AS DECIMAL(18,3)))), 2) AS DOUBLE) AS revenue
+        |FROM region JOIN nation ON n_regionkey = r_regionkey
+        |            JOIN customer ON c_nationkey = n_nationkey
+        |            JOIN orders ON o_custkey = c_custkey
+        |            JOIN lineitem ON l_orderkey = o_orderkey
+        |            JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+        |WHERE r_name = 'ASIA'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin) { (spark, d) =>
+      val r = Tables.region(spark, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(spark, d)
+      val c = Tables.customer(spark, d)
+      val o = Tables.orders(spark, d)
+      val l = Tables.lineitem(spark, d)
+      val s = Tables.supplier(spark, d)
+      l.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(broadcast(s), col("l_suppkey") === col("s_suppkey") &&
+          col("s_nationkey") === col("c_nationkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(r), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(round(sum(dec(col("l_extendedprice")) * (one - dec(col("l_discount")))), 2)
+          .cast("double").as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+
+    // ---- grouping sets: ROLLUP over two keys ----
+    "q_rollup" -> QueryDef(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(l_linestatus, 'ALL') AS linestatus,
+        |       COUNT(*) AS n,
+        |       CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY returnflag, linestatus""".stripMargin) { (spark, d) =>
+      Tables.lineitem(spark, d)
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec(col("l_quantity"))), 2).cast("double").as("sum_qty"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+          col("n"), col("sum_qty"))
+        .orderBy(col("returnflag"), col("linestatus"))
+    },
+
+    // ---- set operations: semi/anti join + intersect as counts ----
+    "q_set_ops" -> QueryDef(
+      """SELECT 'parts_ordered' AS tag,
+        |       (SELECT COUNT(*) FROM (SELECT p_partkey FROM part
+        |         INTERSECT SELECT l_partkey FROM lineitem)) AS n
+        |UNION ALL
+        |SELECT 'parts_never_ordered',
+        |       (SELECT COUNT(*) FROM (SELECT p_partkey FROM part
+        |         EXCEPT SELECT l_partkey FROM lineitem))
+        |UNION ALL
+        |SELECT 'cust_and_supp_nations',
+        |       (SELECT COUNT(*) FROM (SELECT c_nationkey FROM customer
+        |         INTERSECT SELECT s_nationkey FROM supplier))
+        |ORDER BY tag""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val p = Tables.part(spark, d).select(col("p_partkey").as("k"))
+      val l = Tables.lineitem(spark, d).select(col("l_partkey").as("k"))
+      val ordered = p.join(l, Seq("k"), "left_semi").distinct.count()
+      val never = p.join(l, Seq("k"), "left_anti").distinct.count()
+      val nations = Tables.customer(spark, d).select(col("c_nationkey").as("k"))
+        .intersect(Tables.supplier(spark, d).select(col("s_nationkey").as("k"))).count()
+      Seq(("cust_and_supp_nations", nations), ("parts_never_ordered", never),
+        ("parts_ordered", ordered))
+        .toDF("tag", "n").orderBy("tag")
+    },
+
+    // ---- scalar string/math functions over part ----
+    "q_scalar_funcs" -> QueryDef(
+      """SELECT p_partkey,
+        |  upper(p_brand) AS brand_u,
+        |  substr(p_name, 1, 4) AS name4,
+        |  length(p_name) AS name_len,
+        |  p_brand || '/' || p_type AS brand_type,
+        |  abs(p_retailprice - 1000.0) AS price_dist,
+        |  round(sqrt(CAST(p_size AS DOUBLE)), 6) AS size_sqrt,
+        |  p_size % 7 AS size_mod,
+        |  CAST(p_size AS DOUBLE) / 2.0 AS size_half
+        |FROM part
+        |ORDER BY p_partkey""".stripMargin) { (spark, d) =>
+      Tables.part(spark, d).select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 4).as("name4"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("/", col("p_brand"), col("p_type")).as("brand_type"),
+        abs(col("p_retailprice") - lit(1000.0)).as("price_dist"),
+        round(sqrt(col("p_size").cast("double")), 6).as("size_sqrt"),
+        (col("p_size") % 7).as("size_mod"),
+        (col("p_size").cast("double") / 2.0).as("size_half"))
+        .orderBy("p_partkey")
+    },
+
+    // ---- date functions: truncate/extract + monthly aggregate ----
+    "q_date_agg" -> QueryDef(
+      """SELECT CAST(year(o_orderdate) AS INT) AS yr,
+        |       CAST(month(o_orderdate) AS INT) AS mo,
+        |       COUNT(*) AS n_orders,
+        |       CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,3))), 2) AS DOUBLE) AS total,
+        |       COUNT(DISTINCT o_custkey) AS n_cust
+        |FROM orders
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (spark, d) =>
+      Tables.orders(spark, d)
+        .groupBy(year(col("o_orderdate")).as("yr"), month(col("o_orderdate")).as("mo"))
+        .agg(count(lit(1)).as("n_orders"),
+          round(sum(dec(col("o_totalprice"))), 2).cast("double").as("total"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+        .orderBy("yr", "mo")
+    })
+}
