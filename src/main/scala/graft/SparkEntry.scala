@@ -11,7 +11,9 @@ object SparkEntry {
 
   private val modules: Seq[Map[String, QueryDef]] = Seq(
     rel.StarQueries.defs,
-    rel.EventQueries.defs)
+    rel.EventQueries.defs,
+    etl.EtlQueries.defs,
+    rank.Metrics.defs)
 
   val defs: Map[String, QueryDef] = {
     val merged = modules.reduce(_ ++ _)
@@ -19,9 +21,12 @@ object SparkEntry {
     merged
   }
 
-  /** Flagship query on sf=0.001; driver smoke-checks rows>0. */
+  /** Flagship query on sf=0.001; driver smoke-checks rows>0. The full E3
+    * pipeline: interactions → leave-two-out split → negative sampling →
+    * candidate assembly → score → HR/NDCG/MRR@K (SURVEY.md §3 E3).
+    */
   def entry(spark: SparkSession): DataFrame =
-    defs("q1_pricing_summary").build(spark, "/root/testdata/sf0.001")
+    defs("q_rank_metrics").build(spark, "/root/testdata/sf0.001")
 
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =

@@ -1,0 +1,134 @@
+package graft.etl
+
+import graft.{Hashing, QueryDef}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked query surface for the ETL pipeline operators
+  * (SURVEY.md §7 P1). Large per-row outputs (negatives, candidates) are
+  * projected to exact per-user aggregates (counts + id checksums) so the
+  * verify parquet stays small while remaining bit-deterministic; the
+  * bounded `q_neg_sample` keeps full rows for a deterministic user subset
+  * so the raw operator output is also inspected.
+  */
+object EtlQueries {
+
+  /** Gate for full-row outputs: a deterministic 5% slice of users. */
+  private val subsetWhere = "user_id % 20 = 0"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- id densification (replaces the reference's contiguity assumption,
+    //      main_my.py:81-92; our S6 substitute, SURVEY.md §2.1) ----
+    "q_id_densify" -> QueryDef(
+      s"""WITH ${Interactions.duckCte},
+         |users AS (
+         |  SELECT 'user' AS kind, '*' AS domain, user_id AS raw_id,
+         |         row_number() OVER (ORDER BY user_id) - 1 AS dense_id
+         |  FROM (SELECT DISTINCT user_id FROM interactions)
+         |),
+         |${Interactions.duckDenseItemsCte}
+         |SELECT * FROM users
+         |UNION ALL
+         |SELECT 'item', domain, item_id, dense_id FROM dense_items
+         |ORDER BY kind, domain, raw_id""".stripMargin) { (spark, d) =>
+      val users = Interactions(spark, d).select("user_id").distinct()
+        .withColumn("dense_id", row_number().over(Window.orderBy("user_id")) - 1)
+        .select(lit("user").as("kind"), lit("*").as("domain"),
+          col("user_id").as("raw_id"), col("dense_id"))
+      val items = Interactions.denseItems(spark, d)
+        .select(lit("item").as("kind"), col("domain"),
+          col("item_id").as("raw_id"), col("dense_id"))
+      users.unionAll(items).orderBy("kind", "domain", "raw_id")
+    },
+
+    // ---- per-group collect: the dict-of-lists view itself (A2,
+    //      Dataset_CDAE.py:11,28-31) ----
+    "q_user_collect" -> QueryDef(
+      s"""WITH ${Interactions.duckCte}
+         |SELECT user_id, domain, COUNT(*) AS n_items,
+         |       string_agg(item_id, ',' ORDER BY item_id) AS items_str
+         |FROM interactions
+         |GROUP BY user_id, domain
+         |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
+      Interactions(spark, d)
+        .groupBy("user_id", "domain")
+        .agg(count(lit(1)).as("n_items"),
+          concat_ws(",", sort_array(collect_list(col("item_id")))).as("items_str"))
+        .orderBy("user_id", "domain")
+    },
+
+    // ---- leave-two-out split (W6+P1, Dataset_CDAE.py:91-145) ----
+    "q_leave_two_out" -> QueryDef(
+      s"""WITH ${Interactions.duckCte},
+         |${Splits.duckLeaveTwoOutCte}
+         |SELECT user_id, domain, deg, vali_item, test_item FROM splits
+         |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
+      Splits.leaveTwoOut(spark, d)
+        .select("user_id", "domain", "deg", "vali_item", "test_item")
+        .orderBy("user_id", "domain")
+    },
+
+    // ---- seeded fractional train subsample (W7+P2, Dataset_CDAE.py:58-89) ----
+    "q_train_subsample" -> QueryDef(
+      s"""WITH ${Interactions.duckCte},
+         |${Splits.duckLeaveTwoOutCte},
+         |${Splits.duckTrainSubsampleCte(Splits.TRAIN_PCT)}
+         |SELECT user_id, domain, MIN(n_train) AS n_train,
+         |       COUNT(*) AS n_kept, SUM(item_id) AS sum_kept
+         |FROM train GROUP BY user_id, domain
+         |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
+      Splits.trainSubsample(spark, d)
+        .groupBy("user_id", "domain")
+        .agg(min(col("n_train")).as("n_train"), count(lit(1)).as("n_kept"),
+          sum(col("item_id")).as("sum_kept"))
+        .orderBy("user_id", "domain")
+    },
+
+    // ---- exact complement negative sampling on a bounded user slice
+    //      (J2/SO1, Dataset_CDAE.py:110,123) ----
+    "q_neg_sample" -> QueryDef(
+      s"""WITH ${Interactions.duckCte},
+         |${Splits.duckNegativeSampleCte(subsetWhere)}
+         |SELECT user_id, domain, item_id, rn FROM negs
+         |ORDER BY user_id, domain, rn""".stripMargin) { (spark, d) =>
+      Splits.negativeSampleExact(spark, d, expr(subsetWhere))
+        .orderBy("user_id", "domain", "rn")
+    },
+
+    // ---- scalable rejection-sampled negatives, all users (100 TB path,
+    //      SURVEY.md §4.3) — exact per-user aggregate projection ----
+    "q_neg_sample_scalable" -> QueryDef(
+      s"""WITH ${Interactions.duckCte},
+         |${Interactions.duckDenseItemsCte},
+         |${Splits.duckNegativeSampleScalableCte(160)}
+         |SELECT user_id, domain, COUNT(*) AS n_neg, SUM(item_id) AS sum_ids,
+         |       SUM(rn * item_id) AS ord_checksum
+         |FROM negs_scalable GROUP BY user_id, domain
+         |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
+      Splits.negativeSampleScalable(spark, d)
+        .groupBy("user_id", "domain")
+        .agg(count(lit(1)).as("n_neg"), sum(col("item_id")).as("sum_ids"),
+          sum(col("rn") * col("item_id")).as("ord_checksum"))
+        .orderBy("user_id", "domain")
+    },
+
+    // ---- candidate assembly: 99 negatives + planted positive
+    //      (SO3, my_utils.py:132-133) ----
+    "q_candidates" -> QueryDef(
+      s"""WITH ${Interactions.duckCte},
+         |${Splits.duckLeaveTwoOutCte},
+         |${Interactions.duckDenseItemsCte},
+         |${Splits.duckNegativeSampleScalableCte(160)},
+         |${Splits.duckCandidatesCte}
+         |SELECT user_id, domain, COUNT(*) AS n_cand, SUM(is_positive) AS n_pos,
+         |       SUM(item_id) AS sum_ids
+         |FROM candidates GROUP BY user_id, domain
+         |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
+      Splits.candidates(spark, d)
+        .groupBy("user_id", "domain")
+        .agg(count(lit(1)).as("n_cand"), sum(col("is_positive")).as("n_pos"),
+          sum(col("item_id")).as("sum_ids"))
+        .orderBy("user_id", "domain")
+    })
+}

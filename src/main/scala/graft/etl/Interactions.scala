@@ -1,0 +1,62 @@
+package graft.etl
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The engine's interaction log — the long-form DataFrame equivalent of the
+  * reference's `dict[user_id → list[item_id]]` pickles per domain
+  * (Dataset_CDAE.py:26-33, SURVEY.md §1.1).
+  *
+  * Derived from the star schema: user = `o_custkey`, item = `l_partkey`,
+  * and the two cross-domain item spaces ('x'/'y', movie/book in the
+  * reference) are the even/odd partkey halves — every user naturally
+  * appears in both domains, replicating the paper's overlapping-user
+  * assumption (Dataset_CDAE.py:11, main_my.py:81-95).
+  *
+  * 100 TB: one shuffled join on the fact key + a distinct (hash
+  * aggregate). At cluster scale both fact tables would be bucketed by
+  * orderkey making the join shuffle-free; the distinct partial-aggregates
+  * map-side. Never densified to a U×I matrix (SURVEY.md §4.3:
+  * `main_my.py:83,88` is the scale-fatal step we deliberately avoid).
+  */
+object Interactions {
+
+  /** Long-form distinct (user_id, item_id, domain). */
+  def apply(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
+      .select(
+        col("o_custkey").as("user_id"),
+        col("l_partkey").as("item_id"),
+        when(col("l_partkey") % 2 === 0, "x").otherwise("y").as("domain"))
+      .distinct()
+
+  /** DuckDB CTE computing the identical relation (for oracle SQL reuse). */
+  val duckCte: String =
+    """interactions AS (
+      |  SELECT DISTINCT o_custkey AS user_id, l_partkey AS item_id,
+      |         CASE WHEN l_partkey % 2 = 0 THEN 'x' ELSE 'y' END AS domain
+      |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |)""".stripMargin
+
+  /** Distinct items of one domain with a dense 0-based index
+    * (`dense_rank()-1` ordered by raw id) — the id-contiguity invariant the
+    * reference merely *assumes* (main_my.py:81-92), produced here as an
+    * explicit operator (SURVEY.md §1.3).
+    */
+  def denseItems(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    apply(spark, sfDir)
+      .select("domain", "item_id").distinct()
+      .withColumn("dense_id",
+        row_number().over(Window.partitionBy("domain").orderBy("item_id")) - 1)
+  }
+
+  val duckDenseItemsCte: String =
+    """dense_items AS (
+      |  SELECT domain, item_id,
+      |         row_number() OVER (PARTITION BY domain ORDER BY item_id) - 1 AS dense_id
+      |  FROM (SELECT DISTINCT domain, item_id FROM interactions)
+      |)""".stripMargin
+}

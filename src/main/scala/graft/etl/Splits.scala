@@ -1,0 +1,223 @@
+package graft.etl
+
+import graft.{Hashing, QueryDef}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's ETL pipeline proper (SURVEY.md §3 E2): per-user
+  * leave-two-out splits, seeded fractional train subsampling, negative
+  * sampling, and candidate assembly — re-expressed as declarative,
+  * deterministic, distributed DataFrame plans.
+  *
+  * Determinism: the reference shuffles with `sklearn.utils.shuffle(
+  * random_state=2020|72)` (Dataset_CDAE.py:79,103,111,124). Fisher–Yates
+  * order is not reproducible cross-engine, so the engine *defines* sampling
+  * order as ascending [[Hashing.h60]] with a per-operator salt — seedable,
+  * distributed, and replayable bit-exact by the DuckDB oracle
+  * (SURVEY.md §7 risk 1).
+  *
+  * Every operator here is a two-stage plan: one shuffle on
+  * (user_id, domain), then window/aggregate within the partition — the
+  * partitioning a 1000-executor cluster would also bucket the interaction
+  * log on. No driver-side loops, no U×I materialization.
+  */
+object Splits {
+
+  val SEED_SPLIT = "2020"  // leave-two-out order   (Dataset_CDAE.py:103,111)
+  val SEED_TRAIN = "72"    // train subsample order (Dataset_CDAE.py:79)
+  val SEED_NEG   = "neg"   // negative-sample order (Dataset_CDAE.py:110,123)
+  val TRAIN_PCT  = 0.8     // --percent of the sparsity experiments
+  val NUM_NEG    = 99      // negatives per user    (Dataset_CDAE.py:110-111)
+
+  private def hOrder(salt: String): Column =
+    Hashing.h60(col("user_id"), col("item_id"), col("domain"), lit(salt))
+
+  private def duckHOrder(salt: String): String =
+    Hashing.duckH60("user_id", "item_id", "domain", s"'$salt'")
+
+  /** Leave-two-out split (Dataset_CDAE.py:91-145): per (user, domain) the
+    * first item in seeded order is vali, the second is test; degree-1 users
+    * get the same item for both (Dataset_CDAE.py:106-108 — the edge that
+    * changes metric denominators, SURVEY.md §7 risk 6).
+    */
+  def leaveTwoOut(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy("user_id", "domain")
+      .orderBy(hOrder(SEED_SPLIT), col("item_id"))
+    Interactions(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .groupBy("user_id", "domain")
+      .agg(
+        count(lit(1)).as("deg"),
+        min(when(col("rn") === 1, col("item_id"))).as("vali_item"),
+        coalesce(min(when(col("rn") === 2, col("item_id"))),
+          min(when(col("rn") === 1, col("item_id")))).as("test_item"))
+  }
+
+  val duckLeaveTwoOutCte: String =
+    s"""ranked AS (
+       |  SELECT user_id, domain, item_id,
+       |         row_number() OVER (PARTITION BY user_id, domain
+       |           ORDER BY ${duckHOrder(SEED_SPLIT)}, item_id) AS rn
+       |  FROM interactions
+       |), splits AS (
+       |  SELECT user_id, domain, COUNT(*) AS deg,
+       |    MIN(CASE WHEN rn = 1 THEN item_id END) AS vali_item,
+       |    coalesce(MIN(CASE WHEN rn = 2 THEN item_id END),
+       |             MIN(CASE WHEN rn = 1 THEN item_id END)) AS test_item
+       |  FROM ranked GROUP BY user_id, domain
+       |)""".stripMargin
+
+  /** Train set after hold-out removal (Dataset_CDAE.py:73-77): degree>2
+    * users drop vali and test; degree≤2 users drop only vali (degree-1 ⇒
+    * empty train), then keep the first floor(pct·n + 0.5) items in seeded
+    * order (Dataset_CDAE.py:78-84; floor(+0.5) is the engine's defined
+    * rounding — identical in both engines, sidestepping banker's-rounding
+    * drift, SURVEY.md §2.8).
+    */
+  def trainSubsample(spark: SparkSession, sfDir: String, pct: Double = TRAIN_PCT): DataFrame = {
+    val inter = Interactions(spark, sfDir)
+    val train = inter.join(leaveTwoOut(spark, sfDir), Seq("user_id", "domain"))
+      .filter(!(col("item_id") === col("vali_item")) &&
+        !(col("deg") > 2 && col("item_id") === col("test_item")))
+    val w = Window.partitionBy("user_id", "domain")
+      .orderBy(hOrder(SEED_TRAIN), col("item_id"))
+    val wAll = Window.partitionBy("user_id", "domain")
+    train
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_train", count(lit(1)).over(wAll))
+      .filter(col("rn") <= floor(lit(pct) * col("n_train") + 0.5))
+      .select("user_id", "domain", "item_id", "n_train")
+  }
+
+  def duckTrainSubsampleCte(pct: Double): String =
+    s"""train0 AS (
+       |  SELECT i.user_id, i.domain, i.item_id, s.deg
+       |  FROM interactions i JOIN splits s
+       |    ON i.user_id = s.user_id AND i.domain = s.domain
+       |  WHERE i.item_id <> s.vali_item
+       |    AND NOT (s.deg > 2 AND i.item_id = s.test_item)
+       |), train_ranked AS (
+       |  SELECT user_id, domain, item_id,
+       |    row_number() OVER (PARTITION BY user_id, domain
+       |      ORDER BY ${duckHOrder(SEED_TRAIN)}, item_id) AS rn,
+       |    COUNT(*) OVER (PARTITION BY user_id, domain) AS n_train
+       |  FROM train0
+       |), train AS (
+       |  SELECT user_id, domain, item_id, n_train FROM train_ranked
+       |  WHERE rn <= floor($pct * n_train + 0.5)
+       |)""".stripMargin
+
+  /** Exact negative sampling by set complement (Dataset_CDAE.py:110,123):
+    * all domain items the user never touched, in seeded order, first 99.
+    * This is the reference's O(U×I) semantics — correct, and fine for a
+    * bounded user subset, which is why [[userFilter]] gates it. The 100 TB
+    * path is [[negativeSampleScalable]].
+    */
+  def negativeSampleExact(spark: SparkSession, sfDir: String,
+      userFilter: Column = lit(true)): DataFrame = {
+    val inter = Interactions(spark, sfDir)
+    val users = inter.select("user_id", "domain").distinct().filter(userFilter)
+    val items = inter.select("domain", "item_id").distinct()
+    val w = Window.partitionBy("user_id", "domain")
+      .orderBy(hOrder(SEED_NEG), col("item_id"))
+    users.join(items, "domain")
+      .join(inter, Seq("user_id", "domain", "item_id"), "left_anti")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= NUM_NEG)
+      .select("user_id", "domain", "item_id", "rn")
+  }
+
+  def duckNegativeSampleCte(userWhere: String): String =
+    s"""neg_pool AS (
+       |  SELECT u.user_id, it.domain, it.item_id
+       |  FROM (SELECT DISTINCT user_id, domain FROM interactions
+       |        WHERE $userWhere) u
+       |  JOIN (SELECT DISTINCT domain, item_id FROM interactions) it
+       |    ON u.domain = it.domain
+       |  WHERE NOT EXISTS (SELECT 1 FROM interactions i
+       |    WHERE i.user_id = u.user_id AND i.domain = it.domain
+       |      AND i.item_id = it.item_id)
+       |), negs AS (
+       |  SELECT user_id, domain, item_id, rn FROM (
+       |    SELECT user_id, domain, item_id,
+       |      row_number() OVER (PARTITION BY user_id, domain
+       |        ORDER BY ${duckHOrder(SEED_NEG)}, item_id) AS rn
+       |    FROM neg_pool)
+       |  WHERE rn <= $NUM_NEG
+       |)""".stripMargin
+
+  /** Scalable negative sampling — the 100 TB replacement for the O(U×I)
+    * complement (SURVEY.md §4.3 "physical notes"): draw `draws`
+    * hash-indexed candidates per (user, domain) — O(U·draws) — map the
+    * dense index to a real item id, drop collisions and positives, keep the
+    * first 99 by draw order. Candidate r of a user is
+    * `h60(user, r, domain, salt) mod |items(domain)|`: pure expression,
+    * no U×I blow-up, same two-stage shuffle shape.
+    */
+  def negativeSampleScalable(spark: SparkSession, sfDir: String,
+      draws: Int = 160): DataFrame = {
+    val inter = Interactions(spark, sfDir)
+    val users = inter.select("user_id", "domain").distinct()
+    val items = Interactions.denseItems(spark, sfDir)
+    val nItems = items.groupBy("domain").agg(count(lit(1)).as("n_items"))
+    val drawn = users
+      .join(nItems, "domain")
+      .withColumn("r", explode(sequence(lit(1), lit(draws))))
+      .withColumn("dense_id",
+        Hashing.h60(col("user_id"), col("r"), col("domain"), lit(SEED_NEG)) % col("n_items"))
+      .groupBy("user_id", "domain", "dense_id")
+      .agg(min(col("r")).as("first_r"))
+    drawn
+      .join(items, Seq("domain", "dense_id"))
+      .join(inter, Seq("user_id", "domain", "item_id"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "domain").orderBy(col("first_r"))))
+      .filter(col("rn") <= NUM_NEG)
+      .select("user_id", "domain", "item_id", "rn")
+  }
+
+  def duckNegativeSampleScalableCte(draws: Int): String =
+    s"""n_items AS (
+       |  SELECT domain, COUNT(*) AS n_items FROM dense_items GROUP BY domain
+       |), drawn AS (
+       |  SELECT user_id, domain, dense_id, MIN(r) AS first_r FROM (
+       |    SELECT u.user_id, u.domain,
+       |      ${Hashing.duckH60("u.user_id", "t.r", "u.domain", s"'$SEED_NEG'")} % n.n_items AS dense_id,
+       |      t.r
+       |    FROM (SELECT DISTINCT user_id, domain FROM interactions) u
+       |    JOIN n_items n ON u.domain = n.domain
+       |    CROSS JOIN (SELECT unnest(generate_series(1, $draws)) AS r) t)
+       |  GROUP BY user_id, domain, dense_id
+       |), negs_scalable AS (
+       |  SELECT user_id, domain, item_id, rn FROM (
+       |    SELECT d.user_id, d.domain, di.item_id,
+       |      row_number() OVER (PARTITION BY d.user_id, d.domain
+       |        ORDER BY d.first_r) AS rn
+       |    FROM drawn d
+       |    JOIN dense_items di ON d.domain = di.domain AND d.dense_id = di.dense_id
+       |    WHERE NOT EXISTS (SELECT 1 FROM interactions i
+       |      WHERE i.user_id = d.user_id AND i.domain = d.domain
+       |        AND i.item_id = di.item_id))
+       |  WHERE rn <= $NUM_NEG
+       |)""".stripMargin
+
+  /** Candidate assembly (my_utils.py:132-133): the 99 negatives plus the
+    * planted held-out positive, per (user, domain).
+    */
+  def candidates(spark: SparkSession, sfDir: String): DataFrame = {
+    val negs = negativeSampleScalable(spark, sfDir)
+      .select(col("user_id"), col("domain"), col("item_id"), lit(0).as("is_positive"))
+    val pos = leaveTwoOut(spark, sfDir)
+      .select(col("user_id"), col("domain"), col("test_item").as("item_id"),
+        lit(1).as("is_positive"))
+    negs.unionAll(pos)
+  }
+
+  val duckCandidatesCte: String =
+    """candidates AS (
+      |  SELECT user_id, domain, item_id, 0 AS is_positive FROM negs_scalable
+      |  UNION ALL
+      |  SELECT user_id, domain, test_item AS item_id, 1 AS is_positive FROM splits
+      |)""".stripMargin
+}

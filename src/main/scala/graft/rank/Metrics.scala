@@ -1,0 +1,126 @@
+package graft.rank
+
+import graft.{Hashing, QueryDef}
+import graft.etl.{Interactions, Splits}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Top-K ranking analytics — the reference's evaluation core
+  * (my_utils.py:70-80): rank 100 candidates per user by score descending,
+  * locate the planted positive, and average HR@K / NDCG@K / MRR@K over
+  * users (SURVEY.md §2.5 W1-W5).
+  *
+  * Spark shape: one `Window.partitionBy(user, domain).orderBy(score desc,
+  * item)` + a hash aggregate — a single two-stage job per domain
+  * (SURVEY.md §3 E3). The explicit `item_id` tiebreaker makes ranking
+  * total (np.argsort is stable; an unordered window would not be —
+  * SURVEY.md §7 risk 3).
+  *
+  * 100 TB: candidates are ~100 rows per user, so the window partition is
+  * tiny and never spills; the shuffle key (user_id) matches the candidate
+  * generator's partitioning so AQE can coalesce. The metric aggregate is
+  * partial+final (map-side combine) on at most |users| rows.
+  */
+object Metrics {
+
+  /** HR/NDCG/MRR@K per domain over a scored candidate set.
+    * Input columns: user_id, domain, item_id, score, is_positive (0/1,
+    * exactly one positive per user×domain).
+    */
+  def rankingMetrics(scored: DataFrame, ks: Seq[Int]): DataFrame = {
+    val w = Window.partitionBy("user_id", "domain")
+      .orderBy(col("score").desc, col("item_id"))
+    val posRank = scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("is_positive") === 1)
+    ks.map { k =>
+      posRank.groupBy("domain")
+        .agg(
+          lit(k).as("k"),
+          count(lit(1)).as("n_users"),
+          round(avg(when(col("rn") <= k, 1.0).otherwise(0.0)), 6).as("hr"),
+          round(avg(when(col("rn") <= k, log(lit(2.0)) / log(col("rn") + 1))
+            .otherwise(0.0)), 6).as("ndcg"),
+          round(avg(when(col("rn") <= k, lit(1.0) / col("rn")).otherwise(0.0)), 6).as("mrr"))
+    }.reduce(_ unionAll _)
+      .select("domain", "k", "n_users", "hr", "ndcg", "mrr")
+      .orderBy("domain", "k")
+  }
+
+  /** Deterministic synthetic score standing in for the model forward pass
+    * (model_my.py:52-64): an exact integer, identically computable by the
+    * oracle. The scoring layer proper (graft.score) plugs into the same
+    * metric plan.
+    */
+  private def syntheticScore = (Hashing.h60(
+    col("user_id"), col("item_id"), col("domain"), lit("score")) % 1000000L).as("score")
+
+  private val duckScore =
+    s"${Hashing.duckH60("user_id", "item_id", "domain", "'score'")} % 1000000 AS score"
+
+  /** Scored candidates: the full E3 pipeline (splits → negatives →
+    * candidates → score).
+    */
+  def scoredCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    Splits.candidates(spark, sfDir)
+      .select(col("user_id"), col("domain"), col("item_id"), col("is_positive"),
+        syntheticScore)
+
+  val duckScoredCte: String =
+    s"""scored AS (
+       |  SELECT user_id, domain, item_id, is_positive, $duckScore
+       |  FROM candidates
+       |)""".stripMargin
+
+  private val duckPipelinePrefix: String =
+    s"""WITH ${Interactions.duckCte},
+       |${Splits.duckLeaveTwoOutCte},
+       |${Interactions.duckDenseItemsCte},
+       |${Splits.duckNegativeSampleScalableCte(160)},
+       |${Splits.duckCandidatesCte},
+       |$duckScoredCte""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- the flagship: E3 end-to-end, HR/NDCG/MRR@{5,10} ----
+    "q_rank_metrics" -> QueryDef(
+      s"""$duckPipelinePrefix,
+         |pos_rank AS (
+         |  SELECT domain, rn FROM (
+         |    SELECT domain, is_positive,
+         |      row_number() OVER (PARTITION BY user_id, domain
+         |        ORDER BY score DESC, item_id) AS rn
+         |    FROM scored)
+         |  WHERE is_positive = 1
+         |)
+         |SELECT domain, k, COUNT(*) AS n_users,
+         |  round(AVG(CASE WHEN rn <= k THEN 1.0 ELSE 0.0 END), 6) AS hr,
+         |  round(AVG(CASE WHEN rn <= k THEN ln(2.0)/ln(rn + 1) ELSE 0.0 END), 6) AS ndcg,
+         |  round(AVG(CASE WHEN rn <= k THEN 1.0/rn ELSE 0.0 END), 6) AS mrr
+         |FROM pos_rank CROSS JOIN (VALUES (5), (10)) ks(k)
+         |GROUP BY domain, k
+         |ORDER BY domain, k""".stripMargin) { (spark, d) =>
+      rankingMetrics(scoredCandidates(spark, d), Seq(5, 10))
+    },
+
+    // ---- per-user top-K gather (W1) on the bounded user slice ----
+    "q_rank_topk" -> QueryDef(
+      s"""$duckPipelinePrefix
+         |SELECT user_id, domain, item_id, score, rn FROM (
+         |  SELECT user_id, domain, item_id, score,
+         |    row_number() OVER (PARTITION BY user_id, domain
+         |      ORDER BY score DESC, item_id) AS rn
+         |  FROM scored WHERE user_id % 20 = 0)
+         |WHERE rn <= 5
+         |ORDER BY user_id, domain, rn""".stripMargin) { (spark, d) =>
+      val w = Window.partitionBy("user_id", "domain")
+        .orderBy(col("score").desc, col("item_id"))
+      scoredCandidates(spark, d)
+        .filter(col("user_id") % 20 === 0)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 5)
+        .select("user_id", "domain", "item_id", "score", "rn")
+        .orderBy("user_id", "domain", "rn")
+    })
+}
