@@ -13,7 +13,8 @@ object SparkEntry {
     rel.StarQueries.defs,
     rel.EventQueries.defs,
     etl.EtlQueries.defs,
-    rank.Metrics.defs)
+    rank.Metrics.defs,
+    score.ScoreQueries.defs)
 
   val defs: Map[String, QueryDef] = {
     val merged = modules.reduce(_ ++ _)

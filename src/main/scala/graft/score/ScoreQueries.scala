@@ -1,0 +1,103 @@
+package graft.score
+
+import graft.{Hashing, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Oracle-checked queries for the scoring layer (SURVEY.md §7 P3):
+  * the broadcast-weights batch scorer, the BCE loss expression (A8), and
+  * ArrayType math over the embeddings table (§2.8 array rows).
+  *
+  * Float-array parity trick: elements are fixed-pointed
+  * (`CAST(round(CAST(x AS DOUBLE) * 1e7) AS BIGINT)`) before any
+  * reduction, so sums/dots are integer-exact and order-independent in
+  * both engines; only final divisions/sqrt (exactly-rounded IEEE ops)
+  * touch floating point.
+  */
+object ScoreQueries {
+
+  private val userSlice = "o_custkey % 20 = 0"
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- mapPartitions + broadcast-weights forward pass (model_my.py:52-64) ----
+    "q_dense_score" -> QueryDef({
+      val perItem = (0 until Scorer.NUM_ITEMS).map(Scorer.duckScoreExpr)
+      s"""WITH score_users AS (
+         |  SELECT DISTINCT o_custkey AS user_id FROM orders WHERE $userSlice
+         |)
+         |${perItem.mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY user_id, item_j""".stripMargin
+    }) { (spark, d) =>
+      val users = Tables.orders(spark, d)
+        .filter(expr(userSlice))
+        .select(col("o_custkey").as("user_id")).distinct()
+      Scorer.scoreUsers(spark, users).orderBy("user_id", "item_j")
+    },
+
+    // ---- BCE-with-logits as an aggregable expression (A8, main_my.py:225-228) ----
+    "q_sigmoid_bce" -> QueryDef({
+      val h = Hashing.duckH60("l_orderkey", "l_linenumber", "'bce'")
+      val hy = Hashing.duckH60("l_orderkey", "l_linenumber", "'y'")
+      s"""WITH scored AS (
+         |  SELECT l_returnflag,
+         |    (($h % 12001) - 6000)/1000.0 AS s,
+         |    CAST($hy % 2 AS DOUBLE) AS y
+         |  FROM lineitem WHERE l_orderkey % 17 = 0
+         |), losses AS (
+         |  SELECT l_returnflag,
+         |    CAST(round((-(2.0 * y * ln(1.0/(1.0 + exp(-s)))
+         |         + (1.0 - y) * ln(1.0 - 1.0/(1.0 + exp(-s))))) * 1000000) AS BIGINT)
+         |      AS loss_scaled
+         |  FROM scored
+         |)
+         |SELECT l_returnflag, COUNT(*) AS n,
+         |       SUM(loss_scaled) / 1000000.0 AS total_loss
+         |FROM losses GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin
+    }) { (spark, d) =>
+      val s = ((Hashing.h60(col("l_orderkey"), col("l_linenumber"), lit("bce")) % 12001L)
+        - 6000L).cast("double") / 1000.0
+      val y = (Hashing.h60(col("l_orderkey"), col("l_linenumber"), lit("y")) % 2L)
+        .cast("double")
+      val sig = lit(1.0) / (lit(1.0) + exp(-col("s")))
+      Tables.lineitem(spark, d)
+        .filter(col("l_orderkey") % 17 === 0)
+        .select(col("l_returnflag"), s.as("s"), y.as("y"))
+        .withColumn("loss_scaled",
+          round(-(lit(2.0) * col("y") * log(sig)
+            + (lit(1.0) - col("y")) * log(lit(1.0) - sig)) * 1000000, 0).cast("long"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          (sum(col("loss_scaled")) / 1000000.0).as("total_loss"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- ArrayType math over embeddings: L1/L2 norms + reversed dot ----
+    "q_array_math" -> QueryDef(
+      """WITH fx AS (
+        |  SELECT vec_id, i, n,
+        |    CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT) AS e
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS i,
+        |        len(embedding) AS n
+        |        FROM embeddings)
+        |)
+        |SELECT f.vec_id,
+        |  SUM(abs(f.e)) / 10000000.0 AS l1,
+        |  round(sqrt(CAST(SUM(f.e * f.e) AS DOUBLE) / 100000000000000.0), 6) AS l2,
+        |  SUM(f.e * g.e) / 100000000000000.0 AS dot_rev
+        |FROM fx f JOIN fx g ON g.vec_id = f.vec_id AND g.i = f.n + 1 - f.i
+        |GROUP BY f.vec_id
+        |ORDER BY f.vec_id""".stripMargin) { (spark, d) =>
+      Tables.embeddings(spark, d)
+        .withColumn("fx", expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))"))
+        .select(
+          col("vec_id"),
+          (expr("aggregate(fx, 0L, (a, x) -> a + abs(x))") / 10000000.0).as("l1"),
+          round(sqrt(expr("aggregate(fx, 0L, (a, x) -> a + x * x)").cast("double")
+            / 100000000000000.0), 6).as("l2"),
+          (expr("aggregate(zip_with(fx, reverse(fx), (a, b) -> a * b), 0L, (a, x) -> a + x)")
+            / 100000000000000.0).as("dot_rev"))
+        .orderBy("vec_id")
+    })
+}
