@@ -14,7 +14,8 @@ object SparkEntry {
     rel.EventQueries.defs,
     etl.EtlQueries.defs,
     rank.Metrics.defs,
-    score.ScoreQueries.defs)
+    score.ScoreQueries.defs,
+    ext.TextQueries.defs)
 
   val defs: Map[String, QueryDef] = {
     val merged = modules.reduce(_ ++ _)

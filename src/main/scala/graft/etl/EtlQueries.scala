@@ -13,8 +13,12 @@ import org.apache.spark.sql.functions._
   */
 object EtlQueries {
 
-  /** Gate for full-row outputs: a deterministic 5% slice of users. */
-  private val subsetWhere = "user_id % 20 = 0"
+  /** Gate for full-row outputs: a deterministic 0.5% slice of users — the
+    * exact-complement operator is O(|slice|·|items|) by design (it exists to
+    * mirror the reference's semantics, Dataset_CDAE.py:110), so the slice,
+    * not the operator, is what bounds cost as sf grows.
+    */
+  private val subsetWhere = "user_id % 200 = 0"
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -75,7 +79,7 @@ object EtlQueries {
          |${Splits.duckLeaveTwoOutCte},
          |${Splits.duckTrainSubsampleCte(Splits.TRAIN_PCT)}
          |SELECT user_id, domain, MIN(n_train) AS n_train,
-         |       COUNT(*) AS n_kept, SUM(item_id) AS sum_kept
+         |       COUNT(*) AS n_kept, CAST(SUM(item_id) AS BIGINT) AS sum_kept
          |FROM train GROUP BY user_id, domain
          |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
       Splits.trainSubsample(spark, d)
@@ -102,8 +106,9 @@ object EtlQueries {
       s"""WITH ${Interactions.duckCte},
          |${Interactions.duckDenseItemsCte},
          |${Splits.duckNegativeSampleScalableCte(160)}
-         |SELECT user_id, domain, COUNT(*) AS n_neg, SUM(item_id) AS sum_ids,
-         |       SUM(rn * item_id) AS ord_checksum
+         |SELECT user_id, domain, COUNT(*) AS n_neg,
+         |       CAST(SUM(item_id) AS BIGINT) AS sum_ids,
+         |       CAST(SUM(rn * item_id) AS BIGINT) AS ord_checksum
          |FROM negs_scalable GROUP BY user_id, domain
          |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
       Splits.negativeSampleScalable(spark, d)
@@ -121,8 +126,9 @@ object EtlQueries {
          |${Interactions.duckDenseItemsCte},
          |${Splits.duckNegativeSampleScalableCte(160)},
          |${Splits.duckCandidatesCte}
-         |SELECT user_id, domain, COUNT(*) AS n_cand, SUM(is_positive) AS n_pos,
-         |       SUM(item_id) AS sum_ids
+         |SELECT user_id, domain, COUNT(*) AS n_cand,
+         |       CAST(SUM(is_positive) AS BIGINT) AS n_pos,
+         |       CAST(SUM(item_id) AS BIGINT) AS sum_ids
          |FROM candidates GROUP BY user_id, domain
          |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
       Splits.candidates(spark, d)

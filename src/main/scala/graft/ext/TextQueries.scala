@@ -1,0 +1,174 @@
+package graft.ext
+
+import graft.{Hashing, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Text analysis over the `documents` corpus (north-star extensions):
+  * token statistics, quality scoring, corpus-trained language ID, and
+  * rolling-hash document fingerprinting (winnowing).
+  *
+  * Parity rules (QueryDef): ratios are double divisions of exact integers
+  * (IEEE-exact, identical in both engines), every division is rounded to 6
+  * digits at the end, and all ordering carries doc_id as total tiebreaker.
+  *
+  * 100 TB: each query is scan → narrow explode → one hash-aggregate keyed
+  * by doc_id (or token), i.e. a single shuffle; the language profile is a
+  * tiny aggregate a cluster would broadcast to the scoring join.
+  */
+object TextQueries {
+
+  /** Stopword list for quality scoring (the corpus' closed-class tokens). */
+  private val stopwords = Seq("a", "the", "of", "to", "and", "in")
+  private val stopSql = stopwords.map(s => s"'$s'").mkString(", ")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- token counting: whitespace tokens + regex word-run tokens ----
+    "q_text_tokens" -> QueryDef(
+      """SELECT doc_id,
+        |  len(string_split(text, ' ')) AS n_ws_tokens,
+        |  len(list_distinct(string_split(text, ' '))) AS n_distinct,
+        |  len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+        |  length(text) AS n_chars,
+        |  length(replace(text, ' ', '')) AS n_nonspace
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      Tables.documents(spark, d).select(
+        col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_ws_tokens"),
+        size(array_distinct(split(col("text"), " "))).cast("long").as("n_distinct"),
+        size(expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).cast("long").as("n_re_tokens"),
+        length(col("text")).cast("long").as("n_chars"),
+        length(regexp_replace(col("text"), " ", "")).cast("long").as("n_nonspace"))
+        .orderBy("doc_id")
+    },
+
+    // ---- quality scoring: length/stopword/diversity heuristics ----
+    "q_text_quality" -> QueryDef(
+      s"""WITH ${TextOps.duckTokensCte},
+         |per_doc AS (
+         |  SELECT doc_id,
+         |    COUNT(*) AS n_tok,
+         |    COUNT(DISTINCT tok) AS n_uniq,
+         |    CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+         |    CAST(SUM(CASE WHEN tok IN ($stopSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+         |  FROM tokens GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_tok,
+         |  round(CAST(sum_len AS DOUBLE) / n_tok, 6) AS avg_tok_len,
+         |  round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+         |  round(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS type_token_ratio,
+         |  round(least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
+         |        + (CAST(n_uniq AS DOUBLE) / n_tok) * 0.3
+         |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.2, 6) AS quality
+         |FROM per_doc
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      val nTok = col("n_tok").cast("double")
+      TextOps.tokens(spark, d)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          countDistinct(col("tok")).as("n_uniq"),
+          sum(length(col("tok"))).as("sum_len"),
+          sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"))
+        .select(col("doc_id"), col("n_tok"),
+          round(col("sum_len").cast("double") / nTok, 6).as("avg_tok_len"),
+          round(col("n_stop").cast("double") / nTok, 6).as("stop_ratio"),
+          round(col("n_uniq").cast("double") / nTok, 6).as("type_token_ratio"),
+          round(least(nTok / 64.0, lit(1.0)) * 0.5
+            + (col("n_uniq").cast("double") / nTok) * 0.3
+            + (lit(1.0) - col("n_stop").cast("double") / nTok) * 0.2, 6).as("quality"))
+        .orderBy("doc_id")
+    },
+
+    // ---- corpus-trained n-gram language ID ----
+    // The classifier is real (per-language token frequency profile,
+    // fixed-point integer weights, argmax with deterministic tiebreak);
+    // the labels come from the corpus itself, so this doubles as a
+    // label-agreement audit. At 100 TB the profile is a tiny broadcast
+    // dimension and the scoring join is a map-side hash join.
+    "q_text_langid" -> QueryDef(
+      s"""WITH ${TextOps.duckTokensCte},
+         |lang_tot AS (
+         |  SELECT lang, COUNT(*) AS n_l FROM tokens GROUP BY lang
+         |), profile AS (
+         |  SELECT t.lang, t.tok,
+         |    CAST(round(1000000.0 * COUNT(*) / MIN(lt.n_l)) AS BIGINT) AS w
+         |  FROM tokens t JOIN lang_tot lt ON t.lang = lt.lang
+         |  GROUP BY t.lang, t.tok
+         |), doc_scores AS (
+         |  SELECT t.doc_id, p.lang AS cand_lang,
+         |    CAST(SUM(p.w) AS BIGINT) AS score
+         |  FROM tokens t JOIN profile p ON t.tok = p.tok
+         |  GROUP BY t.doc_id, p.lang
+         |), pred AS (
+         |  SELECT doc_id, cand_lang AS pred_lang FROM (
+         |    SELECT doc_id, cand_lang,
+         |      row_number() OVER (PARTITION BY doc_id
+         |        ORDER BY score DESC, cand_lang) AS rn
+         |    FROM doc_scores)
+         |  WHERE rn = 1
+         |)
+         |SELECT d.lang AS actual_lang, p.pred_lang, COUNT(*) AS n
+         |FROM documents d JOIN pred p ON d.doc_id = p.doc_id
+         |GROUP BY d.lang, p.pred_lang
+         |ORDER BY actual_lang, pred_lang""".stripMargin) { (spark, d) =>
+      val toks = TextOps.tokens(spark, d)
+      val langTot = toks.groupBy("lang").agg(count(lit(1)).as("n_l"))
+      val profile = toks.groupBy(col("lang"), col("tok"))
+        .agg(count(lit(1)).as("n_lt"))
+        .join(langTot, "lang")
+        .select(col("lang"), col("tok"),
+          round(lit(1000000.0) * col("n_lt") / col("n_l"), 0).cast("long").as("w"))
+      val scores = toks.select(col("doc_id"), col("tok"))
+        .join(broadcast(profile.withColumnRenamed("lang", "cand_lang")), "tok")
+        .groupBy("doc_id", "cand_lang")
+        .agg(sum(col("w")).as("score"))
+      val pred = scores
+        .withColumn("rn", row_number().over(Window.partitionBy("doc_id")
+          .orderBy(col("score").desc, col("cand_lang"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_id"), col("cand_lang").as("pred_lang"))
+      Tables.documents(spark, d).select(col("doc_id"), col("lang"))
+        .join(pred, "doc_id")
+        .groupBy(col("lang").as("actual_lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("actual_lang", "pred_lang")
+    },
+
+    // ---- winnowing fingerprint: rolling char-8-gram hashes, window-4 min ----
+    "q_text_fingerprint" -> QueryDef(
+      s"""WITH ${TextOps.duckCharShingleHashesCte(8)},
+         |winnowed AS (
+         |  SELECT DISTINCT doc_id, wmin FROM (
+         |    SELECT doc_id, p,
+         |      MIN(h) OVER (PARTITION BY doc_id ORDER BY p
+         |        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+         |      COUNT(*) OVER (PARTITION BY doc_id) AS n_sh
+         |    FROM char_hashes)
+         |  WHERE p <= n_sh - 3
+         |), ranked AS (
+         |  SELECT doc_id, wmin,
+         |    row_number() OVER (PARTITION BY doc_id ORDER BY wmin) AS rn
+         |  FROM winnowed
+         |)
+         |SELECT doc_id, COUNT(*) AS n_fp,
+         |  CAST(MIN(wmin) AS BIGINT) AS min_fp,
+         |  CAST(SUM(CASE WHEN rn <= 4 THEN wmin ELSE 0 END) AS BIGINT) AS bottom4_sum
+         |FROM ranked GROUP BY doc_id
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      val wOrd = Window.partitionBy("doc_id").orderBy("p")
+      val winnowed = TextOps.charShingleHashes(spark, d, 8)
+        .withColumn("wmin", min(col("h")).over(wOrd.rowsBetween(0, 3)))
+        .withColumn("n_sh", count(lit(1)).over(Window.partitionBy("doc_id")))
+        .filter(col("p") <= col("n_sh") - 3)
+        .select("doc_id", "wmin").distinct()
+      winnowed
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("doc_id").orderBy("wmin")))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_fp"), min(col("wmin")).as("min_fp"),
+          sum(when(col("rn") <= 4, col("wmin")).otherwise(0L)).as("bottom4_sum"))
+        .orderBy("doc_id")
+    })
+}

@@ -30,7 +30,7 @@ object EventQueries {
     "q_events_json" -> QueryDef(
       """SELECT event_type,
         |  COUNT(*) AS n,
-        |  SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(SUM(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  MIN(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
         |  MAX(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
         |  CAST(round(SUM(CAST(value AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_value
@@ -98,7 +98,8 @@ object EventQueries {
         |), per_sess AS (
         |  SELECT user_id, sess_id, COUNT(*) AS n_events FROM sessioned GROUP BY 1, 2
         |)
-        |SELECT user_id, COUNT(*) AS n_sessions, SUM(n_events) AS n_events,
+        |SELECT user_id, COUNT(*) AS n_sessions,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
         |       MAX(n_events) AS max_session_events
         |FROM per_sess GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (spark, d) =>
@@ -129,7 +130,7 @@ object EventQueries {
         |)
         |SELECT event_type, COUNT(gap_us) AS n_gaps,
         |       MIN(gap_us) AS min_gap_us, MAX(gap_us) AS max_gap_us,
-        |       SUM(gap_us) AS sum_gap_us
+        |       CAST(SUM(gap_us) AS BIGINT) AS sum_gap_us
         |FROM g WHERE gap_us IS NOT NULL
         |GROUP BY event_type ORDER BY event_type""".stripMargin) { (spark, d) =>
       val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))

@@ -28,6 +28,13 @@ def main(sf_dir, out_dir):
     for name, sql in sorted(oracle.items()):
         try:
             exp = con.execute(sql).df()
+            # Result TYPES matter, not just values: the driver's hash compare
+            # is type-sensitive (DuckDB HUGEINT vs Spark BIGINT fails even
+            # when every value matches — see ADVICE r1). Compare the DuckDB
+            # result types against the Spark parquet schema types.
+            exp_types = {
+                r[0]: r[1]
+                for r in con.execute(f"DESCRIBE {sql}").fetchall()}
         except Exception as e:
             print(f"FAIL {name}: oracle sql error: {e}")
             n_fail += 1
@@ -35,8 +42,30 @@ def main(sf_dir, out_dir):
         try:
             got = con.execute(
                 f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got_types = {
+                r[0]: r[1]
+                for r in con.execute(
+                    f"DESCRIBE SELECT * FROM '{out_dir}/{name}/*.parquet'"
+                ).fetchall()}
         except Exception as e:
             print(f"FAIL {name}: spark output missing: {e}")
+            n_fail += 1
+            continue
+        def tclass(t):
+            # int width differences are normalized by the driver's compare;
+            # HUGEINT / DECIMAL are not (they survive into the hash).
+            if t in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+                     "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+                return "int"
+            if t in ("FLOAT", "DOUBLE"):
+                return "float"
+            return t
+        type_errs = [
+            f"{c}: oracle={exp_types[c]} spark={got_types.get(c)}"
+            for c in exp_types
+            if tclass(exp_types[c]) != tclass(got_types.get(c, exp_types[c]))]
+        if type_errs:
+            print(f"FAIL {name}: result type mismatch: {type_errs}")
             n_fail += 1
             continue
         exp = exp.reindex(sorted(exp.columns), axis=1)
