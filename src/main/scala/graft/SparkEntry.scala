@@ -15,7 +15,10 @@ object SparkEntry {
     etl.EtlQueries.defs,
     rank.Metrics.defs,
     score.ScoreQueries.defs,
-    ext.TextQueries.defs)
+    ext.TextQueries.defs,
+    ext.DedupQueries.defs,
+    ext.SimilarityQueries.defs,
+    ext.Multimodal.defs)
 
   val defs: Map[String, QueryDef] = {
     val merged = modules.reduce(_ ++ _)

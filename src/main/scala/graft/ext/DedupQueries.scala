@@ -1,0 +1,224 @@
+package graft.ext
+
+import graft.{Hashing, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Document deduplication operators (north-star extensions): exact
+  * hash dedup, MinHash+LSH banding, SimHash with byte-block candidate
+  * generation, and n-gram Jaccard over a rare-shingle inverted index.
+  *
+  * All four share the same scale shape: narrow shingle explosion, one
+  * hash-aggregate keyed by (doc_id[, func]), a self-join ONLY on bounded
+  * buckets (band signature / byte block / rare shingle) — never an
+  * all-pairs cross join — and a verify pass on the candidate pairs. This
+  * is exactly the plan a 100 TB corpus needs: candidate generation is
+  * data-partitioned by bucket key, and the verify join touches only
+  * candidate pairs (bounded by bucket sizes, controllable via band/row
+  * parameters and the rare-shingle document-frequency cap).
+  */
+object DedupQueries {
+
+  /** MinHash parameters: 12 hash functions in 4 bands of 3 rows. */
+  private val NUM_HASH = 12
+  private val BAND_ROWS = 3
+  private val MINHASH_JAC = 0.5
+  private val NGRAM_JAC = 0.5
+  /** Rare-shingle inverted index: document-frequency cap for candidates. */
+  private val MAX_DF = 10
+  private val SIMHASH_BITS = 32
+  private val MAX_HAMMING = 3
+
+  /** Exact Jaccard verification of candidate pairs against the distinct
+    * shingle sets: |A∩B| / (|A|+|B|−|A∩B|), as a join of the candidate
+    * pairs back to the shingle table (touches only candidate docs).
+    */
+  private def jaccardVerify(cand: DataFrame, shingles: DataFrame,
+      minJac: Double): DataFrame = {
+    val sizes = shingles.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val inter = cand
+      .join(shingles.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(shingles.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("ns_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("ns_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ni"),
+        round(col("ni").cast("double") / (col("ns_a") + col("ns_b") - col("ni")), 6)
+          .as("jac"))
+      .filter(col("jac") >= minJac)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  private def duckJaccardVerify(minJac: Double): String =
+    s"""sizes AS (
+       |  SELECT doc_id, COUNT(*) AS ns FROM shingles GROUP BY doc_id
+       |), inter AS (
+       |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+       |  FROM cand c
+       |  JOIN shingles sa ON sa.doc_id = c.doc_a
+       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  GROUP BY c.doc_a, c.doc_b
+       |), verified AS (
+       |  SELECT i.doc_a, i.doc_b, i.ni,
+       |    round(CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni), 6) AS jac
+       |  FROM inter i
+       |  JOIN sizes sa ON sa.doc_id = i.doc_a
+       |  JOIN sizes sb ON sb.doc_id = i.doc_b
+       |  WHERE round(CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni), 6) >= $minJac
+       |)""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- exact dedup: re-ingest scenario, keep min doc_id per content hash ----
+    "q_dedup_exact" -> QueryDef(
+      """WITH crawl AS (
+        |  SELECT doc_id, text, source FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text, source FROM documents WHERE doc_id % 3 = 0
+        |), groups AS (
+        |  SELECT md5(text) AS h, source, COUNT(*) AS n, MIN(doc_id) AS keep_id
+        |  FROM crawl GROUP BY md5(text), source
+        |)
+        |SELECT source,
+        |  COUNT(*) AS n_unique,
+        |  CAST(SUM(n) AS BIGINT) AS n_rows,
+        |  CAST(SUM(n) - COUNT(*) AS BIGINT) AS n_dropped,
+        |  CAST(SUM(keep_id) AS BIGINT) AS keep_checksum
+        |FROM groups GROUP BY source
+        |ORDER BY source""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d).select("doc_id", "text", "source")
+      val crawl = docs.unionAll(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"), col("text"), col("source")))
+      crawl
+        .groupBy(md5(encode(col("text"), "UTF-8")).as("h"), col("source"))
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("keep_id"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("n")).as("n_rows"),
+          (sum(col("n")) - count(lit(1))).as("n_dropped"),
+          sum(col("keep_id")).as("keep_checksum"))
+        .orderBy("source")
+    },
+
+    // ---- MinHash + LSH banding over word 5-gram shingles ----
+    "q_dedup_minhash" -> QueryDef(
+      s"""WITH ${TextOps.duckWordShinglesCte(5)},
+         |mh AS (
+         |  SELECT doc_id, f.j, MIN(${Hashing.duckH60("sh", "f.j")}) AS mh
+         |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, ${NUM_HASH - 1})) AS j) f
+         |  GROUP BY doc_id, f.j
+         |), bands AS (
+         |  SELECT doc_id, j // $BAND_ROWS AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+         |  FROM mh GROUP BY doc_id, j // $BAND_ROWS
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+         |), ${duckJaccardVerify(MINHASH_JAC)}
+         |SELECT doc_a, doc_b, ni, jac FROM verified
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
+      val sh = TextOps.wordShingles(spark, d, 5)
+      val mh = sh
+        .withColumn("j", explode(sequence(lit(0), lit(NUM_HASH - 1))))
+        .groupBy("doc_id", "j")
+        .agg(min(Hashing.h60(col("sh"), col("j"))).as("mh"))
+      val bands = mh
+        .groupBy(col("doc_id"), (col("j") / BAND_ROWS).cast("int").as("band"))
+        .agg(array_join(
+          expr("transform(array_sort(collect_list(struct(j, mh))), s -> cast(s.mh as string))"),
+          ",").as("sig"))
+      val cand = bands.as("a")
+        .join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardVerify(cand, sh, MINHASH_JAC)
+    },
+
+    // ---- SimHash over word bigrams, byte-block LSH, hamming <= 3 ----
+    // 4 blocks of 8 bits: any pair within hamming 3 shares at least one
+    // identical block (pigeonhole), so block-bucketing finds all of them
+    // without an all-pairs join.
+    "q_dedup_simhash" -> QueryDef(
+      s"""WITH ${TextOps.duckWordShinglesCte(2)},
+         |th AS (
+         |  SELECT doc_id, ${Hashing.duckH60("sh")} AS h FROM shingles
+         |), bits AS (
+         |  SELECT doc_id, f.j,
+         |    CASE WHEN SUM(CASE WHEN ((h >> f.j) & 1) = 1 THEN 1 ELSE -1 END) > 0
+         |         THEN CAST(1 AS BIGINT) ELSE CAST(0 AS BIGINT) END AS b
+         |  FROM th CROSS JOIN (SELECT unnest(generate_series(0, ${SIMHASH_BITS - 1})) AS j) f
+         |  GROUP BY doc_id, f.j
+         |), sim AS (
+         |  SELECT doc_id, CAST(SUM(b << j) AS BIGINT) AS simhash FROM bits GROUP BY doc_id
+         |), blocks AS (
+         |  SELECT doc_id, simhash, f.bi, (simhash >> (8 * f.bi)) & 255 AS blk
+         |  FROM sim CROSS JOIN (SELECT unnest(generate_series(0, 3)) AS bi) f
+         |), pairs AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         a.simhash AS sim_a, b.simhash AS sim_b
+         |  FROM blocks a JOIN blocks b
+         |    ON a.bi = b.bi AND a.blk = b.blk AND a.doc_id < b.doc_id
+         |)
+         |SELECT doc_a, doc_b, sim_a, sim_b,
+         |       CAST(bit_count(xor(sim_a, sim_b)) AS INT) AS hamming
+         |FROM pairs
+         |WHERE bit_count(xor(sim_a, sim_b)) <= $MAX_HAMMING
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
+      val th = TextOps.wordShingles(spark, d, 2)
+        .select(col("doc_id"), Hashing.h60(col("sh")).as("h"))
+      val bits = th
+        .withColumn("j", explode(sequence(lit(0), lit(SIMHASH_BITS - 1))))
+        .groupBy("doc_id", "j")
+        .agg(when(sum(when(expr("(shiftright(h, j) % 2) = 1"), 1).otherwise(-1)) > 0, 1L)
+          .otherwise(0L).as("b"))
+      val sim = bits.groupBy("doc_id")
+        .agg(sum(expr("shiftleft(b, j)")).as("simhash"))
+      val blocks = sim
+        .withColumn("bi", explode(sequence(lit(0), lit(3))))
+        .select(col("doc_id"), col("simhash"), col("bi"),
+          expr("shiftright(simhash, 8 * bi) % 256").as("blk"))
+      blocks.as("a")
+        .join(blocks.as("b"),
+          col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") &&
+            col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+          col("a.simhash").as("sim_a"), col("b.simhash").as("sim_b"))
+        .distinct()
+        .withColumn("hamming", expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+        .filter(col("hamming") <= MAX_HAMMING)
+        .orderBy("doc_a", "doc_b")
+    },
+
+    // ---- n-gram Jaccard over a rare-shingle inverted index ----
+    // Candidates = doc pairs co-occurring in a shingle with document
+    // frequency in [2, MAX_DF]; frequency-capped so no hot shingle ever
+    // produces a quadratic bucket (the classic inverted-index guard).
+    "q_dedup_ngram" -> QueryDef(
+      s"""WITH ${TextOps.duckWordShinglesCte(3)},
+         |rare AS (
+         |  SELECT sh FROM shingles GROUP BY sh
+         |  HAVING COUNT(*) BETWEEN 2 AND $MAX_DF
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shingles a
+         |  JOIN rare r ON a.sh = r.sh
+         |  JOIN shingles b ON b.sh = a.sh AND a.doc_id < b.doc_id
+         |), ${duckJaccardVerify(NGRAM_JAC)}
+         |SELECT doc_a, doc_b, ni, jac FROM verified
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
+      val sh = TextOps.wordShingles(spark, d, 3)
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= MAX_DF)
+        .select("sh")
+      val cand = sh.join(rare, "sh").as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      jaccardVerify(cand, sh, NGRAM_JAC)
+    })
+}

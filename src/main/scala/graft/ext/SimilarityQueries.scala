@@ -1,0 +1,215 @@
+package graft.ext
+
+import graft.{Hashing, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search and distribution-distance operators over the
+  * embeddings table (north-star extensions): brute-force cosine top-k,
+  * random-hyperplane LSH-bucketed ANN (the scale path), embedding-cosine
+  * near-duplicate pairs, and a linear-kernel MMD² two-sample distance
+  * (the reference's MMD analytics, my_utils.py:37-68, with the RBF
+  * kernel swapped for the linear one so the statistic is exactly
+  * computable in fixed point — exp() is not cross-engine bit-stable).
+  *
+  * 100 TB notes: brute-force is the CORRECTNESS baseline, O(|Q|·|C|·d),
+  * bounded here by the query slice; the production path is the LSH
+  * variant — signatures are one narrow pass (d·planes multiplies per
+  * vector), candidates come from bucket equi-joins (shuffle keyed by
+  * bucket, never all-pairs), and exact cosine re-ranks only candidates.
+  * Recall/cost is tuned by bands × bits exactly like MinHash banding.
+  */
+object SimilarityQueries {
+
+  private val TOP_K = 5
+  private val LSH_K = 3
+  private val NEAR_DUP_COS = 0.4
+  private val querySlice = "vec_id % 20 = 0"
+
+  /** Hyperplane components: 8 planes × 64 dims, integer weights in
+    * [-1000, 1000] derived from h60 — deterministic in both engines.
+    */
+  private val NUM_PLANES = 8
+
+  private def duckPlanesCte: String =
+    s"""planes AS (
+       |  SELECT j.j, i.i,
+       |         ${Hashing.duckH60("j.j", "i.i", "'plane'")} % 2001 - 1000 AS c
+       |  FROM (SELECT unnest(generate_series(0, ${NUM_PLANES - 1})) AS j) j
+       |  CROSS JOIN (SELECT unnest(generate_series(1, ${VectorOps.DIM})) AS i) i
+       |)""".stripMargin
+
+  private def duckSigCte: String =
+    s"""sigbits AS (
+       |  SELECT e.vec_id, p.j,
+       |    CASE WHEN SUM(e.e * p.c) > 0 THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS b
+       |  FROM elems e JOIN planes p ON e.i = p.i
+       |  GROUP BY e.vec_id, p.j
+       |), sigs AS (
+       |  SELECT vec_id, CAST(SUM(b << j) AS BIGINT) AS sig FROM sigbits GROUP BY vec_id
+       |), bands AS (
+       |  SELECT vec_id, f.bi, (sig >> (4 * f.bi)) & 15 AS blk
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS bi) f
+       |)""".stripMargin
+
+  private def sparkSigs(spark: org.apache.spark.sql.SparkSession, d: String) = {
+    val planes = spark.range(NUM_PLANES).select(col("id").as("j"))
+      .crossJoin(spark.range(1, VectorOps.DIM + 1).select(col("id").as("i")))
+      .select(col("j"), col("i"),
+        (Hashing.h60(col("j"), col("i"), lit("plane")) % 2001 - 1000).as("c"))
+    VectorOps.elems(spark, d)
+      .join(broadcast(planes), "i")
+      .groupBy("vec_id", "j")
+      .agg(when(sum(col("e") * col("c")) > 0, 1L).otherwise(0L).as("b"))
+      .groupBy("vec_id")
+      .agg(sum(expr("shiftleft(b, j)")).as("sig"))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- brute-force cosine top-k: the exact baseline ----
+    "q_sim_topk" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte},
+         |${VectorOps.duckNormsCte},
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id
+         |  FROM (SELECT vec_id FROM embeddings WHERE $querySlice) q
+         |  CROSS JOIN (SELECT vec_id FROM embeddings) c
+         |  WHERE q.vec_id <> c.vec_id
+         |), ${VectorOps.duckCosineCte}
+         |SELECT query_id, vec_id, round(cos, 6) AS cos, rn FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cosines)
+         |WHERE rn <= $TOP_K
+         |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
+      val ids = Tables.embeddings(spark, d).select("vec_id")
+      val pairs = ids.filter(expr(querySlice)).select(col("vec_id").as("query_id"))
+        .crossJoin(ids)
+        .filter(col("query_id") =!= col("vec_id"))
+      VectorOps.cosine(spark, d, pairs)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= TOP_K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+
+    // ---- LSH-bucketed ANN: 8-bit hyperplane signature, 2 bands of 4 ----
+    "q_sim_lsh" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte},
+         |${VectorOps.duckNormsCte},
+         |$duckPlanesCte,
+         |$duckSigCte,
+         |pairs AS (
+         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+         |  FROM bands a JOIN bands b
+         |    ON a.bi = b.bi AND a.blk = b.blk AND a.vec_id <> b.vec_id
+         |  WHERE a.vec_id % 20 = 0
+         |), ${VectorOps.duckCosineCte}
+         |SELECT query_id, vec_id, round(cos, 6) AS cos, rn FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cosines)
+         |WHERE rn <= $LSH_K
+         |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
+      val sigs = sparkSigs(spark, d)
+      val bands = sigs
+        .withColumn("bi", explode(sequence(lit(0), lit(1))))
+        .select(col("vec_id"), col("bi"), expr("shiftright(sig, 4 * bi) % 16").as("blk"))
+      val pairs = bands.as("a")
+        .join(bands.as("b"),
+          col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") &&
+            col("a.vec_id") =!= col("b.vec_id"))
+        .filter(col("a.vec_id") % 20 === 0)
+        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
+        .distinct()
+      VectorOps.cosine(spark, d, pairs)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= LSH_K)
+        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy("query_id", "rn")
+    },
+
+    // ---- embedding-cosine near-duplicate pairs ----
+    // Exact all-pairs, computed against the BROADCAST fixed-point matrix
+    // (n·d longs — ~1 MB here, still broadcastable at 10⁶-vector corpus
+    // scale) with an imperative per-partition loop: each task scans its
+    // vectors against the matrix, O(n²d/p) multiplies, no pair-explosion
+    // shuffle. Beyond broadcastable corpus sizes the LSH bucketing of
+    // q_sim_lsh is the candidate generator.
+    "q_dedup_embed" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte},
+         |${VectorOps.duckNormsCte},
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |), ${VectorOps.duckCosineCte}
+         |SELECT query_id AS vec_a, vec_id AS vec_b, round(cos, 6) AS cos
+         |FROM cosines
+         |WHERE round(cos, 6) >= $NEAR_DUP_COS
+         |ORDER BY vec_a, vec_b""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val fixed = Tables.embeddings(spark, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+          .as("e")).as[(Long, Array[Long])]
+      val corpus = spark.sparkContext.broadcast(
+        fixed.collect().sortBy(_._1).map { case (id, e) =>
+          // long accumulation: exact like the oracle's CAST(SUM(e*e) AS DOUBLE)
+          (id, e, math.sqrt(e.map(x => x * x).sum.toDouble))
+        })
+      fixed.mapPartitions { it =>
+        val c = corpus.value
+        it.flatMap { case (ida, ea) =>
+          val na = math.sqrt(ea.map(x => x * x).sum.toDouble)
+          c.iterator.filter(_._1 > ida).flatMap { case (idb, eb, nb) =>
+            var dot = 0L
+            var i = 0
+            while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
+            val cos = BigDecimal(dot.toDouble / (na * nb))
+              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+            if (cos >= NEAR_DUP_COS) Some((ida, idb, cos)) else None
+          }
+        }
+      }.toDF("vec_a", "vec_b", "cos")
+        .orderBy("vec_a", "vec_b")
+    },
+
+    // ---- linear-kernel MMD² between label groups (my_utils.py:37-68) ----
+    // MMD²_linear(A, B) = ||mean(A) − mean(B)||² — the two-sample
+    // distance the reference computes with an RBF kernel; fixed-point
+    // sums make it exactly reproducible.
+    "q_mmd_linear" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte},
+         |label_sums AS (
+         |  SELECT label, i, CAST(SUM(e) AS BIGINT) AS s, COUNT(*) AS n
+         |  FROM elems GROUP BY label, i
+         |)
+         |SELECT a.label AS label_a, b.label AS label_b,
+         |  round(SUM((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
+         |          * (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n))
+         |        / 100000000000000.0, 9) AS mmd2
+         |FROM label_sums a JOIN label_sums b
+         |  ON a.i = b.i AND a.label < b.label
+         |GROUP BY a.label, b.label
+         |ORDER BY label_a, label_b""".stripMargin) { (spark, d) =>
+      val sums = VectorOps.elems(spark, d)
+        .groupBy("label", "i")
+        .agg(sum(col("e")).as("s"), count(lit(1)).as("n"))
+      sums.as("a")
+        .join(sums.as("b"),
+          col("a.i") === col("b.i") && col("a.label") < col("b.label"))
+        .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
+        .agg {
+          val diff = col("a.s").cast("double") / col("a.n") -
+            col("b.s").cast("double") / col("b.n")
+          round(sum(diff * diff) / 1e14, 9).as("mmd2")
+        }
+        .orderBy("label_a", "label_b")
+    })
+}

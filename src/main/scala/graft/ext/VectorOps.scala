@@ -1,0 +1,87 @@
+package graft.ext
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shared embedding-vector primitives: fixed-point element rows and L2
+  * norms over `embeddings.embedding` (Array[Float], dim 64).
+  *
+  * Floats are fixed-pointed (`round(x * 1e7)` as BIGINT, the QueryDef
+  * parity rule) so dot products are integer-exact and order-independent
+  * in both engines; only the final norm/cosine divisions touch floating
+  * point (sqrt and / are exactly-rounded IEEE ops — deterministic).
+  *
+  * 100 TB: the element table is (n_vecs × dim) narrow rows partitioned by
+  * vec_id — dot products become a hash join on the dimension index plus a
+  * map-side partial sum, the standard distributed formulation. Norms are
+  * one hash-aggregate.
+  */
+object VectorOps {
+
+  val DIM = 64
+  val SCALE = 1e7
+
+  /** (vec_id, label, i (1-based), e) fixed-point element rows. */
+  def elems(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        posexplode(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))"))
+          .as(Seq("i0", "e")))
+      .select(col("vec_id"), col("label"), (col("i0") + 1).as("i"), col("e"))
+
+  val duckElemsCte: String =
+    """elems AS (
+      |  SELECT vec_id, label,
+      |         generate_subscripts(embedding, 1) AS i,
+      |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS e
+      |  FROM embeddings
+      |)""".stripMargin
+
+  /** (vec_id, nrm) — L2 norm of the fixed-point vector, as DOUBLE. */
+  def norms(spark: SparkSession, sfDir: String): DataFrame =
+    elems(spark, sfDir)
+      .groupBy("vec_id")
+      .agg(sqrt(sum(col("e") * col("e")).cast("double")).as("nrm"))
+
+  val duckNormsCte: String =
+    """norms AS (
+      |  SELECT vec_id, sqrt(CAST(SUM(e * e) AS DOUBLE)) AS nrm
+      |  FROM elems GROUP BY vec_id
+      |)""".stripMargin
+
+  /** Exact cosine for the (query_id, vec_id) pairs in `pairs`: the
+    * distributed dot product — join both element sets on the dimension
+    * index, partial-sum map-side, one shuffle on the pair key.
+    */
+  def cosine(spark: SparkSession, sfDir: String, pairs: DataFrame): DataFrame = {
+    val el = elems(spark, sfDir)
+    val nr = norms(spark, sfDir)
+    pairs
+      .join(el.select(col("vec_id").as("query_id"), col("i"), col("e").as("qe")), "query_id")
+      .join(el.select(col("vec_id"), col("i"), col("e").as("ce")), Seq("vec_id", "i"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qe") * col("ce")).as("dot"))
+      .join(nr.select(col("vec_id").as("query_id"), col("nrm").as("qn")), "query_id")
+      .join(nr, "vec_id")
+      .select(col("query_id"), col("vec_id"),
+        (col("dot").cast("double") / (col("qn") * col("nrm"))).as("cos"))
+  }
+
+  /** DuckDB mirror of [[cosine]] over a `pairs(query_id, vec_id)` CTE. */
+  val duckCosineCte: String =
+    """dots AS (
+      |  SELECT p.query_id, p.vec_id, CAST(SUM(q.e * c.e) AS BIGINT) AS dot
+      |  FROM pairs p
+      |  JOIN elems q ON q.vec_id = p.query_id
+      |  JOIN elems c ON c.vec_id = p.vec_id AND c.i = q.i
+      |  GROUP BY p.query_id, p.vec_id
+      |), cosines AS (
+      |  SELECT d.query_id, d.vec_id,
+      |         CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
+      |  FROM dots d
+      |  JOIN norms nq ON nq.vec_id = d.query_id
+      |  JOIN norms nc ON nc.vec_id = d.vec_id
+      |)""".stripMargin
+}
