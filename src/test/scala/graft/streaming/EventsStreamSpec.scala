@@ -1,0 +1,75 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+/** Streaming plans produce the same results as their batch twins, and the
+  * custom sessionizer carries state across triggers.
+  */
+class EventsStreamSpec extends SparkSpec {
+
+  private def ts(minute: Int) = java.sql.Timestamp.valueOf(
+    f"2026-01-01 ${10 + minute / 60}%02d:${minute % 60}%02d:00")
+
+  test("streaming tumbling aggregate equals the batch plan") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      (1L, ts(0), "click", 1.0), (2L, ts(10), "click", 2.0),
+      (3L, ts(70), "view", 3.0), (4L, ts(80), "click", 4.0))
+    val stream = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val sdf = stream.toDF().toDF("event_id", "ts", "event_type", "value")
+      .withColumn("user_id", col("event_id"))
+    val q = EventsStream.runToMemory(
+      EventsStream.tumblingCounts(sdf), "tumb", OutputMode.Complete())
+    stream.addData(rows)
+    q.processAllAvailable()
+    q.stop()
+    val streamed = spark.table("tumb")
+      .select("win_start", "event_type", "n", "sum_value").collect().toSet
+    val batch = EventsStream.tumblingCounts(
+      rows.toDF("event_id", "ts", "event_type", "value")
+        .withColumn("user_id", col("event_id")))
+      .collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+  }
+
+  test("session windows split on the 30-minute gap") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val sdf = stream.toDF().toDF("user_id", "ts", "value")
+    val q = EventsStream.runToMemory(
+      EventsStream.sessionCounts(sdf), "sess", OutputMode.Complete())
+    // user 7: events at t0, t10 (one session), then t60 (a second one)
+    stream.addData(Seq((7L, ts(0), 1.0), (7L, ts(10), 1.0), (7L, ts(60), 1.0)))
+    q.processAllAvailable()
+    q.stop()
+    val sess = spark.table("sess").orderBy("sess_start").collect()
+    assert(sess.length == 2)
+    assert(sess(0).getAs[Long]("n_events") == 2)
+    assert(sess(1).getAs[Long]("n_events") == 1)
+  }
+
+  test("mapGroupsWithState sessionizer carries closed-session count across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventsStream.Ev]
+    val q = EventsStream.sessionize(stream.toDS())
+      .writeStream.format("memory").queryName("mgws").outputMode("update").start()
+    val min = 60L * 1000000L
+    stream.addData(EventsStream.Ev(1L, 0L), EventsStream.Ev(1L, 5 * min))
+    q.processAllAvailable()
+    // 40 min later: same session (gap 35 min > 30? yes 35 > 30 -> new session)
+    stream.addData(EventsStream.Ev(1L, 40 * min))
+    q.processAllAvailable()
+    q.stop()
+    val updates = spark.table("mgws").as[EventsStream.SessUpdate].collect()
+      .sortBy(_.sess_start_us)
+    assert(updates.length == 2)
+    assert(updates(0) == EventsStream.SessUpdate(1L, 0L, 2L, 0L))
+    assert(updates(1) == EventsStream.SessUpdate(1L, 40 * min, 1L, 1L))
+  }
+}
