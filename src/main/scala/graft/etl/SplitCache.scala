@@ -1,0 +1,41 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Write-once parquet memoization — the engine's version of the
+  * reference's split cache (S2, Dataset_CDAE.py:91-145: compute splits +
+  * negatives once, pickle them, reload on every later run).
+  *
+  * Because every derived relation here is deterministic (seeded h60
+  * order), recompute ≡ cache: `mode("ignore")` writes only if the path is
+  * absent, so concurrent/repeated pipelines converge on identical bytes.
+  *
+  * 100 TB: this is the pattern for all expensive derived tables —
+  * materialize once behind a content-addressed path, let every downstream
+  * job scan parquet instead of recomputing the pipeline.
+  */
+object SplitCache {
+
+  /** Materialize `df` at `path` unless already present; return a scan of
+    * the materialized table (never the in-memory plan, so downstream
+    * consumers get identical data regardless of who wrote it).
+    */
+  def writeOnce(spark: SparkSession, df: => DataFrame, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    // existence check BEFORE touching df: a cache hit must not even build
+    // the recompute plan (mirrors the reference's `if exists: load` gate,
+    // Dataset_CDAE.py:92-93); mode("ignore") still guards the race.
+    if (!fs.exists(p)) df.write.mode("ignore").parquet(path)
+    spark.read.parquet(path)
+  }
+
+  /** The reference's six cached relations in one call: splits, negatives
+    * and train for a scale dir, memoized under `cacheDir`.
+    */
+  def cachedPipeline(spark: SparkSession, sfDir: String, cacheDir: String)
+      : (DataFrame, DataFrame, DataFrame) = (
+    writeOnce(spark, Splits.leaveTwoOut(spark, sfDir), s"$cacheDir/splits"),
+    writeOnce(spark, Splits.negativeSampleScalable(spark, sfDir), s"$cacheDir/negatives"),
+    writeOnce(spark, Splits.trainSubsample(spark, sfDir), s"$cacheDir/train"))
+}

@@ -223,10 +223,16 @@ object Splits {
       draws: Int = 160): DataFrame =
     negativeSampleScalableFrom(Interactions(spark, sfDir), draws)
 
-  /** [[negativeSampleScalable]] over an explicit interactions relation. */
-  def negativeSampleScalableFrom(inter: DataFrame, draws: Int = 160): DataFrame = {
+  /** [[negativeSampleScalable]] over an explicit interactions relation.
+    * `userFilter` restricts the SAMPLED users only — the item catalog and
+    * positives stay global, so each user's draws are identical whether or
+    * not other users are sampled (what lets callers slice users without
+    * changing per-user results).
+    */
+  def negativeSampleScalableFrom(inter: DataFrame, draws: Int = 160,
+      userFilter: Column = lit(true)): DataFrame = {
     import inter.sparkSession.implicits._
-    userPositives(inter, lit(true))
+    userPositives(inter, userFilter)
       .select("user_id", "domain", "pos", "items_arr").as[NegIn]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
@@ -281,15 +287,20 @@ object Splits {
   /** Candidate assembly (my_utils.py:132-133): the 99 negatives plus the
     * planted held-out positive, per (user, domain).
     */
-  def candidates(spark: SparkSession, sfDir: String): DataFrame =
+  def candidates(spark: SparkSession, sfDir: String,
+      userFilter: Column = lit(true)): DataFrame =
     candidatesFrom(Interactions(spark, sfDir),
-      leaveTwoOut(spark, sfDir))
+      leaveTwoOut(spark, sfDir), userFilter)
 
-  /** [[candidates]] over explicit relations. */
-  def candidatesFrom(inter: DataFrame, splits: DataFrame): DataFrame = {
-    val negs = negativeSampleScalableFrom(inter)
+  /** [[candidates]] over explicit relations; `userFilter` slices users
+    * without changing any user's candidate set (see
+    * [[negativeSampleScalableFrom]]).
+    */
+  def candidatesFrom(inter: DataFrame, splits: DataFrame,
+      userFilter: Column = lit(true)): DataFrame = {
+    val negs = negativeSampleScalableFrom(inter, 160, userFilter)
       .select(col("user_id"), col("domain"), col("item_id"), lit(0).as("is_positive"))
-    val pos = splits
+    val pos = splits.filter(userFilter)
       .select(col("user_id"), col("domain"), col("test_item").as("item_id"),
         lit(1).as("is_positive"))
     negs.unionAll(pos)

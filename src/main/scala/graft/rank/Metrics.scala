@@ -62,8 +62,9 @@ object Metrics {
   /** Scored candidates: the full E3 pipeline (splits → negatives →
     * candidates → score).
     */
-  def scoredCandidates(spark: SparkSession, sfDir: String): DataFrame =
-    Splits.candidates(spark, sfDir)
+  def scoredCandidates(spark: SparkSession, sfDir: String,
+      userFilter: org.apache.spark.sql.Column = lit(true)): DataFrame =
+    Splits.candidates(spark, sfDir, userFilter)
       .select(col("user_id"), col("domain"), col("item_id"), col("is_positive"),
         syntheticScore)
 
@@ -116,8 +117,10 @@ object Metrics {
          |ORDER BY user_id, domain, rn""".stripMargin) { (spark, d) =>
       val w = Window.partitionBy("user_id", "domain")
         .orderBy(col("score").desc, col("item_id"))
-      scoredCandidates(spark, d)
-        .filter(col("user_id") % 20 === 0)
+      // the user slice is pushed into the sampler by construction — a
+      // post-hoc filter would sit above the mapPartitions barrier and
+      // compute every user's candidates first (measured 9.5s vs ~2s)
+      scoredCandidates(spark, d, col("user_id") % 20 === 0)
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") <= 5)
         .select("user_id", "domain", "item_id", "score", "rn")

@@ -121,6 +121,36 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // ---- best-metric argmax selection (A7, main_my.py:302-320): the
+    //      reference keeps the FIRST epoch that strictly improves each
+    //      metric; row_number with (metric DESC, epoch ASC) reproduces
+    //      that keep-first tie-break deterministically ----
+    "q_best_epoch" -> QueryDef(
+      """WITH series AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(round(SUM(CAST(value AS DECIMAL(18,3))), 2) AS DOUBLE) AS metric
+        |  FROM events GROUP BY 1, 2
+        |)
+        |SELECT event_type, day AS best_day, metric AS best_metric FROM (
+        |  SELECT event_type, day, metric,
+        |    row_number() OVER (PARTITION BY event_type
+        |      ORDER BY metric DESC, day) AS rn
+        |  FROM series)
+        |WHERE rn = 1
+        |ORDER BY event_type""".stripMargin) { (spark, d) =>
+      import org.apache.spark.sql.expressions.Window
+      val series = Tables.events(spark, d)
+        .groupBy(col("event_type"), to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg(round(sum(col("value").cast(M)), 2).cast("double").as("metric"))
+      series
+        .withColumn("rn", row_number().over(Window.partitionBy("event_type")
+          .orderBy(col("metric").desc, col("day"))))
+        .filter(col("rn") === 1)
+        .select(col("event_type"), col("day").as("best_day"),
+          col("metric").as("best_metric"))
+        .orderBy("event_type")
+    },
+
     // ---- lag/lead analytics: inter-event gap distribution per event type ----
     "q_events_gaps" -> QueryDef(
       """WITH g AS (
