@@ -105,6 +105,35 @@ object Metrics {
       rankingMetrics(scoredCandidates(spark, d), Seq(5, 10))
     },
 
+    // ---- same top-K via the typed bounded Aggregator (§4.3): O(K)
+    //      per-group state + map-side combine; must equal the window
+    //      formulation bit-for-bit (same oracle SQL) ----
+    "q_rank_topk_agg" -> QueryDef(
+      s"""$duckPipelinePrefix
+         |SELECT user_id, domain, item_id, score, rn FROM (
+         |  SELECT user_id, domain, item_id, score,
+         |    row_number() OVER (PARTITION BY user_id, domain
+         |      ORDER BY score DESC, item_id) AS rn
+         |  FROM scored WHERE user_id % 20 = 0)
+         |WHERE rn <= 5
+         |ORDER BY user_id, domain, rn""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val topK = new TopKAggregator(5).toColumn
+      scoredCandidates(spark, d, col("user_id") % 20 === 0)
+        .select(col("user_id"), col("domain"), col("score"), col("item_id"))
+        .as[(Long, String, Long, Long)]
+        .groupByKey { case (u, dom, _, _) => (u, dom) }
+        .mapValues { case (_, _, s, i) => ScoredItem(s, i) }
+        .agg(topK.name("top"))
+        .flatMap { case ((u, dom), top) =>
+          top.iterator.zipWithIndex.map { case (si, i) =>
+            (u, dom, si.item_id, si.score, i + 1)
+          }
+        }
+        .toDF("user_id", "domain", "item_id", "score", "rn")
+        .orderBy("user_id", "domain", "rn")
+    },
+
     // ---- per-user top-K gather (W1) on the bounded user slice ----
     "q_rank_topk" -> QueryDef(
       s"""$duckPipelinePrefix

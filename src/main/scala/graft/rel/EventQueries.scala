@@ -121,6 +121,28 @@ object EventQueries {
         .orderBy("user_id")
     },
 
+    // ---- REAL Structured Streaming execution, oracle-verified: the
+    //      watermarked tumbling aggregate runs as a streaming job
+    //      (file source → stateful agg → memory sink, AvailableNow) and
+    //      must produce the exact batch/DuckDB result ----
+    "q_events_stream" -> QueryDef(
+      """SELECT date_trunc('hour', ts) AS win_start, event_type,
+        |  COUNT(*) AS n,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY 1, 2
+        |ORDER BY 1, 2""".stripMargin) { (spark, d) =>
+      val agg = graft.streaming.EventsStream.readEventsStream(spark, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(M)), 2).cast("double").as("sum_value"))
+        .select(col("w.start").as("win_start"), col("event_type"), col("n"),
+          col("sum_value"))
+      graft.streaming.EventsStream.runBounded(agg, "q_events_stream_sink")
+        .orderBy("win_start", "event_type")
+    },
+
     // ---- best-metric argmax selection (A7, main_my.py:302-320): the
     //      reference keeps the FIRST epoch that strictly improves each
     //      metric; row_number with (metric DESC, epoch ASC) reproduces

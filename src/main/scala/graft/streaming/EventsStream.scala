@@ -30,10 +30,31 @@ object EventsStream {
   /** Streaming scan of the events directory — the streaming twin of
     * Tables.events (same nanos→micros conversion).
     */
-  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame =
+  def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // the driver ships events as a single parquet FILE; the streaming
+    // file source wants a directory, so scan sfDir with a glob filter
     spark.readStream.schema(rawSchema)
-      .parquet(s"$sfDir/events.parquet")
+      .option("pathGlobFilter", "events.parquet")
+      .parquet(sfDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Execute a streaming aggregation over the bounded events source with
+    * Trigger.AvailableNow and return the final result — a real streaming
+    * run (file source → watermarked stateful agg → sink) whose output is
+    * bit-comparable to the batch plan, which is how the driver's DuckDB
+    * oracle verifies it (q_events_stream).
+    */
+  def runBounded(agg: DataFrame, name: String): DataFrame = {
+    val spark = agg.sparkSession
+    val q = agg.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Complete())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    spark.table(name)
+  }
 
   /** Tumbling 1-hour event-time aggregate; watermark bounds state. */
   def tumblingCounts(events: DataFrame, watermark: String = "2 hours"): DataFrame =
