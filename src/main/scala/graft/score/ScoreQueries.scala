@@ -88,16 +88,19 @@ object ScoreQueries {
         |FROM fx f JOIN fx g ON g.vec_id = f.vec_id AND g.i = f.n + 1 - f.i
         |GROUP BY f.vec_id
         |ORDER BY f.vec_id""".stripMargin) { (spark, d) =>
+      // fixed_dot is the engine's native codegen'd expression
+      // (graft.functions.FixedDot) — the interpreted HOF chain
+      // aggregate(zip_with(...)) is what it replaces
+      graft.functions.FixedDot.ensureRegistered(spark)
       Tables.embeddings(spark, d)
         .withColumn("fx", expr(
           "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))"))
         .select(
           col("vec_id"),
           (expr("aggregate(fx, 0L, (a, x) -> a + abs(x))") / 10000000.0).as("l1"),
-          round(sqrt(expr("aggregate(fx, 0L, (a, x) -> a + x * x)").cast("double")
+          round(sqrt(expr("fixed_dot(fx, fx)").cast("double")
             / 100000000000000.0), 6).as("l2"),
-          (expr("aggregate(zip_with(fx, reverse(fx), (a, b) -> a * b), 0L, (a, x) -> a + x)")
-            / 100000000000000.0).as("dot_rev"))
+          (expr("fixed_dot(fx, reverse(fx))") / 100000000000000.0).as("dot_rev"))
         .orderBy("vec_id")
     })
 }
