@@ -148,6 +148,57 @@ object StarQueries {
         .orderBy(col("returnflag"), col("linestatus"))
     },
 
+    // ---- CUBE grouping sets over two independent dimensions ----
+    "q_cube" -> QueryDef(
+      """SELECT coalesce(l_returnflag, 'ALL') AS returnflag,
+        |       coalesce(CAST(CAST(year(l_shipdate) AS INT) AS VARCHAR), 'ALL') AS yr,
+        |       COUNT(*) AS n,
+        |       CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_price
+        |FROM lineitem
+        |GROUP BY CUBE(l_returnflag, CAST(year(l_shipdate) AS INT))
+        |ORDER BY returnflag, yr""".stripMargin) { (spark, d) =>
+      Tables.lineitem(spark, d)
+        .cube(col("l_returnflag"), year(col("l_shipdate")).cast("int").as("y"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(dec(col("l_extendedprice"))), 2).cast("double").as("sum_price"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+          coalesce(col("y").cast("string"), lit("ALL")).as("yr"),
+          col("n"), col("sum_price"))
+        .orderBy("returnflag", "yr")
+    },
+
+    // ---- window frames: 7-day trailing average over the daily series ----
+    "q_rolling_avg" -> QueryDef(
+      """WITH daily AS (
+        |  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS day,
+        |    CAST(round(SUM(CAST(o_totalprice AS DECIMAL(18,3))), 2) AS DOUBLE) AS total
+        |  FROM orders GROUP BY 1
+        |)
+        |SELECT day, total,
+        |  round(CAST(SUM(CAST(total AS DECIMAL(18,2))) OVER w AS DOUBLE)
+        |        / (COUNT(*) OVER w), 4) AS avg7,
+        |  COUNT(*) OVER w AS n7
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin) { (spark, d) =>
+      import org.apache.spark.sql.expressions.Window
+      import org.apache.spark.sql.types.{DecimalType => DT}
+      val daily = Tables.orders(spark, d)
+        .groupBy(to_date(date_trunc("day", col("o_orderdate"))).as("day"))
+        .agg(round(sum(dec(col("o_totalprice"))), 2).cast("double").as("total"))
+      val w = Window.orderBy("day").rowsBetween(-6, Window.currentRow)
+      // the trailing sum runs in DECIMAL (exact, association-free) and is
+      // divided as DOUBLE at the end — windowed FP aggregation order is
+      // engine-internal (segment trees vs recompute) and must not leak
+      daily
+        .select(col("day"), col("total"),
+          round(sum(col("total").cast(DT(18, 2))).over(w).cast("double")
+            / count(lit(1)).over(w), 4).as("avg7"),
+          count(lit(1)).over(w).as("n7"))
+        .orderBy("day")
+    },
+
     // ---- set operations: semi/anti join + intersect as counts ----
     "q_set_ops" -> QueryDef(
       """SELECT 'parts_ordered' AS tag,
