@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Physical-plan regression tests: the properties that make these plans
+  * scale (scan pruning, predicate pushdown, broadcast join selection,
+  * whole-stage codegen) are asserted, not assumed — a refactor that
+  * silently drops one fails here, not at 100 TB.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String =
+    SparkEntry.defs(name).build(spark, sf())
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q1: shipdate predicate and column pruning reach the parquet scan") {
+    val p = plan("q1_pricing_summary")
+    assert(p.contains("LessThanOrEqual(l_shipdate"), "filter not pushed to scan")
+    val readSchema = p.linesIterator.filter(_.contains("ReadSchema")).mkString
+    assert(!readSchema.contains("l_orderkey"), "unused columns must be pruned from the scan")
+  }
+
+  test("q3: filtered dims broadcast; fact join keeps pushdown") {
+    val p = plan("q3_shipping_priority")
+    assert(p.contains("BroadcastHashJoin"), "filtered customer side must broadcast")
+    assert(p.contains("EqualTo(c_mktsegment,BUILDING)"), "dim filter not pushed")
+    assert(p.contains("GreaterThan(l_shipdate"), "fact filter not pushed")
+  }
+
+  test("q5: all three dimension tables broadcast") {
+    val p = plan("q5_region_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size >= 3)
+  }
+
+  test("events JSON query reads only the needed columns") {
+    val p = plan("q_events_json")
+    assert(p.contains("ReadSchema: struct<event_type:string,value:double,props:string>"),
+      s"events scan should read 3 columns, got:\n${p.linesIterator.filter(_.contains("ReadSchema")).mkString("\n")}")
+  }
+
+  test("text queries prune the documents scan to doc_id+text") {
+    val p = plan("q_text_tokens")
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"))
+  }
+
+  test("scalable sampler plans exactly one row-shuffle before sampling") {
+    val p = plan("q_neg_sample_scalable")
+    // exchanges: the userPositives hash aggregate + the final sort/agg
+    // pair — the r1 formulation had 4 shuffles of drawn rows in between
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges <= 3, s"sampler shuffle count regressed: $exchanges\n")
+    assert(p.contains("MapPartitions"), "imperative sampler stage missing")
+  }
+
+  test("global top-k uses TakeOrderedAndProject, not a full sort") {
+    val p = plan("q2_top_orders")
+    assert(p.contains("TakeOrderedAndProject"))
+  }
+}
