@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale amplifier: writes an N× copy of a test-data dir by
+  * unioning key-offset replicas — used to measure operator scaling beyond
+  * the largest shipped scale factor (the 100 TB design question: which
+  * plans grow linearly?). Keys are offset so entity counts scale too
+  * (users, items, docs, vectors — not just row counts).
+  *
+  *   sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10"
+  */
+object ScaleGen {
+  def main(args: Array[String]): Unit = {
+    val Array(src, dst, nStr) = args.take(3)
+    val n = nStr.toInt
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val OFF = 10000000L
+    // mirror the driver layout: each table is a single FILE named
+    // <table>.parquet (the streaming source's glob filter depends on it)
+    def writeSingle(df: DataFrame, name: String): Unit = {
+      val tmp = s"$dst/_tmp_$name"
+      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      val fs = new java.io.File(tmp)
+      val part = fs.listFiles().find(_.getName.endsWith(".parquet")).get
+      val target = new java.io.File(s"$dst/$name.parquet")
+      target.delete()
+      java.nio.file.Files.move(part.toPath, target.toPath)
+      fs.listFiles().foreach(_.delete()); fs.delete()
+    }
+    def rep(name: String)(shift: (DataFrame, Long) => DataFrame): Unit = {
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      val out = (0 until n).map(i => shift(base, i * OFF)).reduce(_ unionAll _)
+      writeSingle(out, name)
+      println(s"scaled $name -> ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+    def copy(name: String): Unit = { // dims keep their keyspace
+      val base = spark.read.parquet(s"$src/$name.parquet")
+      writeSingle(base, name)
+      println(s"copied $name -> ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    def off(c: String, k: Long) = col(c) + k
+    copy("region")
+    copy("nation")
+    copy("supplier")
+    rep("customer") { (df, k) => df.withColumn("c_custkey", off("c_custkey", k)) }
+    rep("part") { (df, k) => df.withColumn("p_partkey", off("p_partkey", k)) }
+    rep("orders") { (df, k) =>
+      df.withColumn("o_orderkey", off("o_orderkey", k))
+        .withColumn("o_custkey", off("o_custkey", k))
+    }
+    rep("lineitem") { (df, k) =>
+      df.withColumn("l_orderkey", off("l_orderkey", k))
+        .withColumn("l_partkey", off("l_partkey", k))
+    }
+    rep("events") { (df, k) =>
+      df.withColumn("event_id", off("event_id", k))
+        .withColumn("user_id", off("user_id", k))
+    }
+    rep("documents") { (df, k) => df.withColumn("doc_id", off("doc_id", k)) }
+    rep("embeddings") { (df, k) => df.withColumn("vec_id", off("vec_id", k)) }
+    spark.stop()
+  }
+}

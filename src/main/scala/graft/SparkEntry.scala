@@ -18,7 +18,8 @@ object SparkEntry {
     ext.TextQueries.defs,
     ext.DedupQueries.defs,
     ext.SimilarityQueries.defs,
-    ext.Multimodal.defs)
+    ext.Multimodal.defs,
+    ext.MmdRbf.defs)
 
   val defs: Map[String, QueryDef] = {
     val merged = modules.reduce(_ ++ _)

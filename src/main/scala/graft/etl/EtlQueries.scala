@@ -1,7 +1,6 @@
 package graft.etl
 
 import graft.{Hashing, QueryDef}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked query surface for the ETL pipeline operators
@@ -36,8 +35,11 @@ object EtlQueries {
          |UNION ALL
          |SELECT 'item', domain, item_id, dense_id FROM dense_items
          |ORDER BY kind, domain, raw_id""".stripMargin) { (spark, d) =>
-      val users = Interactions(spark, d).select("user_id").distinct()
-        .withColumn("dense_id", row_number().over(Window.orderBy("user_id")) - 1)
+      // global user ranking via DenseRank.zipIndex — a row_number() window
+      // with no PARTITION BY is a one-task bottleneck at 10⁹ users
+      val users = DenseRank.zipIndex(
+        Interactions(spark, d).select("user_id").distinct(),
+        Seq("user_id"), "dense_id")
         .select(lit("user").as("kind"), lit("*").as("domain"),
           col("user_id").as("raw_id"), col("dense_id"))
       val items = Interactions.denseItems(spark, d)

@@ -44,6 +44,11 @@ object Interactions {
     * (`dense_rank()-1` ordered by raw id) — the id-contiguity invariant the
     * reference merely *assumes* (main_my.py:81-92), produced here as an
     * explicit operator (SURVEY.md §1.3).
+    *
+    * Scale note: the window partitions per domain, so parallelism equals
+    * the domain count — acceptable because item catalogs are bounded
+    * (~10⁶ even at web scale). The UNBOUNDED axis (users) is ranked with
+    * [[DenseRank.zipIndex]] instead (see q_id_densify).
     */
   def denseItems(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window

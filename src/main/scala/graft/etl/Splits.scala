@@ -115,29 +115,31 @@ object Splits {
        |  WHERE rn <= floor($pct * n_train + 0.5)
        |)""".stripMargin
 
-  /** Per-(user, domain) positive-item array joined with the broadcast
-    * per-domain sorted item array — the single-shuffle base both negative
-    * samplers build on. `items_arr` is index-aligned with the dense item
-    * id (element i+1 ↔ dense_id i, see [[Interactions.denseItems]]).
-    *
-    * 100 TB: one hash-partitioned aggregate on (user_id, domain) — the
-    * key the interaction log would be bucketed by — plus a broadcast of
-    * |items| longs per domain (item catalogs are ~10⁶ even at web scale:
-    * megabytes). Everything downstream is narrow per-row array math; no
-    * U×I expansion ever materializes.
+  /** Per-(user, domain) positive-item arrays — the single-shuffle base
+    * both negative samplers build on: one hash-partitioned aggregate on
+    * (user_id, domain), the key the interaction log would be bucketed by.
     */
-  private def userPositives(inter: DataFrame, userFilter: Column): DataFrame = {
-    val itemsByDomain = inter.groupBy("domain")
-      .agg(sort_array(collect_set(col("item_id"))).as("items_arr"))
+  private def userPositives(inter: DataFrame, userFilter: Column): DataFrame =
     inter.filter(userFilter)
       .groupBy("user_id", "domain")
       .agg(collect_set(col("item_id")).as("pos"))
-      .join(broadcast(itemsByDomain), "domain")
-  }
+
+  /** Per-domain sorted item catalog as an EXECUTOR BROADCAST (not a join
+    * column): element i ↔ dense_id i−1 ([[Interactions.denseItems]]).
+    *
+    * The r2-initial formulation joined the catalog onto every user row —
+    * at 10× scale that shipped and deserialized an 800 KB array per row
+    * (measured 21× bench growth for 10× data). A broadcast variable is
+    * materialized once per executor: catalogs are ~10⁶ items even at web
+    * scale (megabytes), far under broadcast limits.
+    */
+  private def itemCatalog(inter: DataFrame): Map[String, Array[Long]] =
+    inter.select("domain", "item_id").distinct().collect()
+      .groupBy(_.getString(0))
+      .map { case (d, rows) => d -> rows.map(_.getLong(1)).sorted }
 
   /** Per-(user, domain) sampler input / sampled output rows. */
-  final case class NegIn(user_id: Long, domain: String,
-      pos: Array[Long], items_arr: Array[Long])
+  final case class PosIn(user_id: Long, domain: String, pos: Array[Long])
   final case class NegOut(user_id: Long, domain: String, item_id: Long, rn: Int)
 
   /** JVM-side [[Hashing.h60]]: first 15 hex chars of md5(s) as a long —
@@ -172,13 +174,15 @@ object Splits {
   def negativeSampleExactFrom(inter: DataFrame,
       userFilter: Column = lit(true)): DataFrame = {
     import inter.sparkSession.implicits._
+    val bcItems = inter.sparkSession.sparkContext.broadcast(itemCatalog(inter))
     userPositives(inter, userFilter)
-      .select("user_id", "domain", "pos", "items_arr").as[NegIn]
+      .select("user_id", "domain", "pos").as[PosIn]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val cat = bcItems.value
         it.flatMap { r =>
           val posSet = r.pos.toSet
-          r.items_arr.iterator
+          cat(r.domain).iterator
             .filterNot(posSet.contains)
             .map(item => (h60Jvm(md, s"${r.user_id}:$item:${r.domain}:$SEED_NEG"), item))
             .toArray.sorted
@@ -210,14 +214,14 @@ object Splits {
   /** Scalable negative sampling — the 100 TB replacement for the O(U×I)
     * complement (SURVEY.md §4.3 "physical notes"): draw `draws`
     * hash-indexed candidates per (user, domain) — O(U·draws) — map the
-    * dense index to a real item id via the broadcast item array, drop
-    * collisions (array_distinct keeps first-draw order = min r) and
-    * positives, keep the first 99 by draw order. Candidate r of a user is
-    * `h60(user, r, domain, salt) mod |items(domain)|`: pure codegen'd
-    * array expressions, no U×I blow-up, and exactly ONE shuffle (the
-    * [[userPositives]] aggregate) — the r1 formulation spent 4 shuffles of
-    * the drawn rows (dedup groupBy, item join, anti join, rank window) on
-    * the same semantics.
+    * dense index to a real item id via the broadcast catalog, drop
+    * collisions (first-draw-wins = min r) and positives, keep the first
+    * 99 by draw order. Candidate r of a user is
+    * `h60(user, r, domain, salt) mod |items(domain)|`. Exactly ONE
+    * shuffle (the [[userPositives]] aggregate) and no per-row catalog
+    * copies — the r1 formulation spent 4 shuffles of the drawn rows on
+    * the same semantics, and the first r2 version shipped the catalog as
+    * a join column (O(U·|items|) bytes).
     */
   def negativeSampleScalable(spark: SparkSession, sfDir: String,
       draws: Int = 160): DataFrame =
@@ -232,12 +236,15 @@ object Splits {
   def negativeSampleScalableFrom(inter: DataFrame, draws: Int = 160,
       userFilter: Column = lit(true)): DataFrame = {
     import inter.sparkSession.implicits._
+    val bcItems = inter.sparkSession.sparkContext.broadcast(itemCatalog(inter))
     userPositives(inter, userFilter)
-      .select("user_id", "domain", "pos", "items_arr").as[NegIn]
+      .select("user_id", "domain", "pos").as[PosIn]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
+        val cat = bcItems.value
         it.flatMap { r =>
-          val n = r.items_arr.length
+          val items = cat(r.domain)
+          val n = items.length
           val posSet = r.pos.toSet
           val seen = new java.util.HashSet[Long](2 * draws)
           val out = Array.newBuilder[NegOut]
@@ -246,7 +253,7 @@ object Splits {
           while (d <= draws && rn < NUM_NEG) {
             val dense = h60Jvm(md, s"${r.user_id}:$d:${r.domain}:$SEED_NEG") % n
             if (seen.add(dense)) {
-              val item = r.items_arr(dense.toInt)
+              val item = items(dense.toInt)
               if (!posSet.contains(item)) {
                 rn += 1
                 out += NegOut(r.user_id, r.domain, item, rn)

@@ -64,6 +64,7 @@ object Multimodal {
     import spark.implicits._
     media(spark, sfDir)
       .select("doc_id", "kind", "payload").as[MediaRow]
+      .repartition(spark.sparkContext.defaultParallelism) // decode in parallel
       .mapPartitions(_.grouped(BATCH).flatMap(batch => batch.map(fakeDecode)))
       .toDF()
   }

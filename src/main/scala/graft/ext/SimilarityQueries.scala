@@ -85,15 +85,40 @@ object SimilarityQueries {
          |  FROM cosines)
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
-      val ids = Tables.embeddings(spark, d).select("vec_id")
-      val pairs = ids.filter(expr(querySlice)).select(col("vec_id").as("query_id"))
-        .crossJoin(ids)
-        .filter(col("query_id") =!= col("vec_id"))
-      VectorOps.cosine(spark, d, pairs)
-        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rn") <= TOP_K)
-        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rn"))
+      import spark.implicits._
+      // brute force against the BROADCAST corpus with a bounded top-k
+      // buffer per query — the pair-join formulation materialized
+      // |Q|·|C|·d rows (measured 80× bench growth for 10× data). The
+      // distributed-join path (VectorOps.cosine) remains the fallback
+      // for corpora beyond broadcast size.
+      val bc = VectorOps.broadcastCorpus(spark, d)
+      val ord = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+      Tables.embeddings(spark, d).select("vec_id")
+        .filter(expr(querySlice))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .as[Long]
+        .mapPartitions { it =>
+          val c = bc.value
+          it.flatMap { q =>
+            val (qe, qn) = c(q)
+            var top = Vector.empty[(Double, Long)]
+            c.foreach { case (id, (e, n)) =>
+              if (id != q) {
+                var dot = 0L
+                var i = 0
+                while (i < qe.length) { dot += qe(i) * e(i); i += 1 }
+                val cos = dot.toDouble / (qn * n)
+                if (top.lengthCompare(TOP_K) < 0 || ord.lt((cos, id), top.last))
+                  top = ((top :+ ((cos, id))).sorted(ord)).take(TOP_K)
+              }
+            }
+            top.iterator.zipWithIndex.map { case ((cos, id), i) =>
+              (q, id, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+                .toDouble, i + 1)
+            }
+          }
+        }
+        .toDF("query_id", "vec_id", "cos", "rn")
         .orderBy("query_id", "rn")
     },
 
@@ -127,7 +152,8 @@ object SimilarityQueries {
         .filter(col("a.vec_id") % 20 === 0)
         .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
         .distinct()
-      VectorOps.cosine(spark, d, pairs)
+      // exact re-rank of LSH candidates against the broadcast corpus
+      VectorOps.cosineByBroadcast(spark, d, pairs)
         .withColumn("rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= LSH_K)
@@ -163,7 +189,11 @@ object SimilarityQueries {
           // long accumulation: exact like the oracle's CAST(SUM(e*e) AS DOUBLE)
           (id, e, math.sqrt(e.map(x => x * x).sum.toDouble))
         })
-      fixed.mapPartitions { it =>
+      // single-file scans arrive as 1-2 partitions; spread the O(n²d)
+      // loop across the cluster before it runs (measured: pinned 2 cores
+      // for minutes at 20k vectors otherwise)
+      fixed.repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
         val c = corpus.value
         it.flatMap { case (ida, ea) =>
           val na = math.sqrt(ea.map(x => x * x).sum.toDouble)

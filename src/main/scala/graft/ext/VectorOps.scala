@@ -69,6 +69,46 @@ object VectorOps {
         (col("dot").cast("double") / (col("qn") * col("nrm"))).as("cos"))
   }
 
+  /** Fixed-point vectors + norms collected and broadcast: the fast path
+    * for cosine math whenever the corpus fits an executor broadcast
+    * (~10⁷ × 64 dims ≈ 5 GB ceiling; fine into the millions). Beyond
+    * that, [[cosine]]'s distributed join formulation is the fallback.
+    */
+  def broadcastCorpus(spark: SparkSession, sfDir: String)
+      : org.apache.spark.broadcast.Broadcast[Map[Long, (Array[Long], Double)]] = {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("e")).as[(Long, Array[Long])].collect()
+    spark.sparkContext.broadcast(rows.map { case (id, e) =>
+      // long accumulation: exact like the oracle's CAST(SUM(e*e) AS DOUBLE)
+      id -> (e, math.sqrt(e.map(x => x * x).sum.toDouble))
+    }.toMap)
+  }
+
+  /** Exact cosine of explicit (query_id, vec_id) pairs against the
+    * broadcast corpus — one narrow pass, no |pairs|×dim row explosion
+    * (the join formulation materialized 1.3 G rows at 20 k vectors).
+    */
+  def cosineByBroadcast(spark: SparkSession, sfDir: String,
+      pairs: DataFrame): DataFrame = {
+    import spark.implicits._
+    val bc = broadcastCorpus(spark, sfDir)
+    pairs.select(col("query_id"), col("vec_id")).as[(Long, Long)]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.map { case (q, v) =>
+          val (qe, qn) = c(q)
+          val (ve, vn) = c(v)
+          var dot = 0L
+          var i = 0
+          while (i < qe.length) { dot += qe(i) * ve(i); i += 1 }
+          (q, v, dot.toDouble / (qn * vn))
+        }
+      }.toDF("query_id", "vec_id", "cos")
+  }
+
   /** DuckDB mirror of [[cosine]] over a `pairs(query_id, vec_id)` CTE. */
   val duckCosineCte: String =
     """dots AS (
