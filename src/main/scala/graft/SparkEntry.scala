@@ -19,7 +19,8 @@ object SparkEntry {
     ext.DedupQueries.defs,
     ext.SimilarityQueries.defs,
     ext.Multimodal.defs,
-    ext.MmdRbf.defs)
+    ext.MmdRbf.defs,
+    ext.IvfQueries.defs)
 
   val defs: Map[String, QueryDef] = {
     val merged = modules.reduce(_ ++ _)
