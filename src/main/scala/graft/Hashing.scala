@@ -34,4 +34,17 @@ object Hashing {
     val joined = exprs.map(e => s"CAST(($e) AS VARCHAR)").mkString(" || ':' || ")
     s"CAST(('0x' || substr(md5($joined), 1, 15)) AS BIGINT)"
   }
+
+  /** JVM side of [[h60]] for imperative mapPartitions hot loops: first 15
+    * md5 hex chars as a long = bytes 0..6 plus the high nibble of byte 7.
+    * Caller supplies the pre-joined ':'-separated string and a reusable
+    * MessageDigest (digest() resets it).
+    */
+  def h60Jvm(md: java.security.MessageDigest, s: String): Long = {
+    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
+    (v << 4) | ((d(7) & 0xf0L) >> 4)
+  }
 }

@@ -142,22 +142,6 @@ object Splits {
   final case class PosIn(user_id: Long, domain: String, pos: Array[Long])
   final case class NegOut(user_id: Long, domain: String, item_id: Long, rn: Int)
 
-  /** JVM-side [[Hashing.h60]]: first 15 hex chars of md5(s) as a long —
-    * bit-identical to the SQL expression (md5 of UTF-8 bytes; 15 hex chars
-    * = bytes 0..6 plus the high nibble of byte 7). The samplers run this
-    * inside `mapPartitions` because Spark's higher-order array functions
-    * are interpreted (no codegen) and the optimizer re-evaluates the
-    * sampling expression in inferred join conditions — imperative per-row
-    * loops are ~10× faster here and evaluated exactly once (measured 16s →
-    * <2s at sf0.1 for the scalable sampler).
-    */
-  private def h60Jvm(md: java.security.MessageDigest, s: String): Long = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    var v = 0L
-    var i = 0
-    while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }
-    (v << 4) | ((d(7) & 0xf0L) >> 4)
-  }
 
   /** Exact negative sampling by set complement (Dataset_CDAE.py:110,123):
     * all domain items the user never touched, in seeded order, first 99.
@@ -197,7 +181,7 @@ object Splits {
           while (i < items.length) {
             val item = items(i)
             if (!posSet.contains(item)) {
-              val h = h60Jvm(md, prefix + item + suffix)
+              val h = Hashing.h60Jvm(md, prefix + item + suffix)
               if (heap.size < NUM_NEG) heap.add((h, item))
               else if (ord.lt((h, item), heap.peek)) { heap.poll(); heap.add((h, item)) }
             }
@@ -271,7 +255,7 @@ object Splits {
           var rn = 0
           var d = 1
           while (d <= draws && rn < NUM_NEG) {
-            val dense = h60Jvm(md, s"${r.user_id}:$d:${r.domain}:$SEED_NEG") % n
+            val dense = Hashing.h60Jvm(md, s"${r.user_id}:$d:${r.domain}:$SEED_NEG") % n
             if (seen.add(dense)) {
               val item = items(dense.toInt)
               if (!posSet.contains(item)) {
