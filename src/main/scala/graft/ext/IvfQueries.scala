@@ -80,35 +80,52 @@ object IvfQueries {
          |  FROM cosines)
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
-      val el = VectorOps.elems(spark, d).select("vec_id", "i", "e")
+      import spark.implicits._
+      // Centroid training runs on the broadcast corpus (real IVF trains
+      // on a sample exactly like this at any scale); assignment, probing
+      // and re-rank — the data-scale passes — stay distributed. All
+      // arithmetic matches the oracle SQL bit-for-bit: integer distances,
+      // double division + HALF_UP for the refined centroids.
+      val bc = VectorOps.broadcastCorpus(spark, d)
+      val corpus = bc.value
+      val dim = corpus.head._2._1.length
 
-      val seedIds = Tables.embeddings(spark, d).select("vec_id")
-        .orderBy("vec_id").limit(K)
-        .withColumn("cent_id", row_number().over(Window.orderBy("vec_id")))
-      val cent0 = el.join(broadcast(seedIds), "vec_id")
-        .select(col("cent_id"), col("i"), col("e").as("c"))
+      def d2(e: Array[Long], c: Array[Long]): Long = {
+        var s = 0L
+        var i = 0
+        while (i < e.length) { val x = e(i) - c(i); s += x * x; i += 1 }
+        s
+      }
+      /** cent ids ranked by (distance, cent_id) — first `n`. */
+      def best(e: Array[Long], cents: Seq[(Int, Array[Long])], n: Int): Seq[Int] =
+        cents.map { case (id, c) => (d2(e, c), id) }.sorted.take(n).map(_._2)
 
-      def dists(cent: org.apache.spark.sql.DataFrame) = el
-        .join(broadcast(cent), "i")
-        .groupBy("vec_id", "cent_id")
-        .agg(sum((col("e") - col("c")) * (col("e") - col("c"))).as("d2"))
-      def argmin(d: org.apache.spark.sql.DataFrame) = d
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))))
-        .filter(col("rn") === 1).select("vec_id", "cent_id")
+      val seedIds = corpus.keys.toArray.sorted.take(K)
+      val cent0 = seedIds.zipWithIndex.map { case (v, k) => (k + 1, corpus(v)._1) }.toSeq
+      val cells = corpus.toSeq
+        .map { case (v, (e, _)) => (best(e, cent0, 1).head, e) }
+        .groupBy(_._1)
+      val cent1 = cells.toSeq.sortBy(_._1).map { case (k, vs) =>
+        val c = Array.tabulate(dim) { i =>
+          val s = vs.iterator.map(_._2(i)).sum
+          BigDecimal(s.toDouble / vs.length)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+        (k, c)
+      }
+      val bcCent1 = spark.sparkContext.broadcast(cent1)
 
-      val assign0 = argmin(dists(cent0))
-      val cent1 = assign0.join(el, "vec_id")
-        .groupBy("cent_id", "i")
-        .agg(round(sum(col("e")).cast("double") / count(lit(1)), 0)
-          .cast("long").as("c"))
-      val d1 = dists(cent1)
-      val assign1 = argmin(d1)
-      val probes = d1.filter(expr(querySlice))
-        .withColumn("rn", row_number().over(
-          Window.partitionBy("vec_id").orderBy(col("d2"), col("cent_id"))))
-        .filter(col("rn") <= NPROBE)
-        .select(col("vec_id").as("query_id"), col("cent_id"))
+      val ids = Tables.embeddings(spark, d).select("vec_id")
+        .repartition(spark.sparkContext.defaultParallelism).as[Long]
+      val assign1 = ids.mapPartitions { it =>
+        val c = bc.value; val cents = bcCent1.value
+        it.map(v => (v, best(c(v)._1, cents, 1).head))
+      }.toDF("vec_id", "cent_id")
+      val probes = ids.filter(expr(querySlice)).mapPartitions { it =>
+        val c = bc.value; val cents = bcCent1.value
+        it.flatMap(v => best(c(v)._1, cents, NPROBE).map(k => (v, k)))
+      }.toDF("query_id", "cent_id")
+
       val pairs = probes.join(assign1, "cent_id")
         .filter(col("vec_id") =!= col("query_id"))
         .select("query_id", "vec_id").distinct()
