@@ -17,10 +17,13 @@ import org.apache.spark.sql.functions._
   * distributed, and replayable bit-exact by the DuckDB oracle
   * (SURVEY.md §7 risk 1).
   *
-  * Every operator here is a two-stage plan: one shuffle on
-  * (user_id, domain), then window/aggregate within the partition — the
-  * partitioning a 1000-executor cluster would also bucket the interaction
-  * log on. No driver-side loops, no U×I materialization.
+  * Every operator here shuffles exactly once, on (user_id, domain) — the
+  * key a 1000-executor cluster would bucket the interaction log on. The
+  * split/subsample operators then window within the partition; the
+  * negative samplers run an imperative per-row loop against the broadcast
+  * item catalog (see SCALING.md for why: interpreted higher-order
+  * functions and catalog-as-join-column both fell over at 10× scale).
+  * No U×I materialization anywhere.
   */
 object Splits {
 

@@ -40,11 +40,21 @@ object Multimodal {
 
   final case class MediaRow(doc_id: Long, kind: String, payload: Array[Byte])
   final case class DecodedRow(doc_id: Long, kind: String, n_bytes: Int,
-      width: Int, height: Int, hist: Array[Long])
+      width: Int, height: Int, hist: Array[Long],
+      resized_w: Int, resized_h: Int, frame_samples: Array[Long])
 
-  /** Deterministic stand-in for a real codec: "dimensions" from the first
-    * header bytes, a 16-bin byte histogram as the "feature vector". A real
-    * integration replaces ONLY this function.
+  /** Target edge for the resize stub (aspect-preserving fit). */
+  val RESIZE_TO = 64
+  /** Frame-sample stride: one "frame" per 256-byte block. */
+  val FRAME_BLOCK = 256
+  val MAX_FRAMES = 8
+
+  /** Deterministic stand-in for a real codec covering the full stub
+    * surface — decode ("dimensions" from header bytes), feature-extract
+    * (16-bin byte histogram), resize (aspect-preserving fit to
+    * [[RESIZE_TO]]), frame-sample (checksum of every [[FRAME_BLOCK]]-byte
+    * block, first [[MAX_FRAMES]]). A real integration replaces ONLY this
+    * function; schema, batching and partitioning stay.
     */
   def fakeDecode(r: MediaRow): DecodedRow = {
     val b = r.payload
@@ -53,7 +63,19 @@ object Multimodal {
     val hist = new Array[Long](16)
     var i = 0
     while (i < b.length) { hist((b(i) & 0xff) % 16) += 1; i += 1 }
-    DecodedRow(r.doc_id, r.kind, b.length, w, h, hist)
+    // aspect-preserving fit: longest edge -> RESIZE_TO
+    val scale = RESIZE_TO.toDouble / math.max(w, h)
+    val (rw, rh) = (math.max(1, math.round(w * scale).toInt),
+      math.max(1, math.round(h * scale).toInt))
+    val nFrames = math.min(MAX_FRAMES, (b.length + FRAME_BLOCK - 1) / FRAME_BLOCK)
+    val frames = Array.tabulate(nFrames) { f =>
+      var s = 0L
+      var j = f * FRAME_BLOCK
+      val end = math.min(b.length, j + FRAME_BLOCK)
+      while (j < end) { s += (b(j) & 0xff); j += 1 }
+      s
+    }
+    DecodedRow(r.doc_id, r.kind, b.length, w, h, hist, rw, rh, frames)
   }
 
   /** Batched decode: partitions stream through [[fakeDecode]] in
@@ -99,7 +121,8 @@ object Multimodal {
     "q_mm_features" -> QueryDef.noOracle { (spark, d) =>
       decodeFeatures(spark, d)
         .select(col("doc_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), col("hist"))
+          col("width"), col("height"), col("hist"),
+          col("resized_w"), col("resized_h"), col("frame_samples"))
         .orderBy("doc_id")
     })
 }

@@ -91,6 +91,14 @@ class ExtSpec extends SparkSpec {
       assert(hist.length == 16)
       assert(hist.sum == r.getAs[Int]("n_bytes"))
       assert(r.getAs[Int]("width") >= 64 && r.getAs[Int]("width") < 256)
+      // resize preserves the aspect fit: longest edge == RESIZE_TO
+      assert(math.max(r.getAs[Int]("resized_w"), r.getAs[Int]("resized_h"))
+        == Multimodal.RESIZE_TO)
+      // frame checksums cover the payload in FRAME_BLOCK strides
+      val frames = r.getAs[scala.collection.Seq[Long]]("frame_samples")
+      val expFrames = math.min(Multimodal.MAX_FRAMES,
+        (r.getAs[Int]("n_bytes") + Multimodal.FRAME_BLOCK - 1) / Multimodal.FRAME_BLOCK)
+      assert(frames.length == expFrames)
     }
     // repartitioning must not change decode results (batching is per
     // partition but decode is per row)
