@@ -15,15 +15,23 @@ object Bench {
     // CacheManager substitutes the persisted plan into every query that
     // contains an identical subtree — ~10 queries rebuild it otherwise.
     if (!sys.env.contains("SPARK_GRAFT_NOCACHE")) etl.Interactions(spark, sfDir).persist()
+    var errors = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a failed query must be LOUD — a swallowed error reads as a
+          // suspiciously fast query in the timings
+          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
+          errors ::= name
+      }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
