@@ -40,8 +40,23 @@ object Hashing {
     * Caller supplies the pre-joined ':'-separated string and a reusable
     * MessageDigest (digest() resets it).
     */
-  def h60Jvm(md: java.security.MessageDigest, s: String): Long = {
-    val d = md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  def h60Jvm(md: java.security.MessageDigest, s: String): Long =
+    first60(md.digest(s.getBytes(java.nio.charset.StandardCharsets.UTF_8)))
+
+  /** [[h60Jvm]] with the constant head/tail streamed as bytes — for hot
+    * loops where only a small middle varies (avoids re-concatenating the
+    * full key per iteration). Equivalent to
+    * `h60Jvm(md, prefix + mid + suffix)` for ASCII inputs.
+    */
+  def h60JvmParts(md: java.security.MessageDigest,
+      prefix: Array[Byte], mid: String, suffix: Array[Byte]): Long = {
+    md.update(prefix)
+    md.update(mid.getBytes(java.nio.charset.StandardCharsets.US_ASCII))
+    md.update(suffix)
+    first60(md.digest())
+  }
+
+  private def first60(d: Array[Byte]): Long = {
     var v = 0L
     var i = 0
     while (i < 7) { v = (v << 8) | (d(i) & 0xffL); i += 1 }

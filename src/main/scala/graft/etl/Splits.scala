@@ -178,13 +178,14 @@ object Splits {
           r.pos.foreach(posSet.add)
           val heap = new java.util.PriorityQueue[(Long, Long)](
             NUM_NEG + 1, ord.reverse)
-          val prefix = s"${r.user_id}:"
-          val suffix = s":${r.domain}:$SEED_NEG"
+          val ascii = java.nio.charset.StandardCharsets.US_ASCII
+          val prefix = s"${r.user_id}:".getBytes(ascii)
+          val suffix = s":${r.domain}:$SEED_NEG".getBytes(ascii)
           var i = 0
           while (i < items.length) {
             val item = items(i)
             if (!posSet.contains(item)) {
-              val h = Hashing.h60Jvm(md, prefix + item + suffix)
+              val h = Hashing.h60JvmParts(md, prefix, item.toString, suffix)
               if (heap.size < NUM_NEG) heap.add((h, item))
               else if (ord.lt((h, item), heap.peek)) { heap.poll(); heap.add((h, item)) }
             }
@@ -249,8 +250,14 @@ object Splits {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         val cat = bcItems.value
+        val ascii = java.nio.charset.StandardCharsets.US_ASCII
         it.flatMap { r =>
           val items = cat(r.domain)
+          // md5 input is "<user>:<r>:<domain>:<salt>"; stream the fixed
+          // prefix/suffix into the digest instead of concatenating a
+          // fresh string per draw (the draw loop runs U×160 times)
+          val prefix = s"${r.user_id}:".getBytes(ascii)
+          val suffix = s":${r.domain}:$SEED_NEG".getBytes(ascii)
           val n = items.length
           val posSet = r.pos.toSet
           val seen = new java.util.HashSet[Long](2 * draws)
@@ -258,7 +265,7 @@ object Splits {
           var rn = 0
           var d = 1
           while (d <= draws && rn < NUM_NEG) {
-            val dense = Hashing.h60Jvm(md, s"${r.user_id}:$d:${r.domain}:$SEED_NEG") % n
+            val dense = Hashing.h60JvmParts(md, prefix, d.toString, suffix) % n
             if (seen.add(dense)) {
               val item = items(dense.toInt)
               if (!posSet.contains(item)) {
