@@ -76,6 +76,19 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("IVF ANN neighbors agree with brute-force cosine values") {
+    val bf = graft.SparkEntry.defs("q_sim_topk").build(spark, sf())
+      .select("query_id", "vec_id", "cos").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val ivf = graft.SparkEntry.defs("q_sim_ivf").build(spark, sf()).collect()
+    assert(ivf.nonEmpty)
+    ivf.foreach { r =>
+      assert(r.getAs[Int]("rn") >= 1 && r.getAs[Int]("rn") <= IvfQueries.TOP_K)
+      val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
+      bf.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
+    }
+  }
+
   test("langid confusion matrix covers every document once") {
     val rows = graft.SparkEntry.defs("q_text_langid").build(spark, sf()).collect()
     val total = rows.map(_.getAs[Long]("n")).sum
