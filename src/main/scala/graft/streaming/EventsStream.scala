@@ -98,6 +98,39 @@ object EventsStream {
       }
   }
 
+  final case class ClosedSession(user_id: Long, start_us: Long, end_us: Long,
+      n_events: Long)
+
+  /** Closed-session emission via flatMapGroupsWithState: emits one row per
+    * session the moment a later event closes it (0..n outputs per group
+    * per trigger — the shape mapGroupsWithState can't express). The live
+    * session stays in state across triggers.
+    */
+  def closedSessions(events: Dataset[Ev],
+      gapUs: Long = 1800L * 1000000L): Dataset[ClosedSession] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessState, ClosedSession](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[SessState]) =>
+          val sorted = evs.toSeq.sortBy(_.ts_us)
+          var s = state.getOption.getOrElse(SessState(-1L, -1L, 0L, 0L))
+          val closed = Seq.newBuilder[ClosedSession]
+          sorted.foreach { e =>
+            if (s.last_us >= 0 && e.ts_us - s.last_us > gapUs) {
+              closed += ClosedSession(user, s.start_us, s.last_us, s.n)
+              s = SessState(e.ts_us, e.ts_us, 1L, s.closed + 1)
+            } else if (s.last_us < 0) {
+              s = SessState(e.ts_us, e.ts_us, 1L, s.closed)
+            } else {
+              s = s.copy(last_us = e.ts_us, n = s.n + 1)
+            }
+          }
+          state.update(s)
+          closed.result().iterator
+      }
+  }
+
   /** Run a streaming aggregate into an in-memory table (dev/test sink). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()

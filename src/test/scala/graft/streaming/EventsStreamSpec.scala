@@ -53,6 +53,24 @@ class EventsStreamSpec extends SparkSpec {
     assert(sess(1).getAs[Long]("n_events") == 1)
   }
 
+  test("flatMapGroupsWithState emits sessions as they close, keeps live state") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[EventsStream.Ev]
+    val q = EventsStream.closedSessions(stream.toDS())
+      .writeStream.format("memory").queryName("fmgws").outputMode("append").start()
+    val min = 60L * 1000000L
+    // session 1: t0..t5; the t40 event closes it (gap 35 > 30)
+    stream.addData(EventsStream.Ev(9L, 0L), EventsStream.Ev(9L, 5 * min))
+    q.processAllAvailable()
+    assert(spark.table("fmgws").count() == 0) // nothing closed yet
+    stream.addData(EventsStream.Ev(9L, 40 * min))
+    q.processAllAvailable()
+    val closed = spark.table("fmgws").as[EventsStream.ClosedSession].collect()
+    q.stop()
+    assert(closed.toSeq == Seq(EventsStream.ClosedSession(9L, 0L, 5 * min, 2L)))
+  }
+
   test("mapGroupsWithState sessionizer carries closed-session count across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
