@@ -1,0 +1,73 @@
+package graft
+
+import graft.etl.{Interactions, MetricsSink, SplitCache, Splits}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The reference's flagship lifecycle (SURVEY.md §3 E1, main_my.py) as
+  * one composed engine run:
+  *
+  *   load interactions → memoized splits/negatives/train (S2) →
+  *   candidate assembly → batch scoring → HR/NDCG/MRR\@K (E3) →
+  *   append to the metrics log (S4) → keep-first best-epoch selection
+  *   over the accumulated log (A7 / S3's checkpoint-selection logic).
+  *
+  * Gradient descent is out of scope (SURVEY.md §7 risk 5) — an "epoch"
+  * here is a scoring round whose scores vary by the epoch salt exactly
+  * the way retrained weights would; everything around the training step
+  * is the reference's data path, run end to end.
+  */
+object Lifecycle {
+
+  /** One epoch: score candidates (epoch-salted), compute ranking metrics,
+    * append them to the log. Returns this epoch's metrics.
+    */
+  def runEpoch(spark: SparkSession, sfDir: String, workDir: String,
+      epoch: Int): DataFrame = {
+    val inter = Interactions(spark, sfDir)
+    val (splits, _, _) = SplitCache.cachedPipeline(spark, sfDir, s"$workDir/cache")
+    val scored = Splits.candidatesFrom(inter, splits)
+      .select(col("user_id"), col("domain"), col("item_id"), col("is_positive"),
+        (Hashing.h60(col("user_id"), col("item_id"), col("domain"),
+          lit(s"epoch$epoch")) % 1000000L).as("score"))
+    val metrics = graft.rank.Metrics.rankingMetrics(scored, Seq(5, 10))
+      .withColumn("epoch", lit(epoch))
+    MetricsSink.appendParquet(metrics, s"$workDir/metrics_log")
+    metrics
+  }
+
+  /** Keep-first best epoch per (domain, k, metric) over the accumulated
+    * log — the reference's checkpoint-selection rule (strict improvement,
+    * main_my.py:302-320).
+    */
+  def bestEpochs(spark: SparkSession, workDir: String): DataFrame = {
+    val log = MetricsSink.readParquet(spark, s"$workDir/metrics_log")
+    val metrics = Seq("hr", "ndcg", "mrr")
+    metrics.map { m =>
+      log.select(col("domain"), col("k"), lit(m).as("metric"),
+        col(m).as("value"), col("epoch"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy("domain", "k")
+            .orderBy(col("value").desc, col("epoch"))))
+        .filter(col("rn") === 1).drop("rn")
+    }.reduce(_ unionAll _)
+      .orderBy("domain", "k", "metric")
+  }
+
+  /** Dev main: run `epochs` scoring rounds and print the selection. */
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val epochs = args.lift(1).map(_.toInt).getOrElse(3)
+    val workDir = java.nio.file.Files.createTempDirectory("lifecycle").toString
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")}]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (1 to epochs).foreach(e => runEpoch(spark, sfDir, workDir, e))
+    bestEpochs(spark, workDir).show(50, false)
+    spark.stop()
+  }
+}
