@@ -27,34 +27,13 @@ object Profile {
       val n = d.count()
       println(f"==== $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
     }
-    if (names.contains("probe")) {
-      import org.apache.spark.sql.functions._
-      import graft.etl.{Interactions, Splits}
-      val inter = Interactions(spark, sfDir)
-      val itemsByDomain = inter.groupBy("domain")
-        .agg(sort_array(collect_set(col("item_id"))).as("items_arr"))
-      val upos = inter
-        .groupBy("user_id", "domain")
-        .agg(collect_set(col("item_id")).as("pos"))
-        .join(broadcast(itemsByDomain), "domain")
-      time("userPositives", upos)
-      val hL = "CAST(conv(substring(md5(concat_ws(':', CAST(user_id AS STRING), " +
-        "CAST(r AS STRING), domain, 'neg')), 1, 15), 16, 10) AS BIGINT)"
-      time("draws.md5only", upos.select(expr(
-        s"aggregate(transform(sequence(1, 160), r -> $hL), 0L, (a, x) -> a + x) AS s")))
-      time("draws.mod", upos.select(expr(
-        s"size(array_distinct(transform(sequence(1, 160), r -> $hL % size(items_arr)))) AS s")))
-      time("full.sizeonly", Splits.negativeSampleScalable(spark, sfDir)
-        .groupBy("domain").agg(count(lit(1))))
-      time("full.again", Splits.negativeSampleScalable(spark, sfDir)
-        .groupBy("domain").agg(count(lit(1))))
-    } else {
-      val picked =
-        if (names.isEmpty) SparkEntry.defs.keys.toSeq.sorted
-        else names.toSeq
-      picked.foreach { name =>
-        time(name, SparkEntry.defs(name).build(spark, sfDir))
-      }
+    val picked =
+      if (names.isEmpty) SparkEntry.defs.keys.toSeq.sorted
+      else names.toSeq
+    // repeat a name to re-time it warm (first run carries JIT/codegen;
+    // host noise here swings single measurements up to 4× — see SCALING.md)
+    picked.foreach { name =>
+      time(name, SparkEntry.defs(name).build(spark, sfDir))
     }
     spark.stop()
   }

@@ -71,6 +71,32 @@ class EventsStreamSpec extends SparkSpec {
     assert(closed.toSeq == Seq(EventsStream.ClosedSession(9L, 0L, 5 * min, 2L)))
   }
 
+  test("checkpointed file sink is exactly-once across restarts") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val base = java.nio.file.Files.createTempDirectory("eo").toString
+    val stream = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    def start() = stream.toDF().toDF("user_id", "ts", "value")
+      .writeStream.format("parquet")
+      .option("path", s"$base/out")
+      .option("checkpointLocation", s"$base/chk")
+      .outputMode("append").start()
+    val q1 = start()
+    stream.addData(Seq((1L, ts(0), 1.0), (2L, ts(1), 2.0)))
+    q1.processAllAvailable()
+    q1.stop()
+    // restart against the same checkpoint: already-committed batch must
+    // not be duplicated, only the new data lands
+    val q2 = start()
+    stream.addData(Seq((3L, ts(2), 3.0)))
+    q2.processAllAvailable()
+    q2.stop()
+    val out = spark.read.parquet(s"$base/out")
+    assert(out.count() == 3)
+    assert(out.select("user_id").collect().map(_.getLong(0)).sorted
+      .sameElements(Array(1L, 2L, 3L)))
+  }
+
   test("mapGroupsWithState sessionizer carries closed-session count across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
