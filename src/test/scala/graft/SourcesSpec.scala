@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multi-format source/sink round-trips (S6's raw-ingest surface): the
+  * engine's operators are format-agnostic — CSV and JSON ingests with an
+  * explicit schema produce the same relation as the parquet scan.
+  */
+class SourcesSpec extends SparkSpec {
+
+  private lazy val base = Tables.orders(spark, sf())
+    .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
+
+  private def checksum(df: org.apache.spark.sql.DataFrame): Long =
+    df.agg(sum(xxhash64(col("o_orderkey"), col("o_custkey"),
+      col("o_totalprice"), col("o_orderpriority")))).collect().head.getLong(0)
+
+  test("csv round-trip preserves the relation") {
+    val dir = java.nio.file.Files.createTempDirectory("srccsv").toString
+    base.write.mode("overwrite").option("header", "true").csv(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+    assert(back.count() == base.count())
+    assert(checksum(back) == checksum(base))
+  }
+
+  test("json round-trip preserves the relation") {
+    val dir = java.nio.file.Files.createTempDirectory("srcjson").toString
+    base.write.mode("overwrite").json(dir)
+    val schema = StructType(Seq(
+      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_orderpriority", StringType)))
+    val back = spark.read.schema(schema).json(dir)
+    assert(back.count() == base.count())
+    assert(checksum(back) == checksum(base))
+  }
+}
