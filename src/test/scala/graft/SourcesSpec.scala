@@ -13,8 +13,10 @@ class SourcesSpec extends SparkSpec {
     .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
 
   private def checksum(df: org.apache.spark.sql.DataFrame): Long =
-    df.agg(sum(xxhash64(col("o_orderkey"), col("o_custkey"),
-      col("o_totalprice"), col("o_orderpriority")))).collect().head.getLong(0)
+    // bit_xor: order-independent and overflow-free (ANSI mode rejects a
+    // plain SUM of 64-bit hashes)
+    df.agg(expr("bit_xor(xxhash64(o_orderkey, o_custkey, o_totalprice, " +
+      "o_orderpriority))")).collect().head.getLong(0)
 
   test("csv round-trip preserves the relation") {
     val dir = java.nio.file.Files.createTempDirectory("srccsv").toString
