@@ -48,6 +48,22 @@ object EtlQueries {
       users.unionAll(items).orderBy("kind", "domain", "raw_id")
     },
 
+    // ---- entity cardinalities, approximate mode (A1 at 100 TB:
+    //      approx_count_distinct is the sketch a cluster uses when exact
+    //      distinct is a full shuffle too far). HLL values are not
+    //      DuckDB-replayable -> rows-only; EtlApproxSpec bounds the
+    //      relative error against the exact counts ----
+    "q_approx_counts" -> QueryDef.noOracle { (spark, d) =>
+      Interactions(spark, d)
+        .groupBy("domain")
+        .agg(
+          countDistinct(col("user_id")).as("n_users_exact"),
+          approx_count_distinct(col("user_id")).as("n_users_approx"),
+          countDistinct(col("item_id")).as("n_items_exact"),
+          approx_count_distinct(col("item_id")).as("n_items_approx"))
+        .orderBy("domain")
+    },
+
     // ---- per-group collect: the dict-of-lists view itself (A2,
     //      Dataset_CDAE.py:11,28-31) ----
     "q_user_collect" -> QueryDef(

@@ -87,4 +87,15 @@ class SplitsSpec extends SparkSpec {
       assert(rows.map(_._4).sorted.sameElements(1 to rows.length)) // dense ranks
     }
   }
+
+  test("approximate cardinalities stay within HLL error of exact") {
+    val rows = graft.SparkEntry.defs("q_approx_counts").build(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      def relErr(exact: Long, approx: Long) =
+        math.abs(approx - exact).toDouble / exact
+      assert(relErr(r.getAs[Long]("n_users_exact"), r.getAs[Long]("n_users_approx")) < 0.1)
+      assert(relErr(r.getAs[Long]("n_items_exact"), r.getAs[Long]("n_items_approx")) < 0.1)
+    }
+  }
 }
