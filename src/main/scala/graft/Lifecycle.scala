@@ -25,9 +25,14 @@ object Lifecycle {
     */
   def runEpoch(spark: SparkSession, sfDir: String, workDir: String,
       epoch: Int): DataFrame = {
-    val inter = Interactions(spark, sfDir)
-    val (splits, _, _) = SplitCache.cachedPipeline(spark, sfDir, s"$workDir/cache")
-    val scored = Splits.candidatesFrom(inter, splits)
+    val (splits, negatives, _) = SplitCache.cachedPipeline(spark, sfDir, s"$workDir/cache")
+    // candidates come from the MEMOIZED negatives scan — epochs must not
+    // re-run the sampler (that is the point of the S2 cache)
+    val cands = negatives
+      .select(col("user_id"), col("domain"), col("item_id"), lit(0).as("is_positive"))
+      .unionAll(splits.select(col("user_id"), col("domain"),
+        col("test_item").as("item_id"), lit(1).as("is_positive")))
+    val scored = cands
       .select(col("user_id"), col("domain"), col("item_id"), col("is_positive"),
         (Hashing.h60(col("user_id"), col("item_id"), col("domain"),
           lit(s"epoch$epoch")) % 1000000L).as("score"))

@@ -130,7 +130,7 @@ object IvfQueries {
         .filter(col("vec_id") =!= col("query_id"))
         .select("query_id", "vec_id").distinct()
 
-      VectorOps.cosineByBroadcast(spark, d, pairs)
+      VectorOps.cosineByBroadcast(pairs, bc)
         .withColumn("rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= TOP_K)

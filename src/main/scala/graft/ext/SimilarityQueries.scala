@@ -102,8 +102,8 @@ object SimilarityQueries {
           it.flatMap { q =>
             val (qe, qn) = c(q)
             var top = Vector.empty[(Double, Long)]
-            c.foreach { case (id, (e, n)) =>
-              if (id != q) {
+            if (qn > 0.0) c.foreach { case (id, (e, n)) =>
+              if (id != q && n > 0.0) {
                 var dot = 0L
                 var i = 0
                 while (i < qe.length) { dot += qe(i) * e(i); i += 1 }
@@ -197,7 +197,8 @@ object SimilarityQueries {
         val c = corpus.value
         it.flatMap { case (ida, ea) =>
           val na = math.sqrt(ea.map(x => x * x).sum.toDouble)
-          c.iterator.filter(_._1 > ida).flatMap { case (idb, eb, nb) =>
+          c.iterator.filter(t => t._1 > ida && t._3 > 0.0 && na > 0.0)
+            .flatMap { case (idb, eb, nb) =>
             var dot = 0L
             var i = 0
             while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
@@ -211,9 +212,11 @@ object SimilarityQueries {
     },
 
     // ---- linear-kernel MMD² between label groups (my_utils.py:37-68) ----
-    // MMD²_linear(A, B) = ||mean(A) − mean(B)||² — the two-sample
-    // distance the reference computes with an RBF kernel; fixed-point
-    // sums make it exactly reproducible.
+    // MMD²_linear(A, B) = ||mean(A) − mean(B)||² = Σ_i d_i² / (nA²·nB²)
+    // with d_i = sA_i·nB − sB_i·nA. The per-dimension terms and their sum
+    // run in exact integer arithmetic (DECIMAL(38,0) here, HUGEINT in
+    // DuckDB) — a double Σ diff² would expose each engine's internal
+    // aggregation association order at 9-decimal rounding boundaries.
     "q_mmd_linear" -> QueryDef(
       s"""WITH ${VectorOps.duckElemsCte},
          |label_sums AS (
@@ -221,13 +224,15 @@ object SimilarityQueries {
          |  FROM elems GROUP BY label, i
          |)
          |SELECT a.label AS label_a, b.label AS label_b,
-         |  round(SUM((CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n)
-         |          * (CAST(a.s AS DOUBLE) / a.n - CAST(b.s AS DOUBLE) / b.n))
+         |  round(CAST(SUM((CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n)
+         |             * (CAST(a.s AS HUGEINT) * b.n - CAST(b.s AS HUGEINT) * a.n)) AS DOUBLE)
+         |        / (MIN(a.n) * MIN(a.n)) / (MIN(b.n) * MIN(b.n))
          |        / 100000000000000.0, 9) AS mmd2
          |FROM label_sums a JOIN label_sums b
          |  ON a.i = b.i AND a.label < b.label
          |GROUP BY a.label, b.label
          |ORDER BY label_a, label_b""".stripMargin) { (spark, d) =>
+      import org.apache.spark.sql.types.{DecimalType => DT}
       val sums = VectorOps.elems(spark, d)
         .groupBy("label", "i")
         .agg(sum(col("e")).as("s"), count(lit(1)).as("n"))
@@ -236,9 +241,12 @@ object SimilarityQueries {
           col("a.i") === col("b.i") && col("a.label") < col("b.label"))
         .groupBy(col("a.label").as("label_a"), col("b.label").as("label_b"))
         .agg {
-          val diff = col("a.s").cast("double") / col("a.n") -
-            col("b.s").cast("double") / col("b.n")
-          round(sum(diff * diff) / 1e14, 9).as("mmd2")
+          val d38 = col("a.s").cast(DT(38, 0)) * col("b.n") -
+            col("b.s").cast(DT(38, 0)) * col("a.n")
+          round(sum(d38 * d38).cast("double")
+            / (min(col("a.n")) * min(col("a.n")))
+            / (min(col("b.n")) * min(col("b.n")))
+            / 1e14, 9).as("mmd2")
         }
         .orderBy("label_a", "label_b")
     })

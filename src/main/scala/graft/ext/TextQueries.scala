@@ -161,6 +161,9 @@ object TextQueries {
       // narrow mapPartitions — the relational formulation exploded
       // |chars| rows through two window shuffles (34.5s → ~1s at the
       // 10× scale dir). The oracle CTE keeps the relational spelling.
+      // NOTE: positions use String (UTF-16) units, matching SQL
+      // length/substring only for BMP text; a corpus with
+      // supplementary-plane chars needs codePoint-based stepping here.
       import spark.implicits._
       Tables.documents(spark, d).select("doc_id", "text")
         .repartition(spark.sparkContext.defaultParallelism)

@@ -92,19 +92,33 @@ object VectorOps {
     * (the join formulation materialized 1.3 G rows at 20 k vectors).
     */
   def cosineByBroadcast(spark: SparkSession, sfDir: String,
-      pairs: DataFrame): DataFrame = {
-    import spark.implicits._
-    val bc = broadcastCorpus(spark, sfDir)
+      pairs: DataFrame): DataFrame =
+    cosineByBroadcast(pairs, broadcastCorpus(spark, sfDir))
+
+  /** [[cosineByBroadcast]] against an already-built corpus broadcast —
+    * callers that bucket candidates against the same corpus (LSH, IVF)
+    * must not collect/broadcast the embeddings twice.
+    */
+  def cosineByBroadcast(pairs: DataFrame,
+      bc: org.apache.spark.broadcast.Broadcast[Map[Long, (Array[Long], Double)]])
+      : DataFrame = {
+    import pairs.sparkSession.implicits._
     pairs.select(col("query_id"), col("vec_id")).as[(Long, Long)]
       .mapPartitions { it =>
         val c = bc.value
-        it.map { case (q, v) =>
+        it.flatMap { case (q, v) =>
           val (qe, qn) = c(q)
           val (ve, vn) = c(v)
-          var dot = 0L
-          var i = 0
-          while (i < qe.length) { dot += qe(i) * ve(i); i += 1 }
-          (q, v, dot.toDouble / (qn * vn))
+          // zero-norm vectors have no defined cosine — skip (oracle
+          // filters nrm > 0 identically); BigDecimal would throw on the
+          // resulting NaN/Infinity otherwise
+          if (qn == 0.0 || vn == 0.0) None
+          else {
+            var dot = 0L
+            var i = 0
+            while (i < qe.length) { dot += qe(i) * ve(i); i += 1 }
+            Some((q, v, dot.toDouble / (qn * vn)))
+          }
         }
       }.toDF("query_id", "vec_id", "cos")
   }
@@ -121,7 +135,7 @@ object VectorOps {
       |  SELECT d.query_id, d.vec_id,
       |         CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm) AS cos
       |  FROM dots d
-      |  JOIN norms nq ON nq.vec_id = d.query_id
-      |  JOIN norms nc ON nc.vec_id = d.vec_id
+      |  JOIN norms nq ON nq.vec_id = d.query_id AND nq.nrm > 0
+      |  JOIN norms nc ON nc.vec_id = d.vec_id AND nc.nrm > 0
       |)""".stripMargin
 }

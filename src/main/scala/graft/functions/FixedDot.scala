@@ -51,17 +51,23 @@ case class FixedDot(left: Expression, right: Expression)
   }
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      // freshName: two fixed_dot calls can share one codegen scope — fixed
+      // locals would collide and break whole-stage compilation
+      val n = ctx.freshName("fdN")
+      val s = ctx.freshName("fdS")
+      val i = ctx.freshName("fdI")
       s"""
-         |int fd_n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |long fd_s = 0L;
-         |for (int fd_i = 0; fd_i < fd_n; fd_i++) {
-         |  if (!$a.isNullAt(fd_i) && !$b.isNullAt(fd_i)) {
-         |    fd_s += $a.getLong(fd_i) * $b.getLong(fd_i);
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |long $s = 0L;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if (!$a.isNullAt($i) && !$b.isNullAt($i)) {
+         |    $s += $a.getLong($i) * $b.getLong($i);
          |  }
          |}
-         |${ev.value} = fd_s;
-         |""".stripMargin)
+         |${ev.value} = $s;
+         |""".stripMargin
+    })
 
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): FixedDot =

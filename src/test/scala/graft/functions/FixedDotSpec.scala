@@ -35,18 +35,33 @@ class FixedDotSpec extends SparkSpec {
     assert(out == 20L) // 2*10 + (null skipped, len capped at 2)
   }
 
-  test("SparkSessionExtensions registers fixed_dot at session build") {
-    val s2 = SparkSession.builder()
-      .master("local[2]")
-      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+  test("two fixed_dot calls compile in one codegen scope (no local collision)") {
+    import spark.implicits._
+    FixedDot.ensureRegistered(spark)
+    val prev = spark.conf.get("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false") // fail, don't mask
     try {
-      // newSession shares the extensions-injected registry
-      val rows = s2.sql("SELECT fixed_dot(array(1L, 2L), array(3L, 4L)) AS d").collect()
-      assert(rows.head.getLong(0) == 11L)
-    } finally {
-      // do not stop: shared SparkContext with the suite session
-    }
+      val r = Seq((Seq(1L, 2L), Seq(3L, 4L)))
+        .toDF("a", "b")
+        .select(expr("fixed_dot(a, b)").as("d1"),
+          expr("fixed_dot(b, a)").as("d2"),
+          expr("fixed_dot(a, a)").as("d3"))
+        .collect().head
+      assert(r.getLong(0) == 11L && r.getLong(1) == 11L && r.getLong(2) == 5L)
+    } finally spark.conf.set("spark.sql.codegen.fallback", prev)
+  }
+
+  test("GraftExtensions wires the fixed_dot builder") {
+    // getOrCreate would hand back the suite session (extensions config is
+    // ignored for existing sessions) and the extensions registry is
+    // private[sql], so assert the components the injection is made of:
+    // applying the extension class succeeds, and the registered builder
+    // constructs the expression
+    val ext = new org.apache.spark.sql.SparkSessionExtensions
+    new graft.plans.GraftExtensions().apply(ext) // must not throw
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val built = FixedDot.builder(Seq(Literal(1L), Literal(2L)))
+    assert(built.isInstanceOf[FixedDot])
+    assert(FixedDot.identifier.funcName == "fixed_dot")
   }
 }
