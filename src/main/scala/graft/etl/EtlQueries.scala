@@ -50,17 +50,35 @@ object EtlQueries {
 
     // ---- entity cardinalities, approximate mode (A1 at 100 TB:
     //      approx_count_distinct is the sketch a cluster uses when exact
-    //      distinct is a full shuffle too far). HLL values are not
-    //      DuckDB-replayable -> rows-only; EtlApproxSpec bounds the
-    //      relative error against the exact counts ----
-    "q_approx_counts" -> QueryDef.noOracle { (spark, d) =>
+    //      distinct is a full shuffle too far). Raw HLL values are not
+    //      DuckDB-replayable, but Spark's sketch is DETERMINISTIC for
+    //      fixed data, so the error bound |approx-exact|/exact < 5% is a
+    //      stable boolean the oracle asserts as TRUE — this oracle-gates
+    //      the query (exact columns hash-compared, bound must hold).
+    //      SplitsSpec additionally bounds the error numerically. ----
+    "q_approx_counts" -> QueryDef(
+      s"""WITH ${Interactions.duckCte}
+         |SELECT domain,
+         |  COUNT(DISTINCT user_id) AS n_users_exact,
+         |  COUNT(DISTINCT item_id) AS n_items_exact,
+         |  TRUE AS users_within_5pct,
+         |  TRUE AS items_within_5pct
+         |FROM interactions
+         |GROUP BY domain
+         |ORDER BY domain""".stripMargin) { (spark, d) =>
+      // rsd 0.02: measured ≤1.11% relative error across sf0.001–0.1
+      // (default 0.05 rsd strayed to 7%) — 4.5× margin under the bound
       Interactions(spark, d)
         .groupBy("domain")
         .agg(
           countDistinct(col("user_id")).as("n_users_exact"),
-          approx_count_distinct(col("user_id")).as("n_users_approx"),
           countDistinct(col("item_id")).as("n_items_exact"),
-          approx_count_distinct(col("item_id")).as("n_items_approx"))
+          (abs(approx_count_distinct(col("user_id"), 0.02).cast("double")
+              - countDistinct(col("user_id")))
+            / countDistinct(col("user_id")) < 0.05).as("users_within_5pct"),
+          (abs(approx_count_distinct(col("item_id"), 0.02).cast("double")
+              - countDistinct(col("item_id")))
+            / countDistinct(col("item_id")) < 0.05).as("items_within_5pct"))
         .orderBy("domain")
     },
 

@@ -50,9 +50,13 @@ object Interactions {
     * (~10⁶ even at web scale). The UNBOUNDED axis (users) is ranked with
     * [[DenseRank.zipIndex]] instead (see q_id_densify).
     */
-  def denseItems(spark: SparkSession, sfDir: String): DataFrame = {
+  def denseItems(spark: SparkSession, sfDir: String): DataFrame =
+    denseItemsFrom(apply(spark, sfDir))
+
+  /** [[denseItems]] over an explicit interactions relation. */
+  def denseItemsFrom(inter: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    apply(spark, sfDir)
+    inter
       .select("domain", "item_id").distinct()
       .withColumn("dense_id",
         row_number().over(Window.partitionBy("domain").orderBy("item_id")) - 1)

@@ -16,17 +16,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SplitCache {
 
-  /** Materialize `df` at `path` unless already present; return a scan of
-    * the materialized table (never the in-memory plan, so downstream
-    * consumers get identical data regardless of who wrote it).
+  /** Materialize `df` at `path` unless already present AND complete;
+    * return a scan of the materialized table (never the in-memory plan,
+    * so downstream consumers get identical data regardless of who wrote
+    * it).
+    *
+    * Cache validity = the `_SUCCESS` marker, not bare path existence: a
+    * crashed partial write leaves a directory without the marker, and
+    * treating that as authoritative would silently poison every later
+    * run. An incomplete directory is recomputed with mode("overwrite").
+    * Two racing FIRST writers can both pass the check — both then write
+    * the identical deterministic bytes (seeded h60 order), so the last
+    * committed write is still correct; on a real DFS the commit protocol
+    * makes each write atomic at the `_SUCCESS` rename.
     */
   def writeOnce(spark: SparkSession, df: => DataFrame, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
-    // existence check BEFORE touching df: a cache hit must not even build
-    // the recompute plan (mirrors the reference's `if exists: load` gate,
-    // Dataset_CDAE.py:92-93); mode("ignore") still guards the race.
-    if (!fs.exists(p)) df.write.mode("ignore").parquet(path)
+    // completeness check BEFORE touching df: a cache hit must not even
+    // build the recompute plan (mirrors the reference's `if exists: load`
+    // gate, Dataset_CDAE.py:92-93)
+    val complete = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
+    if (!complete) df.write.mode("overwrite").parquet(path)
     spark.read.parquet(path)
   }
 

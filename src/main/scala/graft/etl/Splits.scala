@@ -127,6 +127,21 @@ object Splits {
       .groupBy("user_id", "domain")
       .agg(collect_set(col("item_id")).as("pos"))
 
+  /** Catalog size above which the executor-broadcast formulation is
+    * refused: past ~2×10⁷ items the collected array risks driver OOM and
+    * the broadcast stops paying for itself — the samplers switch to the
+    * distributed join formulation ([[negativeSampleScalableDistributedFrom]]).
+    */
+  val CATALOG_BROADCAST_MAX: Long = 20000000L
+
+  private def distinctItems(inter: DataFrame): DataFrame =
+    inter.select("domain", "item_id").distinct()
+
+  private def collectCatalog(items: DataFrame): Map[String, Array[Long]] =
+    items.collect()
+      .groupBy(_.getString(0))
+      .map { case (d, rows) => d -> rows.map(_.getLong(1)).sorted }
+
   /** Per-domain sorted item catalog as an EXECUTOR BROADCAST (not a join
     * column): element i ↔ dense_id i−1 ([[Interactions.denseItems]]).
     *
@@ -134,12 +149,19 @@ object Splits {
     * at 10× scale that shipped and deserialized an 800 KB array per row
     * (measured 21× bench growth for 10× data). A broadcast variable is
     * materialized once per executor: catalogs are ~10⁶ items even at web
-    * scale (megabytes), far under broadcast limits.
+    * scale (megabytes), far under broadcast limits. Guarded: a catalog
+    * past [[CATALOG_BROADCAST_MAX]] fails fast with a pointer to the
+    * distributed sampler instead of OOMing the driver mid-collect.
     */
-  private def itemCatalog(inter: DataFrame): Map[String, Array[Long]] =
-    inter.select("domain", "item_id").distinct().collect()
-      .groupBy(_.getString(0))
-      .map { case (d, rows) => d -> rows.map(_.getLong(1)).sorted }
+  private def itemCatalog(inter: DataFrame): Map[String, Array[Long]] = {
+    val items = distinctItems(inter)
+    val n = items.count()
+    require(n <= CATALOG_BROADCAST_MAX,
+      s"item catalog has $n items (> $CATALOG_BROADCAST_MAX broadcast ceiling); " +
+        "use negativeSampleScalableFrom, which switches to the distributed " +
+        "join formulation past the threshold")
+    collectCatalog(items)
+  }
 
   /** Per-(user, domain) sampler input / sampled output rows. */
   final case class PosIn(user_id: Long, domain: String, pos: Array[Long])
@@ -240,11 +262,20 @@ object Splits {
     * positives stay global, so each user's draws are identical whether or
     * not other users are sampled (what lets callers slice users without
     * changing per-user results).
+    *
+    * Catalogs past `maxBroadcastItems` switch to the all-join distributed
+    * formulation ([[negativeSampleScalableDistributedFrom]]) — identical
+    * results (SplitsSpec proves row equality), unbounded catalog axis.
     */
   def negativeSampleScalableFrom(inter: DataFrame, draws: Int = 160,
-      userFilter: Column = lit(true)): DataFrame = {
+      userFilter: Column = lit(true),
+      maxBroadcastItems: Long = CATALOG_BROADCAST_MAX): DataFrame = {
+    val items = distinctItems(inter)
+    if (items.count() > maxBroadcastItems)
+      return negativeSampleScalableDistributedFrom(inter, draws, userFilter)
     import inter.sparkSession.implicits._
-    val bcItems = inter.sparkSession.sparkContext.broadcast(itemCatalog(inter))
+    val bcItems = inter.sparkSession.sparkContext.broadcast(
+      collectCatalog(items))
     userPositives(inter, userFilter)
       .select("user_id", "domain", "pos").as[PosIn]
       .mapPartitions { it =>
@@ -278,6 +309,45 @@ object Splits {
           out.result().iterator
         }
       }.toDF()
+  }
+
+  /** The distributed-join formulation of [[negativeSampleScalableFrom]] —
+    * the unbounded-catalog path (10⁸⁺ items, where the broadcast array
+    * would OOM the driver). Semantically identical to the broadcast loop:
+    * draw r=1..draws dense ids `h60(user, r, domain, salt) mod |items|`,
+    * first-draw-wins on collisions (min r per dense id), map dense → item
+    * via [[Interactions.denseItemsFrom]] as a JOIN keyed (domain,
+    * dense_id), anti-join out positives, keep the first [[NUM_NEG]] by
+    * draw order. This is exactly the shape the DuckDB oracle CTE
+    * ([[duckNegativeSampleScalableCte]]) replays.
+    *
+    * Cost vs broadcast path: three extra shuffles (dense-id dedup, the
+    * dense→item join, the positives anti-join) — all keyed on bounded-
+    * cardinality keys, no axis materializes U×I. The per-domain counts
+    * are a tiny broadcast.
+    */
+  def negativeSampleScalableDistributedFrom(inter: DataFrame, draws: Int = 160,
+      userFilter: Column = lit(true)): DataFrame = {
+    val di = Interactions.denseItemsFrom(inter)
+    val nItems = di.groupBy("domain").agg(count(lit(1)).as("n_items"))
+    val drawn = inter.filter(userFilter)
+      .select("user_id", "domain").distinct()
+      .join(broadcast(nItems), "domain")
+      .select(col("user_id"), col("domain"), col("n_items"),
+        explode(sequence(lit(1), lit(draws))).as("r"))
+      .select(col("user_id"), col("domain"), col("r"),
+        (Hashing.h60(col("user_id"), col("r"), col("domain"), lit(SEED_NEG))
+          % col("n_items")).as("dense_id"))
+      .groupBy("user_id", "domain", "dense_id")
+      .agg(min(col("r")).as("first_r"))
+    drawn
+      .join(di, Seq("domain", "dense_id"))
+      .join(inter.select("user_id", "domain", "item_id"),
+        Seq("user_id", "domain", "item_id"), "left_anti")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "domain").orderBy("first_r")))
+      .filter(col("rn") <= NUM_NEG)
+      .select("user_id", "domain", "item_id", "rn")
   }
 
   def duckNegativeSampleScalableCte(draws: Int): String =

@@ -28,20 +28,32 @@ object IvfQueries {
   val TOP_K = 3
   private val querySlice = "vec_id % 20 = 0"
 
+  /** Centroid-training sample: a deterministic `vec_id % TRAIN_MOD = 0`
+    * slice. Training memory on the driver is O(corpus / TRAIN_MOD) —
+    * production sizes the mod so the sample stays bounded (a few hundred
+    * vectors per centroid is the standard IVF training budget); the mod
+    * slice (vs TABLESAMPLE) keeps the oracle replay exact.
+    */
+  val TRAIN_MOD = 4
+  private val trainSlice = s"vec_id % $TRAIN_MOD = 0"
+
   val defs: Map[String, QueryDef] = Map(
     "q_sim_ivf" -> QueryDef(
       s"""WITH ${VectorOps.duckElemsCte},
          |${VectorOps.duckNormsCte},
-         |seed_ids AS (
+         |train AS (
+         |  SELECT * FROM elems WHERE $trainSlice
+         |), seed_ids AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cent_id
-         |  FROM (SELECT vec_id FROM embeddings ORDER BY vec_id LIMIT $K)
+         |  FROM (SELECT vec_id FROM embeddings WHERE $trainSlice
+         |        ORDER BY vec_id LIMIT $K)
          |), cent0 AS (
          |  SELECT s.cent_id, e.i, e.e AS c
-         |  FROM seed_ids s JOIN elems e ON e.vec_id = s.vec_id
+         |  FROM seed_ids s JOIN train e ON e.vec_id = s.vec_id
          |), d0 AS (
          |  SELECT e.vec_id, c.cent_id,
          |         CAST(SUM((e.e - c.c) * (e.e - c.c)) AS BIGINT) AS d2
-         |  FROM elems e JOIN cent0 c ON e.i = c.i
+         |  FROM train e JOIN cent0 c ON e.i = c.i
          |  GROUP BY e.vec_id, c.cent_id
          |), assign0 AS (
          |  SELECT vec_id, cent_id FROM (
@@ -51,7 +63,7 @@ object IvfQueries {
          |), cent1 AS (
          |  SELECT a.cent_id, e.i,
          |    CAST(round(CAST(SUM(e.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
-         |  FROM assign0 a JOIN elems e ON e.vec_id = a.vec_id
+         |  FROM assign0 a JOIN train e ON e.vec_id = a.vec_id
          |  GROUP BY a.cent_id, e.i
          |), d1 AS (
          |  SELECT e.vec_id, c.cent_id,
@@ -81,14 +93,21 @@ object IvfQueries {
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
       import spark.implicits._
-      // Centroid training runs on the broadcast corpus (real IVF trains
-      // on a sample exactly like this at any scale); assignment, probing
-      // and re-rank — the data-scale passes — stay distributed. All
+      // Centroid training runs on a bounded deterministic sample
+      // (`trainSlice`) — the slice is filtered DISTRIBUTED and only the
+      // sample is collected, so driver training memory is
+      // O(corpus / TRAIN_MOD), not O(corpus). Assignment, probing and
+      // re-rank — the data-scale passes — stay distributed. All
       // arithmetic matches the oracle SQL bit-for-bit: integer distances,
       // double division + HALF_UP for the refined centroids.
-      val bc = VectorOps.broadcastCorpus(spark, d)
-      val corpus = bc.value
-      val dim = corpus.head._2._1.length
+      val trainCorpus: Array[(Long, Array[Long])] =
+        Tables.embeddings(spark, d)
+          .filter(expr(trainSlice))
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+            .as("e")).as[(Long, Array[Long])].collect()
+      val trainMap = trainCorpus.toMap
+      val dim = trainCorpus.head._2.length
 
       def d2(e: Array[Long], c: Array[Long]): Long = {
         var s = 0L
@@ -100,10 +119,10 @@ object IvfQueries {
       def best(e: Array[Long], cents: Seq[(Int, Array[Long])], n: Int): Seq[Int] =
         cents.map { case (id, c) => (d2(e, c), id) }.sorted.take(n).map(_._2)
 
-      val seedIds = corpus.keys.toArray.sorted.take(K)
-      val cent0 = seedIds.zipWithIndex.map { case (v, k) => (k + 1, corpus(v)._1) }.toSeq
-      val cells = corpus.toSeq
-        .map { case (v, (e, _)) => (best(e, cent0, 1).head, e) }
+      val seedIds = trainCorpus.map(_._1).sorted.take(K)
+      val cent0 = seedIds.zipWithIndex.map { case (v, k) => (k + 1, trainMap(v)) }.toSeq
+      val cells = trainCorpus.toSeq
+        .map { case (v, e) => (best(e, cent0, 1).head, e) }
         .groupBy(_._1)
       val cent1 = cells.toSeq.sortBy(_._1).map { case (k, vs) =>
         val c = Array.tabulate(dim) { i =>
@@ -114,6 +133,10 @@ object IvfQueries {
         (k, c)
       }
       val bcCent1 = spark.sparkContext.broadcast(cent1)
+
+      // full-corpus broadcast: assignment + exact re-rank fast path (the
+      // documented ~5 GB ceiling; VectorOps.cosine is the fallback)
+      val bc = VectorOps.broadcastCorpus(spark, d)
 
       val ids = Tables.embeddings(spark, d).select("vec_id")
         .repartition(spark.sparkContext.defaultParallelism).as[Long]

@@ -3,10 +3,11 @@ package graft.ext
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
-/** The reference's ACTUAL MMD statistic (my_utils.py:20-68): multi-scale
-  * RBF kernel — 5 bandwidths geometrically spaced around the mean
-  * pairwise squared distance (kernel_mul=2, kernel_num=5) — and the
-  * biased block-mean estimator mean(Kxx) + mean(Kyy) − 2·mean(Kxy).
+/** The reference's ACTUAL MMD statistic (my_utils.py:12-68): mixed RBF
+  * kernel over the FIXED bandwidth list σ ∈ {1e-2, 1e-1, 1, 10, 100}
+  * with γ = 1/(2σ²) — K(x,y) = Σ_σ exp(−γ‖x−y‖²) (my_utils.py:14,30-34)
+  * — and the biased estimator mean(Kxx) + mean(Kyy) − 2·mean(Kxy)
+  * (my_utils.py:58-61, diagonals included).
   *
   * `exp()` is not bit-stable across engines, so this query is rows-only
   * (driver records a row-count check; MmdRbfSpec asserts the statistic's
@@ -24,30 +25,21 @@ import org.apache.spark.sql.functions._
   */
 object MmdRbf {
 
-  val KERNEL_MUL = 2.0
-  val KERNEL_NUM = 5
+  /** my_utils.py:14 `sigma_list` — fixed, NOT data-dependent. */
+  val SIGMAS: Array[Double] = Array(1e-2, 1e-1, 1.0, 10.0, 100.0)
+  private val GAMMAS: Array[Double] = SIGMAS.map(s => 1.0 / (2.0 * s * s))
 
-  /** Biased multi-bandwidth RBF MMD² between row-matrices a and b. */
+  /** Biased mixed-RBF MMD² between row-matrices a and b — the exact
+    * kernel and estimator of my_utils.py (fixed σ list, γ = 1/(2σ²),
+    * diagonal-inclusive means).
+    */
   def mmd2(a: Array[Array[Double]], b: Array[Array[Double]]): Double = {
-    val all = a ++ b
-    val n = all.length
     def d2(x: Array[Double], y: Array[Double]): Double = {
       var s = 0.0
       var i = 0
       while (i < x.length) { val d = x(i) - y(i); s += d * d; i += 1 }
       s
     }
-    // bandwidth = mean pairwise distance over the combined sample
-    // (my_utils.py:29-31), then spread over 5 geometric scales
-    var tot = 0.0
-    var i = 0
-    while (i < n) {
-      var j = 0
-      while (j < n) { if (i != j) tot += d2(all(i), all(j)); j += 1 }
-      i += 1
-    }
-    val base = tot / (n.toLong * n - n) / math.pow(KERNEL_MUL, KERNEL_NUM / 2)
-    val bws = Array.tabulate(KERNEL_NUM)(k => base * math.pow(KERNEL_MUL, k))
     def kmean(x: Array[Array[Double]], y: Array[Array[Double]]): Double = {
       var s = 0.0
       var i = 0
@@ -56,7 +48,7 @@ object MmdRbf {
         while (j < y.length) {
           val d = d2(x(i), y(j))
           var k = 0
-          while (k < KERNEL_NUM) { s += math.exp(-d / bws(k)); k += 1 }
+          while (k < GAMMAS.length) { s += math.exp(-GAMMAS(k) * d); k += 1 }
           j += 1
         }
         i += 1

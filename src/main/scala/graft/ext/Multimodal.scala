@@ -118,11 +118,21 @@ object Multimodal {
     },
 
     // ---- batched stub decode: rows-only (mapPartitions is not SQL) ----
+    // Array columns (hist, frame_samples) are projected to scalar
+    // checksums here: the driver's pandas-based compare cannot sort/hash
+    // ndarray cells (CORRECTNESS_r02 `err`). The raw arrays stay covered
+    // by MultimodalSpec.
     "q_mm_features" -> QueryDef.noOracle { (spark, d) =>
       decodeFeatures(spark, d)
         .select(col("doc_id"), col("kind"), col("n_bytes"),
-          col("width"), col("height"), col("hist"),
-          col("resized_w"), col("resized_h"), col("frame_samples"))
+          col("width"), col("height"),
+          // position-weighted checksum so any bin permutation changes it
+          expr("aggregate(zip_with(hist, sequence(1, size(hist)), (h, i) -> h * i), " +
+            "0L, (acc, x) -> acc + x)").as("hist_checksum"),
+          size(col("hist")).as("hist_bins"),
+          col("resized_w"), col("resized_h"),
+          size(col("frame_samples")).as("n_frames"),
+          expr("aggregate(frame_samples, 0L, (acc, x) -> acc + x)").as("frames_sum"))
         .orderBy("doc_id")
     })
 }

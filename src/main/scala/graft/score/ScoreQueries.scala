@@ -34,6 +34,80 @@ object ScoreQueries {
       Scorer.scoreUsers(spark, users).orderBy("user_id", "item_j")
     },
 
+    // ---- S3 weight round-trip: persist state_dict as parquet, reload,
+    //      score with the RELOADED weights (main_my.py:304-320,351-370).
+    //      Same oracle as q_dense_score — parquet doubles round-trip
+    //      bit-exactly, so reloaded scores must hash-match it. ----
+    "q_checkpoint_score" -> QueryDef({
+      val perItem = (0 until Scorer.NUM_ITEMS).map(Scorer.duckScoreExpr)
+      s"""WITH score_users AS (
+         |  SELECT DISTINCT o_custkey AS user_id FROM orders WHERE $userSlice
+         |)
+         |${perItem.mkString("", "\nUNION ALL\n", "")}
+         |ORDER BY user_id, item_j""".stripMargin
+    }) { (spark, d) =>
+      val ckpt = new java.io.File(
+        "target/checkpoints/q_checkpoint_score").getAbsolutePath
+      Checkpoint.save(spark, ckpt,
+        Map("W" -> Scorer.weightsW, "E" -> Scorer.itemVecs))
+      val loaded = Checkpoint.load(spark, ckpt)
+      val users = Tables.orders(spark, d)
+        .filter(expr(userSlice))
+        .select(col("o_custkey").as("user_id")).distinct()
+      Scorer.scoreUsersWith(spark, users, loaded("W"), loaded("E"))
+        .orderBy("user_id", "item_j")
+    },
+
+    // ---- base-model cross-domain map: shared orthogonal W, x→y via
+    //      row-product h·W, y→x via h·Wᵀ (model_my.py:46-49,61-64).
+    //      matVec is column-convention, so h·W = matVec(Wᵀ, h). ----
+    "q_score_orth_map" -> QueryDef(
+      Scorer.duckMappedSql(userSlice,
+        Seq(Scorer.transpose(Scorer.orthW)), Seq(Scorer.orthW),
+        nonlinear = false)) { (spark, d) =>
+      val users = Tables.orders(spark, d)
+        .filter(expr(userSlice))
+        .select(col("o_custkey").as("user_id")).distinct()
+      Scorer.scoreUsersMapped(spark, users, Scorer.weightsW,
+        Seq(Scorer.transpose(Scorer.orthW)), Seq(Scorer.orthW),
+        nonlinear = false)
+        .orderBy("user_id", "item_j")
+    },
+
+    // ---- ablation variant 2: INDEPENDENT per-direction map matrices,
+    //      h·W1 and h·W2 (model_my_variant2.py:41-56,71-72) ----
+    "q_dense_score_v2" -> QueryDef(
+      Scorer.duckMappedSql(userSlice,
+        Seq(Scorer.transpose(Scorer.variant2W1)),
+        Seq(Scorer.transpose(Scorer.variant2W2)),
+        nonlinear = false)) { (spark, d) =>
+      val users = Tables.orders(spark, d)
+        .filter(expr(userSlice))
+        .select(col("o_custkey").as("user_id")).distinct()
+      Scorer.scoreUsersMapped(spark, users, Scorer.weightsW,
+        Seq(Scorer.transpose(Scorer.variant2W1)),
+        Seq(Scorer.transpose(Scorer.variant2W2)),
+        nonlinear = false)
+        .orderBy("user_id", "item_j")
+    },
+
+    // ---- ablation variant 3: two-layer NONLINEAR map per direction,
+    //      Wb·relu(Wa·h) (model_my_variant3.py:41-48,57-63) ----
+    "q_dense_score_v3" -> QueryDef(
+      Scorer.duckMappedSql(userSlice,
+        Seq(Scorer.variant3Wa, Scorer.variant3Wb),
+        Seq(Scorer.variant3Wc, Scorer.variant3Wd),
+        nonlinear = true)) { (spark, d) =>
+      val users = Tables.orders(spark, d)
+        .filter(expr(userSlice))
+        .select(col("o_custkey").as("user_id")).distinct()
+      Scorer.scoreUsersMapped(spark, users, Scorer.weightsW,
+        Seq(Scorer.variant3Wa, Scorer.variant3Wb),
+        Seq(Scorer.variant3Wc, Scorer.variant3Wd),
+        nonlinear = true)
+        .orderBy("user_id", "item_j")
+    },
+
     // ---- BCE-with-logits as an aggregable expression (A8, main_my.py:225-228) ----
     "q_sigmoid_bce" -> QueryDef({
       val h = Hashing.duckH60("l_orderkey", "l_linenumber", "'bce'")

@@ -42,53 +42,127 @@ object Scorer {
   def weightsW: Array[Array[Double]] =
     Array.tabulate(K, K)((i, j) => rat("w", i.toString, j.toString))
 
-  /** Item embedding matrix E: NUM_ITEMS × k. */
+  /** Item embedding matrix E: NUM_ITEMS × k (the x-domain decoder). */
   def itemVecs: Array[Array[Double]] =
     Array.tabulate(NUM_ITEMS, K)((j, i) => rat("iv", j.toString, i.toString))
+
+  /** Second item decoder (the y-domain catalog, decoder_y analog). */
+  def itemVecsY: Array[Array[Double]] =
+    Array.tabulate(NUM_ITEMS, K)((j, i) => rat("iv2", j.toString, i.toString))
+
+  private def mat(salt: String): Array[Array[Double]] =
+    Array.tabulate(K, K)((i, j) => rat(salt, i.toString, j.toString))
+
+  /** Cross-domain map weights, one deterministic k×k matrix per salt:
+    * the base model's shared orthogonal W (model_my.py:40-49), variant 2's
+    * independent W1/W2 (model_my_variant2.py:41-56), and variant 3's
+    * two-layer pairs (model_my_variant3.py:41-48,57-63).
+    */
+  def orthW: Array[Array[Double]] = mat("orth")
+  def variant2W1: Array[Array[Double]] = mat("w1")
+  def variant2W2: Array[Array[Double]] = mat("w2")
+  def variant3Wa: Array[Array[Double]] = mat("wa")
+  def variant3Wb: Array[Array[Double]] = mat("wb")
+  def variant3Wc: Array[Array[Double]] = mat("wc")
+  def variant3Wd: Array[Array[Double]] = mat("wd")
+
+  def transpose(m: Array[Array[Double]]): Array[Array[Double]] =
+    Array.tabulate(K, K)((i, j) => m(j)(i))
+
+  /** out_i = Σ_j m(i)(j)·in_j, ascending-j association (oracle-identical). */
+  def matVec(m: Array[Array[Double]], in: Array[Double]): Array[Double] =
+    Array.tabulate(K) { i =>
+      var s = 0.0
+      var j = 0
+      while (j < K) { s += m(i)(j) * in(j); j += 1 }
+      s
+    }
 
   def userVec(userId: Long): Array[Double] =
     Array.tabulate(K)(j => rat(userId.toString, "uv", j.toString))
 
-  /** Forward pass for one user: h = relu(W·u); score_j = σ(h·e_j).
-    * Sums run in ascending index order — the oracle SQL is generated with
-    * the same left-to-right association, so partial sums are bit-identical.
-    */
-  def forward(u: Array[Double], w: Array[Array[Double]],
-      items: Array[Array[Double]]): Array[Double] = {
-    val h = Array.tabulate(K) { i =>
-      var s = 0.0
-      var j = 0
-      while (j < K) { s += w(i)(j) * u(j); j += 1 }
-      math.max(0.0, s)
-    }
+  /** σ(h·e_j) per item, ascending-index dot (oracle association order). */
+  private def sigmoidScores(h: Array[Double],
+      items: Array[Array[Double]]): Array[Double] =
     items.map { e =>
       var s = 0.0
       var i = 0
       while (i < K) { s += h(i) * e(i); i += 1 }
       1.0 / (1.0 + math.exp(-s))
     }
-  }
+
+  /** Forward pass for one user: h = relu(W·u); score_j = σ(h·e_j).
+    * Sums run in ascending index order — the oracle SQL is generated with
+    * the same left-to-right association, so partial sums are bit-identical.
+    */
+  def forward(u: Array[Double], w: Array[Array[Double]],
+      items: Array[Array[Double]]): Array[Double] =
+    sigmoidScores(matVec(w, u).map(math.max(0.0, _)), items)
+
+  /** HALF_UP to match round(score, 6) in both engines (σ > 0). */
+  private def round6(s: Double): Double = math.floor(s * 1e6 + 0.5) / 1e6
 
   /** Distributed batch scoring: users → (user_id, item_j, score).
     * `mapPartitions` + broadcast weights is the fast path (SURVEY.md §2.10);
     * the rounding to 6 decimals matches the oracle's.
     */
-  def scoreUsers(spark: SparkSession, users: DataFrame): DataFrame = {
+  def scoreUsers(spark: SparkSession, users: DataFrame): DataFrame =
+    scoreUsersWith(spark, users, weightsW, itemVecs)
+
+  /** [[scoreUsers]] with explicit weight/decoder matrices — the entry the
+    * checkpoint round-trip (q_checkpoint_score) reloads into: scoring a
+    * RELOADED state_dict is the reference's test flow
+    * (main_my.py:351-370).
+    */
+  def scoreUsersWith(spark: SparkSession, users: DataFrame,
+      w: Array[Array[Double]], items: Array[Array[Double]]): DataFrame = {
     import spark.implicits._
-    val bcW = spark.sparkContext.broadcast(weightsW)
-    val bcE = spark.sparkContext.broadcast(itemVecs)
+    val bcW = spark.sparkContext.broadcast(w)
+    val bcE = spark.sparkContext.broadcast(items)
     users.select(col("user_id").cast("long")).as[Long]
       .mapPartitions { it =>
-        val w = bcW.value; val e = bcE.value
+        val wv = bcW.value; val e = bcE.value
         it.flatMap { uid =>
-          val scores = forward(userVec(uid), w, e)
-          scores.iterator.zipWithIndex.map { case (s, j) =>
-            // HALF_UP to match round(score, 6) in both engines (σ > 0).
-            (uid, j, math.floor(s * 1e6 + 0.5) / 1e6)
+          forward(userVec(uid), wv, e).iterator.zipWithIndex.map {
+            case (s, j) => (uid, j, round6(s))
           }
         }
       }
       .toDF("user_id", "item_j", "score")
+  }
+
+  /** Cross-domain mapped scoring (the orthogonal_map surface and its
+    * ablation variants): h = relu(W·u), then per direction a chain of
+    * k×k maps — every stage but the last followed by ReLU when
+    * `nonlinear` — and finally σ(m·e_j) against the OTHER domain's
+    * decoder (preds_x2y = decoder_y(mapped_z_x), model_my.py:61-64).
+    * Weight matrices are closure-captured (k×k — task-serialized cheaper
+    * than a broadcast round-trip).
+    */
+  def scoreUsersMapped(spark: SparkSession, users: DataFrame,
+      w: Array[Array[Double]],
+      mapX: Seq[Array[Array[Double]]], mapY: Seq[Array[Array[Double]]],
+      nonlinear: Boolean): DataFrame = {
+    import spark.implicits._
+    val ex = itemVecs
+    val ey = itemVecsY
+    def chain(ms: Seq[Array[Array[Double]]], h: Array[Double]): Array[Double] =
+      ms.zipWithIndex.foldLeft(h) { case (v, (m, k)) =>
+        val out = matVec(m, v)
+        if (nonlinear && k < ms.length - 1) out.map(math.max(0.0, _)) else out
+      }
+    users.select(col("user_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.flatMap { uid =>
+          val h = matVec(w, userVec(uid)).map(math.max(0.0, _))
+          val sx = sigmoidScores(chain(mapX, h), ey) // x2y scored on decoder_y
+          val sy = sigmoidScores(chain(mapY, h), ex) // y2x scored on decoder_x
+          (0 until sx.length).iterator.map { j =>
+            (uid, j, round6(sx(j)), round6(sy(j)))
+          }
+        }
+      }
+      .toDF("user_id", "item_j", "score_x2y", "score_y2x")
   }
 
   // ---- oracle SQL generation: the same forward pass as expression text ----
@@ -116,5 +190,52 @@ object Scorer {
     s"""SELECT user_id, $j AS item_j,
        |  round(1.0/(1.0 + exp(-($dot))), 6) AS score
        |FROM (SELECT user_id, $hs FROM (SELECT user_id, $us FROM score_users))""".stripMargin
+  }
+
+  /** SELECT-list text for out_i = Σ_j m(i)(j)·in_j (optionally ReLU'd),
+    * same ascending-j association as [[matVec]].
+    */
+  private def duckMatVecSelect(m: Array[Array[Double]], in: String,
+      out: String, relu: Boolean): String =
+    (0 until K).map { i =>
+      val sum = (0 until K).map(j => s"(${dlit(m(i)(j))} * $in$j)").mkString(" + ")
+      (if (relu) s"greatest(0.0, $sum)" else s"($sum)") + s" AS $out$i"
+    }.mkString(", ")
+
+  /** Full oracle SQL replaying [[scoreUsersMapped]]: the user→h chain,
+    * both direction map chains as nested selects, then one UNION ALL
+    * branch per item over a single `mapped` CTE (the chain is written
+    * once, not once per item).
+    */
+  def duckMappedSql(userWhere: String,
+      mapX: Seq[Array[Array[Double]]], mapY: Seq[Array[Array[Double]]],
+      nonlinear: Boolean): String = {
+    require(mapX.length == mapY.length)
+    val us = (0 until K).map(jj => s"${duckUserVecExpr(jj)} AS u$jj").mkString(", ")
+    val hs = duckMatVecSelect(weightsW, "u", "h", relu = true)
+    var from = s"SELECT user_id, $hs FROM (SELECT user_id, $us FROM score_users)"
+    var inX = "h"; var inY = "h"
+    val L = mapX.length
+    for (l <- 0 until L) {
+      val reluStage = nonlinear && l < L - 1
+      val outX = if (l == L - 1) "mx" else s"ax${l}_"
+      val outY = if (l == L - 1) "my" else s"ay${l}_"
+      val sel = duckMatVecSelect(mapX(l), inX, outX, reluStage) + ", " +
+        duckMatVecSelect(mapY(l), inY, outY, reluStage)
+      from = s"SELECT user_id, $sel FROM ($from)"
+      inX = outX; inY = outY
+    }
+    val branches = (0 until NUM_ITEMS).map { j =>
+      val dotX = (0 until K).map(i => s"(mx$i * ${dlit(itemVecsY(j)(i))})").mkString(" + ")
+      val dotY = (0 until K).map(i => s"(my$i * ${dlit(itemVecs(j)(i))})").mkString(" + ")
+      s"SELECT user_id, $j AS item_j, " +
+        s"round(1.0/(1.0 + exp(-($dotX))), 6) AS score_x2y, " +
+        s"round(1.0/(1.0 + exp(-($dotY))), 6) AS score_y2x FROM mapped"
+    }
+    s"""WITH score_users AS (
+       |  SELECT DISTINCT o_custkey AS user_id FROM orders WHERE $userWhere
+       |), mapped AS ($from)
+       |${branches.mkString("\nUNION ALL\n")}
+       |ORDER BY user_id, item_j""".stripMargin
   }
 }

@@ -24,4 +24,17 @@ class SplitCacheSpec extends SparkSpec {
     assert(second.orderBy("user_id", "domain").collect()
       .sameElements(live.collect()))
   }
+
+  test("partial write (no _SUCCESS marker) is recomputed, not trusted") {
+    val dir = Files.createTempDirectory("splitcache").toString
+    // simulate a crashed writer: directory exists, data file present,
+    // no _SUCCESS commit marker
+    val path = java.nio.file.Paths.get(s"$dir/splits")
+    Files.createDirectories(path)
+    Files.write(path.resolve("part-00000.parquet"), Array[Byte](0, 1, 2))
+    val live = Splits.leaveTwoOut(spark, sf()).orderBy("user_id", "domain")
+    val recovered = SplitCache.writeOnce(spark, live, s"$dir/splits")
+    assert(Files.exists(path.resolve("_SUCCESS")))
+    assert(recovered.count() == live.count())
+  }
 }

@@ -92,10 +92,19 @@ class SplitsSpec extends SparkSpec {
     val rows = graft.SparkEntry.defs("q_approx_counts").build(spark, sf()).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      def relErr(exact: Long, approx: Long) =
-        math.abs(approx - exact).toDouble / exact
-      assert(relErr(r.getAs[Long]("n_users_exact"), r.getAs[Long]("n_users_approx")) < 0.1)
-      assert(relErr(r.getAs[Long]("n_items_exact"), r.getAs[Long]("n_items_approx")) < 0.1)
+      assert(r.getAs[Boolean]("users_within_5pct"))
+      assert(r.getAs[Boolean]("items_within_5pct"))
     }
+  }
+
+  test("distributed sampler formulation matches the broadcast path") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).sorted
+    val viaBroadcast = rows(Splits.negativeSampleScalableFrom(fixture, draws = 8))
+    // maxBroadcastItems = 0 forces the distributed join formulation
+    val viaJoin = rows(Splits.negativeSampleScalableFrom(fixture, draws = 8,
+      maxBroadcastItems = 0))
+    assert(viaJoin.nonEmpty)
+    assert(viaJoin.sameElements(viaBroadcast))
   }
 }

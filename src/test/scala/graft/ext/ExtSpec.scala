@@ -62,17 +62,25 @@ class ExtSpec extends SparkSpec {
     }
   }
 
-  test("LSH ANN results are a subset of candidates with exact cosines") {
-    // every LSH neighbor must appear in the brute-force ranking with the
-    // same cosine value (LSH only restricts the candidate set)
-    val bf = graft.SparkEntry.defs("q_sim_topk").build(spark, sf())
-      .select("query_id", "vec_id", "cos").collect()
-      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+  test("LSH ANN results carry exact cosines for EVERY returned pair") {
+    import spark.implicits._
     val lsh = graft.SparkEntry.defs("q_sim_lsh").build(spark, sf()).collect()
     assert(lsh.nonEmpty)
+    // recompute the exact cosine for every LSH-returned pair directly —
+    // not just pairs that happen to be in someone's top-k — and assert
+    // equality unconditionally (q_sim_lsh rounds to 6 decimals)
+    val pairs = lsh.map(r =>
+      (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))).toSeq
+      .toDF("query_id", "vec_id")
+    // same rounding as the query's round(cos, 6): HALF_UP away from zero
+    val exact = VectorOps.cosineByBroadcast(spark, sf(), pairs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        BigDecimal(r.getDouble(2))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble).toMap
     lsh.foreach { r =>
       val key = (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"))
-      bf.get(key).foreach(c => assert(c == r.getAs[Double]("cos")))
+      assert(exact(key) == r.getAs[Double]("cos"),
+        s"pair $key: LSH cosine ${r.getAs[Double]("cos")} != exact ${exact(key)}")
     }
   }
 

@@ -1,0 +1,69 @@
+package graft.score
+
+import graft.SparkSpec
+import java.nio.file.Files
+
+/** Scoring-layer semantics: the S3 checkpoint round-trip and the
+  * cross-domain map variants (base orthogonal / v2 independent / v3
+  * nonlinear).
+  */
+class ScorerSpec extends SparkSpec {
+
+  test("checkpoint save/load round-trips weight matrices bit-exactly") {
+    val dir = Files.createTempDirectory("ckpt").toString
+    val weights = Map("W" -> Scorer.weightsW, "E" -> Scorer.itemVecs,
+      "W1" -> Scorer.variant2W1)
+    Checkpoint.save(spark, s"$dir/m", weights)
+    val loaded = Checkpoint.load(spark, s"$dir/m")
+    assert(loaded.keySet == weights.keySet)
+    weights.foreach { case (layer, m) =>
+      assert(loaded(layer).length == m.length)
+      m.indices.foreach(i => assert(loaded(layer)(i).sameElements(m(i))))
+    }
+  }
+
+  test("reloaded-weight scores are identical to in-memory scores") {
+    val inMem = graft.SparkEntry.defs("q_dense_score").build(spark, sf())
+      .collect().map(_.toSeq)
+    val reloaded = graft.SparkEntry.defs("q_checkpoint_score").build(spark, sf())
+      .collect().map(_.toSeq)
+    assert(inMem.nonEmpty)
+    assert(reloaded.sameElements(inMem))
+  }
+
+  test("mapped variants: per-user item coverage, scores in (0,1), distinct maps") {
+    def rows(q: String) = graft.SparkEntry.defs(q).build(spark, sf()).collect()
+    val orth = rows("q_score_orth_map")
+    val v2 = rows("q_dense_score_v2")
+    val v3 = rows("q_dense_score_v3")
+    assert(orth.nonEmpty && orth.length == v2.length && v2.length == v3.length)
+    Seq(orth, v2, v3).foreach { rs =>
+      val perUser = rs.groupBy(_.getAs[Long]("user_id"))
+      perUser.values.foreach(g => assert(g.length == Scorer.NUM_ITEMS))
+      rs.foreach { r =>
+        val (sx, sy) = (r.getAs[Double]("score_x2y"), r.getAs[Double]("score_y2x"))
+        assert(sx > 0.0 && sx < 1.0 && sy > 0.0 && sy < 1.0)
+      }
+    }
+    // the three variants are genuinely different maps: same users/items,
+    // different score surfaces
+    def sig(rs: Array[org.apache.spark.sql.Row]) =
+      rs.map(r => (r.getAs[Long]("user_id"), r.getAs[Int]("item_j"),
+        r.getAs[Double]("score_x2y"))).toSet
+    assert(sig(orth) != sig(v2))
+    assert(sig(v2) != sig(v3))
+  }
+
+  test("v1 orthogonal map uses W transposed for the reverse direction") {
+    // matVec with transpose(W) must equal the row-vector product h·W
+    val h = Array.tabulate(Scorer.K)(i => 0.1 * (i + 1))
+    val w = Scorer.orthW
+    val viaTranspose = Scorer.matVec(Scorer.transpose(w), h)
+    val expected = Array.tabulate(Scorer.K) { j =>
+      (0 until Scorer.K).map(i => w(i)(j) * h(i)).sum
+    }
+    viaTranspose.zip(expected).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-12)
+    }
+  }
+}
