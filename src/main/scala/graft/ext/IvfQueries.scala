@@ -134,26 +134,30 @@ object IvfQueries {
       }
       val bcCent1 = spark.sparkContext.broadcast(cent1)
 
-      // full-corpus broadcast: assignment + exact re-rank fast path (the
-      // documented ~5 GB ceiling; VectorOps.cosine is the fallback)
-      val bc = VectorOps.broadcastCorpus(spark, d)
-
-      val ids = Tables.embeddings(spark, d).select("vec_id")
-        .repartition(spark.sparkContext.defaultParallelism).as[Long]
-      val assign1 = ids.mapPartitions { it =>
-        val c = bc.value; val cents = bcCent1.value
-        it.map(v => (v, best(c(v)._1, cents, 1).head))
+      // assignment/probing stream the corpus THROUGH tasks against the
+      // tiny centroid broadcast — no full-corpus collect anywhere on the
+      // data-scale axis (the inverted-list build a 1000-executor cluster
+      // would run); re-rank picks broadcast vs distributed by corpus size
+      val vecs = Tables.embeddings(spark, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+          .as("e"))
+        .repartition(spark.sparkContext.defaultParallelism)
+        .as[(Long, Array[Long])]
+      val assign1 = vecs.mapPartitions { it =>
+        val cents = bcCent1.value
+        it.map { case (v, e) => (v, best(e, cents, 1).head) }
       }.toDF("vec_id", "cent_id")
-      val probes = ids.filter(expr(querySlice)).mapPartitions { it =>
-        val c = bc.value; val cents = bcCent1.value
-        it.flatMap(v => best(c(v)._1, cents, NPROBE).map(k => (v, k)))
+      val probes = vecs.filter(expr(querySlice)).mapPartitions { it =>
+        val cents = bcCent1.value
+        it.flatMap { case (v, e) => best(e, cents, NPROBE).map(k => (v, k)) }
       }.toDF("query_id", "cent_id")
 
       val pairs = probes.join(assign1, "cent_id")
         .filter(col("vec_id") =!= col("query_id"))
         .select("query_id", "vec_id").distinct()
 
-      VectorOps.cosineByBroadcast(pairs, bc)
+      VectorOps.cosineAuto(spark, d, pairs)
         .withColumn("rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= TOP_K)

@@ -66,6 +66,112 @@ object SimilarityQueries {
       .agg(sum(expr("shiftleft(b, j)")).as("sig"))
   }
 
+  /** Brute-force top-k, corpus-size aware: under `maxBroadcast` vectors
+    * the corpus is a broadcast matrix scanned with a bounded top-k buffer
+    * per query (the fast path — the pair-join formulation materialized
+    * |Q|·|C|·d rows, measured 80× bench growth for 10× data); beyond it,
+    * the distributed [[VectorOps.cosine]] join + window top-k keeps the
+    * operator CORRECT with no driver collect (slow by nature — at that
+    * corpus scale q_sim_lsh / q_sim_ivf are the real answers).
+    */
+  def bruteForceTopK(spark: org.apache.spark.sql.SparkSession, d: String,
+      maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    if (VectorOps.corpusSize(spark, d) > maxBroadcast) {
+      val ids = Tables.embeddings(spark, d).select("vec_id")
+      val pairs = ids.filter(expr(querySlice)).select(col("vec_id").as("query_id"))
+        .crossJoin(ids)
+        .filter(col("query_id") =!= col("vec_id"))
+      return VectorOps.cosine(spark, d, pairs)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= TOP_K)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy("query_id", "rn")
+    }
+    val bc = VectorOps.broadcastCorpus(spark, d)
+    val ord = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+    Tables.embeddings(spark, d).select("vec_id")
+      .filter(expr(querySlice))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.flatMap { q =>
+          val (qe, qn) = c(q)
+          var top = Vector.empty[(Double, Long)]
+          if (qn > 0.0) c.foreach { case (id, (e, n)) =>
+            if (id != q && n > 0.0) {
+              var dot = 0L
+              var i = 0
+              while (i < qe.length) { dot += qe(i) * e(i); i += 1 }
+              val cos = dot.toDouble / (qn * n)
+              if (top.lengthCompare(TOP_K) < 0 || ord.lt((cos, id), top.last))
+                top = ((top :+ ((cos, id))).sorted(ord)).take(TOP_K)
+            }
+          }
+          top.iterator.zipWithIndex.map { case ((cos, id), i) =>
+            (q, id, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, i + 1)
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  /** Exact all-pairs near-dup, corpus-size aware like [[bruteForceTopK]]:
+    * broadcast-matrix partition loop under the ceiling, distributed pair
+    * join beyond it (LSH bucketing — q_sim_lsh's shape — is the real
+    * candidate generator at that scale; this keeps exactness available).
+    */
+  def embedNearDup(spark: org.apache.spark.sql.SparkSession, d: String,
+      maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    if (VectorOps.corpusSize(spark, d) > maxBroadcast) {
+      val ids = Tables.embeddings(spark, d).select("vec_id")
+      val pairs = ids.select(col("vec_id").as("query_id")).crossJoin(ids)
+        .filter(col("query_id") < col("vec_id"))
+      return VectorOps.cosine(spark, d, pairs)
+        .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
+          round(col("cos"), 6).as("cos"))
+        .filter(col("cos") >= NEAR_DUP_COS)
+        .orderBy("vec_a", "vec_b")
+    }
+    val fixed = Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("e")).as[(Long, Array[Long])]
+    val corpus = spark.sparkContext.broadcast(
+      fixed.collect().sortBy(_._1).map { case (id, e) =>
+        // long accumulation: exact like the oracle's CAST(SUM(e*e) AS DOUBLE)
+        (id, e, math.sqrt(e.map(x => x * x).sum.toDouble))
+      })
+    // single-file scans arrive as 1-2 partitions; spread the O(n²d)
+    // loop across the cluster before it runs (measured: pinned 2 cores
+    // for minutes at 20k vectors otherwise)
+    fixed.repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+      val c = corpus.value
+      it.flatMap { case (ida, ea) =>
+        val na = math.sqrt(ea.map(x => x * x).sum.toDouble)
+        c.iterator.filter(t => t._1 > ida && t._3 > 0.0 && na > 0.0)
+          .flatMap { case (idb, eb, nb) =>
+          var dot = 0L
+          var i = 0
+          while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
+          val cos = BigDecimal(dot.toDouble / (na * nb))
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          if (cos >= NEAR_DUP_COS) Some((ida, idb, cos)) else None
+        }
+      }
+    }.toDF("vec_a", "vec_b", "cos")
+      .orderBy("vec_a", "vec_b")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- brute-force cosine top-k: the exact baseline ----
@@ -85,41 +191,7 @@ object SimilarityQueries {
          |  FROM cosines)
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
-      import spark.implicits._
-      // brute force against the BROADCAST corpus with a bounded top-k
-      // buffer per query — the pair-join formulation materialized
-      // |Q|·|C|·d rows (measured 80× bench growth for 10× data). The
-      // distributed-join path (VectorOps.cosine) remains the fallback
-      // for corpora beyond broadcast size.
-      val bc = VectorOps.broadcastCorpus(spark, d)
-      val ord = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
-      Tables.embeddings(spark, d).select("vec_id")
-        .filter(expr(querySlice))
-        .repartition(spark.sparkContext.defaultParallelism)
-        .as[Long]
-        .mapPartitions { it =>
-          val c = bc.value
-          it.flatMap { q =>
-            val (qe, qn) = c(q)
-            var top = Vector.empty[(Double, Long)]
-            if (qn > 0.0) c.foreach { case (id, (e, n)) =>
-              if (id != q && n > 0.0) {
-                var dot = 0L
-                var i = 0
-                while (i < qe.length) { dot += qe(i) * e(i); i += 1 }
-                val cos = dot.toDouble / (qn * n)
-                if (top.lengthCompare(TOP_K) < 0 || ord.lt((cos, id), top.last))
-                  top = ((top :+ ((cos, id))).sorted(ord)).take(TOP_K)
-              }
-            }
-            top.iterator.zipWithIndex.map { case ((cos, id), i) =>
-              (q, id, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP)
-                .toDouble, i + 1)
-            }
-          }
-        }
-        .toDF("query_id", "vec_id", "cos", "rn")
-        .orderBy("query_id", "rn")
+      bruteForceTopK(spark, d)
     },
 
     // ---- LSH-bucketed ANN: 8-bit hyperplane signature, 2 bands of 4 ----
@@ -152,8 +224,9 @@ object SimilarityQueries {
         .filter(col("a.vec_id") % 20 === 0)
         .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
         .distinct()
-      // exact re-rank of LSH candidates against the broadcast corpus
-      VectorOps.cosineByBroadcast(spark, d, pairs)
+      // exact re-rank of LSH candidates: broadcast corpus under the
+      // size ceiling, distributed join formulation past it
+      VectorOps.cosineAuto(spark, d, pairs)
         .withColumn("rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= LSH_K)
@@ -179,36 +252,7 @@ object SimilarityQueries {
          |FROM cosines
          |WHERE round(cos, 6) >= $NEAR_DUP_COS
          |ORDER BY vec_a, vec_b""".stripMargin) { (spark, d) =>
-      import spark.implicits._
-      val fixed = Tables.embeddings(spark, d)
-        .select(col("vec_id"), expr(
-          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
-          .as("e")).as[(Long, Array[Long])]
-      val corpus = spark.sparkContext.broadcast(
-        fixed.collect().sortBy(_._1).map { case (id, e) =>
-          // long accumulation: exact like the oracle's CAST(SUM(e*e) AS DOUBLE)
-          (id, e, math.sqrt(e.map(x => x * x).sum.toDouble))
-        })
-      // single-file scans arrive as 1-2 partitions; spread the O(n²d)
-      // loop across the cluster before it runs (measured: pinned 2 cores
-      // for minutes at 20k vectors otherwise)
-      fixed.repartition(spark.sparkContext.defaultParallelism)
-        .mapPartitions { it =>
-        val c = corpus.value
-        it.flatMap { case (ida, ea) =>
-          val na = math.sqrt(ea.map(x => x * x).sum.toDouble)
-          c.iterator.filter(t => t._1 > ida && t._3 > 0.0 && na > 0.0)
-            .flatMap { case (idb, eb, nb) =>
-            var dot = 0L
-            var i = 0
-            while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
-            val cos = BigDecimal(dot.toDouble / (na * nb))
-              .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-            if (cos >= NEAR_DUP_COS) Some((ida, idb, cos)) else None
-          }
-        }
-      }.toDF("vec_a", "vec_b", "cos")
-        .orderBy("vec_a", "vec_b")
+      embedNearDup(spark, d)
     },
 
     // ---- linear-kernel MMD² between label groups (my_utils.py:37-68) ----

@@ -53,11 +53,14 @@ object VectorOps {
 
   /** Exact cosine for the (query_id, vec_id) pairs in `pairs`: the
     * distributed dot product — join both element sets on the dimension
-    * index, partial-sum map-side, one shuffle on the pair key.
+    * index, partial-sum map-side, one shuffle on the pair key. Zero-norm
+    * vectors are dropped (nrm > 0 join condition), exactly like the
+    * oracle's cosines CTE and [[cosineByBroadcast]]'s skip — the two
+    * formulations are row-identical (ExtSpec fallback-equality).
     */
   def cosine(spark: SparkSession, sfDir: String, pairs: DataFrame): DataFrame = {
     val el = elems(spark, sfDir)
-    val nr = norms(spark, sfDir)
+    val nr = norms(spark, sfDir).filter(col("nrm") > 0)
     pairs
       .join(el.select(col("vec_id").as("query_id"), col("i"), col("e").as("qe")), "query_id")
       .join(el.select(col("vec_id"), col("i"), col("e").as("ce")), Seq("vec_id", "i"))
@@ -68,6 +71,26 @@ object VectorOps {
       .select(col("query_id"), col("vec_id"),
         (col("dot").cast("double") / (col("qn") * col("nrm"))).as("cos"))
   }
+
+  /** Vector count above which the collected corpus (~(d+1)·8 bytes per
+    * vector — ~5 GB at 10⁷ × 64 dims) is refused as an executor
+    * broadcast and pair-cosine callers switch to the distributed
+    * [[cosine]] join formulation automatically.
+    */
+  val CORPUS_BROADCAST_MAX: Long = 10000000L
+
+  /** Corpus row count (one parquet metadata-only job). */
+  def corpusSize(spark: SparkSession, sfDir: String): Long =
+    Tables.embeddings(spark, sfDir).count()
+
+  /** Pair cosines, choosing the formulation by corpus size: broadcast
+    * fast path under [[CORPUS_BROADCAST_MAX]] vectors, distributed join
+    * beyond it. Both produce identical rows.
+    */
+  def cosineAuto(spark: SparkSession, sfDir: String, pairs: DataFrame,
+      maxBroadcast: Long = CORPUS_BROADCAST_MAX): DataFrame =
+    if (corpusSize(spark, sfDir) > maxBroadcast) cosine(spark, sfDir, pairs)
+    else cosineByBroadcast(spark, sfDir, pairs)
 
   /** Fixed-point vectors + norms collected and broadcast: the fast path
     * for cosine math whenever the corpus fits an executor broadcast

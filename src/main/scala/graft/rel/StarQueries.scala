@@ -199,6 +199,30 @@ object StarQueries {
         .orderBy("day")
     },
 
+    // ---- skew-salted join (Salting.saltedJoin): the salted plan must
+    //      aggregate to EXACTLY the plain-join result — the oracle runs
+    //      the unsalted SQL, so any row duplication/loss from the salt
+    //      explode/join breaks the hash ----
+    "q_salted_agg" -> QueryDef(
+      """SELECT s_nationkey AS nation, COUNT(*) AS n_items,
+        |  CAST(round(SUM(CAST(l_extendedprice AS DECIMAL(18,3)) * (1 - CAST(l_discount AS DECIMAL(18,3)))), 2) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey
+        |ORDER BY nation""".stripMargin) { (spark, d) =>
+      val big = Tables.lineitem(spark, d)
+        .select(col("l_suppkey").as("suppkey"),
+          col("l_orderkey"), col("l_linenumber"),
+          (dec(col("l_extendedprice")) * (one - dec(col("l_discount")))).as("rev"))
+      val dim = Tables.supplier(spark, d)
+        .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
+      Salting.saltedJoin(big, dim, "suppkey",
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")), salts = 8)
+        .groupBy(col("s_nationkey").as("nation"))
+        .agg(count(lit(1)).as("n_items"),
+          round(sum(col("rev")), 2).cast("double").as("revenue"))
+        .orderBy("nation")
+    },
+
     // ---- set operations: semi/anti join + intersect as counts ----
     "q_set_ops" -> QueryDef(
       """SELECT 'parts_ordered' AS tag,

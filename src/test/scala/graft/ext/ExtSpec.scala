@@ -84,6 +84,24 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("past the broadcast ceiling, distributed formulations match exactly") {
+    // maxBroadcast = 0 forces the distributed join path that large
+    // corpora switch to automatically — row-identical to the broadcast
+    // fast path by contract
+    def topk(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("cos"), r.getAs[Int]("rn"))).sortBy(t => (t._1, t._4))
+    val tB = topk(SimilarityQueries.bruteForceTopK(spark, sf()))
+    val tD = topk(SimilarityQueries.bruteForceTopK(spark, sf(), maxBroadcast = 0))
+    assert(tB.nonEmpty && tD.sameElements(tB))
+    def dup(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).sorted
+    val dB = dup(SimilarityQueries.embedNearDup(spark, sf()))
+    val dD = dup(SimilarityQueries.embedNearDup(spark, sf(), maxBroadcast = 0))
+    assert(dB.nonEmpty && dD.sameElements(dB))
+  }
+
   test("IVF ANN neighbors agree with brute-force cosine values") {
     val bf = graft.SparkEntry.defs("q_sim_topk").build(spark, sf())
       .select("query_id", "vec_id", "cos").collect()
