@@ -60,6 +60,50 @@ object Lifecycle {
       .orderBy("domain", "k", "metric")
   }
 
+  /** Deterministic per-epoch scorer weights — the stand-in for the
+    * retrained tensors an epoch would produce (training itself is out of
+    * scope; what matters is that each epoch has DISTINCT weights whose
+    * bytes survive the checkpoint round-trip).
+    */
+  def epochWeights(epoch: Int): Map[String, Array[Array[Double]]] = {
+    def rat(parts: String*): Double =
+      ((score.Scorer.h60Local(parts: _*) % 2001L) - 1000L) / 1000.0
+    Map(
+      "W" -> Array.tabulate(score.Scorer.K, score.Scorer.K)(
+        (i, j) => rat(s"epoch$epoch", "w", i.toString, j.toString)),
+      "E" -> Array.tabulate(score.Scorer.NUM_ITEMS, score.Scorer.K)(
+        (j, i) => rat(s"epoch$epoch", "iv", j.toString, i.toString)))
+  }
+
+  /** S3 persist step (main_my.py:304-320): one checkpoint per (domain,
+    * metric) at K=10 — the reference's six best_{hr,ndcg,mrr}{1,2}.pkl
+    * files — each holding the SELECTED epoch's weights as a parquet
+    * state_dict. Returns (domain, metric) → (epoch, checkpoint path).
+    */
+  def checkpointBest(spark: SparkSession, workDir: String)
+      : Map[(String, String), (Int, String)] = {
+    bestEpochs(spark, workDir)
+      .filter(col("k") === 10).collect()
+      .map { r =>
+        val (domain, metric, epoch) =
+          (r.getAs[String]("domain"), r.getAs[String]("metric"),
+            r.getAs[Int]("epoch"))
+        val path = s"$workDir/ckpt/best_${metric}_$domain"
+        score.Checkpoint.save(spark, path, epochWeights(epoch))
+        (domain, metric) -> (epoch, path)
+      }.toMap
+  }
+
+  /** S3 reload step (main_my.py:351-370): load one saved checkpoint and
+    * score users with the RELOADED weights — the reference's
+    * "load_state_dict then test_process" flow.
+    */
+  def scoreFromCheckpoint(spark: SparkSession, ckptPath: String,
+      users: DataFrame): DataFrame = {
+    val loaded = score.Checkpoint.load(spark, ckptPath)
+    score.Scorer.scoreUsersWith(spark, users, loaded("W"), loaded("E"))
+  }
+
   /** Dev main: run `epochs` scoring rounds and print the selection. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

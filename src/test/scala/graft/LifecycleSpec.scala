@@ -34,5 +34,20 @@ class LifecycleSpec extends SparkSpec {
       val col = b.getAs[String]("metric")
       assert(b.getAs[Double]("value") == slice.map(_.getAs[Double](col)).max)
     }
+
+    // S3 persist + reload: six checkpoints (domain × metric at K=10),
+    // each reproducing its selected epoch's scores from RELOADED weights
+    val ckpts = Lifecycle.checkpointBest(spark, workDir)
+    assert(ckpts.size == 2 * 3)
+    val someUsers = spark.range(1, 20).toDF("user_id")
+    ckpts.foreach { case ((_, _), (epoch, path)) =>
+      val fromCkpt = Lifecycle.scoreFromCheckpoint(spark, path, someUsers)
+        .collect().map(_.toSeq)
+      val w = Lifecycle.epochWeights(epoch)
+      val direct = score.Scorer.scoreUsersWith(spark, someUsers, w("W"), w("E"))
+        .collect().map(_.toSeq)
+      assert(fromCkpt.nonEmpty && fromCkpt.sortBy(_.toString)
+        .sameElements(direct.sortBy(_.toString)))
+    }
   }
 }
