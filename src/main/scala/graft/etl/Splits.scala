@@ -137,10 +137,22 @@ object Splits {
   private def distinctItems(inter: DataFrame): DataFrame =
     inter.select("domain", "item_id").distinct()
 
-  private def collectCatalog(items: DataFrame): Map[String, Array[Long]] =
-    items.collect()
-      .groupBy(_.getString(0))
-      .map { case (d, rows) => d -> rows.map(_.getLong(1)).sorted }
+  /** Collect the distinct catalog capped at `max + 1` rows — ONE job (a
+    * separate count() would run the distinct shuffle twice; measured +6s
+    * at 10× scale). Returns None when truncated (catalog exceeds `max`),
+    * Some(grouped catalog) when the capped collect is the complete set.
+    */
+  private def collectCatalogCapped(items: DataFrame,
+      max: Long): Option[Map[String, Array[Long]]] = {
+    if (max >= Int.MaxValue - 1 || max < 0) return Some(groupCatalog(items.collect()))
+    val rows = items.limit(max.toInt + 1).collect()
+    if (rows.length > max) None else Some(groupCatalog(rows))
+  }
+
+  private def groupCatalog(
+      rows: Array[org.apache.spark.sql.Row]): Map[String, Array[Long]] =
+    rows.groupBy(_.getString(0))
+      .map { case (d, rs) => d -> rs.map(_.getLong(1)).sorted }
 
   /** Per-domain sorted item catalog as an EXECUTOR BROADCAST (not a join
     * column): element i ↔ dense_id i−1 ([[Interactions.denseItems]]).
@@ -153,15 +165,13 @@ object Splits {
     * past [[CATALOG_BROADCAST_MAX]] fails fast with a pointer to the
     * distributed sampler instead of OOMing the driver mid-collect.
     */
-  private def itemCatalog(inter: DataFrame): Map[String, Array[Long]] = {
-    val items = distinctItems(inter)
-    val n = items.count()
-    require(n <= CATALOG_BROADCAST_MAX,
-      s"item catalog has $n items (> $CATALOG_BROADCAST_MAX broadcast ceiling); " +
-        "use negativeSampleScalableFrom, which switches to the distributed " +
-        "join formulation past the threshold")
-    collectCatalog(items)
-  }
+  private def itemCatalog(inter: DataFrame): Map[String, Array[Long]] =
+    collectCatalogCapped(distinctItems(inter), CATALOG_BROADCAST_MAX).getOrElse {
+      throw new IllegalStateException(
+        s"item catalog exceeds the $CATALOG_BROADCAST_MAX-item broadcast " +
+          "ceiling; use negativeSampleScalableFrom, which switches to the " +
+          "distributed join formulation past the threshold")
+    }
 
   /** Per-(user, domain) sampler input / sampled output rows. */
   final case class PosIn(user_id: Long, domain: String, pos: Array[Long])
@@ -270,12 +280,14 @@ object Splits {
   def negativeSampleScalableFrom(inter: DataFrame, draws: Int = 160,
       userFilter: Column = lit(true),
       maxBroadcastItems: Long = CATALOG_BROADCAST_MAX): DataFrame = {
-    val items = distinctItems(inter)
-    if (items.count() > maxBroadcastItems)
-      return negativeSampleScalableDistributedFrom(inter, draws, userFilter)
+    val catalog =
+      collectCatalogCapped(distinctItems(inter), maxBroadcastItems) match {
+        case None => // catalog past the broadcast ceiling
+          return negativeSampleScalableDistributedFrom(inter, draws, userFilter)
+        case Some(c) => c
+      }
     import inter.sparkSession.implicits._
-    val bcItems = inter.sparkSession.sparkContext.broadcast(
-      collectCatalog(items))
+    val bcItems = inter.sparkSession.sparkContext.broadcast(catalog)
     userPositives(inter, userFilter)
       .select("user_id", "domain", "pos").as[PosIn]
       .mapPartitions { it =>
