@@ -143,6 +143,32 @@ object EventQueries {
         .orderBy("win_start", "event_type")
     },
 
+    // ---- streaming exact dedup: the ingest-dedup operator an
+    //      at-least-once 100 TB pipeline needs. The source is DOUBLED
+    //      (union of two scans — real duplicate rows), then watermarked
+    //      dropDuplicates must collapse the stream back to exactly the
+    //      batch relation: the oracle aggregates the SINGLE events table,
+    //      so any missed or over-dropped duplicate breaks the hash.
+    //      Dedup state is bounded by the watermark (ts in the dedup key),
+    //      which is what keeps this runnable on an unbounded stream. ----
+    "q_stream_dedup" -> QueryDef(
+      """SELECT event_type, COUNT(*) AS n,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY event_type
+        |ORDER BY event_type""".stripMargin) { (spark, d) =>
+      val doubled = graft.streaming.EventsStream.readEventsStream(spark, d)
+        .unionAll(graft.streaming.EventsStream.readEventsStream(spark, d))
+      val agg = doubled
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates("event_id", "ts")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(M)), 2).cast("double").as("sum_value"))
+      graft.streaming.EventsStream.runBounded(agg, "q_stream_dedup_sink")
+        .orderBy("event_type")
+    },
+
     // ---- best-metric argmax selection (A7, main_my.py:302-320): the
     //      reference keeps the FIRST epoch that strictly improves each
     //      metric; row_number with (metric DESC, epoch ASC) reproduces

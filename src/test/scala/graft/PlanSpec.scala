@@ -57,4 +57,25 @@ class PlanSpec extends SparkSpec {
     val p = plan("q2_top_orders")
     assert(p.contains("TakeOrderedAndProject"))
   }
+
+  test("q_set_ops is one lazy plan, not precomputed literals") {
+    // the r2 builder ran three .count() actions and returned the scalars
+    // as a LocalTableScan; the plan must instead union three aggregates
+    // fed by real table scans
+    val p = plan("q_set_ops")
+    assert(p.contains("Union"), "expected one union of three aggregates")
+    assert(!p.contains("LocalTableScan"),
+      "results must not be precomputed driver-side literals")
+    assert("Scan parquet".r.findAllIn(p).size >= 4,
+      "the four input tables must appear as scans in the plan")
+  }
+
+  test("salted join spreads the dim across salts and stays a single shuffle shape") {
+    val p = plan("q_salted_agg")
+    // the exploded dim side must appear (generator) and the salt column
+    // must participate in the join
+    assert(p.toLowerCase.contains("explode") || p.contains("Generate"),
+      "salt explode missing from dim side")
+    assert(p.contains("_salt"), "salt key missing from join")
+  }
 }

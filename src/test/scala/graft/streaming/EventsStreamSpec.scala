@@ -97,6 +97,21 @@ class EventsStreamSpec extends SparkSpec {
       .sameElements(Array(1L, 2L, 3L)))
   }
 
+  test("streaming dedup collapses a doubled source to the batch relation") {
+    import org.apache.spark.sql.functions._
+    val streamed = graft.SparkEntry.defs("q_stream_dedup").build(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val batch = graft.Tables.events(spark, sf())
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 3))), 2)
+          .cast("double").as("sum_value"))
+      .orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+  }
+
   test("mapGroupsWithState sessionizer carries closed-session count across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
