@@ -66,8 +66,7 @@ object Lifecycle {
     * bytes survive the checkpoint round-trip).
     */
   def epochWeights(epoch: Int): Map[String, Array[Array[Double]]] = {
-    def rat(parts: String*): Double =
-      ((score.Scorer.h60Local(parts: _*) % 2001L) - 1000L) / 1000.0
+    import score.Scorer.rat
     Map(
       "W" -> Array.tabulate(score.Scorer.K, score.Scorer.K)(
         (i, j) => rat(s"epoch$epoch", "w", i.toString, j.toString)),

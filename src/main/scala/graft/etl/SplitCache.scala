@@ -24,20 +24,31 @@ object SplitCache {
     * Cache validity = the `_SUCCESS` marker, not bare path existence: a
     * crashed partial write leaves a directory without the marker, and
     * treating that as authoritative would silently poison every later
-    * run. An incomplete directory is recomputed with mode("overwrite").
-    * Two racing FIRST writers can both pass the check — both then write
-    * the identical deterministic bytes (seeded h60 order), so the last
-    * committed write is still correct; on a real DFS the commit protocol
-    * makes each write atomic at the `_SUCCESS` rename.
+    * run. Recovery never overwrites in place — the recompute lands in a
+    * sibling temp directory and is RENAMED over the (absent or partial)
+    * destination, so a COMMITTED directory is never deleted out from
+    * under a concurrent reader: a racing writer whose rename loses finds
+    * the destination complete and just discards its temp output.
     */
   def writeOnce(spark: SparkSession, df: => DataFrame, path: String): DataFrame = {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sessionState.newHadoopConf())
+    def complete = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     // completeness check BEFORE touching df: a cache hit must not even
     // build the recompute plan (mirrors the reference's `if exists: load`
     // gate, Dataset_CDAE.py:92-93)
-    val complete = fs.exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
-    if (!complete) df.write.mode("overwrite").parquet(path)
+    if (!complete) {
+      val tmp = new org.apache.hadoop.fs.Path(
+        p.getParent, s".${p.getName}.__tmp.${java.util.UUID.randomUUID}")
+      df.write.mode("overwrite").parquet(tmp.toString)
+      // only a PARTIAL destination (no marker) is ever deleted; if a
+      // racing writer committed meanwhile, or our rename loses the race,
+      // their identical deterministic bytes win and we discard the temp
+      if (!complete) {
+        if (fs.exists(p)) fs.delete(p, true)
+        if (!fs.rename(tmp, p) && fs.exists(tmp)) fs.delete(tmp, true)
+      } else fs.delete(tmp, true)
+    }
     spark.read.parquet(path)
   }
 

@@ -106,6 +106,13 @@ object IvfQueries {
           .select(col("vec_id"), expr(
             "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
             .as("e")).as[(Long, Array[Long])].collect()
+      // empty training slice → no centroids → no assignments: the oracle
+      // CTEs produce the same empty relation, so mirror it instead of
+      // crashing on .head
+      if (trainCorpus.isEmpty)
+        spark.emptyDataset[(Long, Long, Double, Int)]
+          .toDF("query_id", "vec_id", "cos", "rn")
+      else {
       val trainMap = trainCorpus.toMap
       val dim = trainCorpus.head._2.length
 
@@ -163,5 +170,6 @@ object IvfQueries {
         .filter(col("rn") <= TOP_K)
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rn"))
         .orderBy("query_id", "rn")
+      }
     })
 }

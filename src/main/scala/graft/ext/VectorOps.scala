@@ -79,9 +79,16 @@ object VectorOps {
     */
   val CORPUS_BROADCAST_MAX: Long = 10000000L
 
-  /** Corpus row count (one parquet metadata-only job). */
+  /** Corpus row count, memoized per scale dir — four similarity queries
+    * would otherwise each launch an identical count job per build (the
+    * test tables are immutable for a session; a changed dir means a new
+    * path and therefore a new cache key).
+    */
   def corpusSize(spark: SparkSession, sfDir: String): Long =
-    Tables.embeddings(spark, sfDir).count()
+    sizeCache.getOrElseUpdate(sfDir, Tables.embeddings(spark, sfDir).count())
+
+  private val sizeCache =
+    new scala.collection.concurrent.TrieMap[String, Long]
 
   /** Pair cosines, choosing the formulation by corpus size: broadcast
     * fast path under [[CORPUS_BROADCAST_MAX]] vectors, distributed join

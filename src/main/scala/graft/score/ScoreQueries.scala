@@ -46,8 +46,10 @@ object ScoreQueries {
          |${perItem.mkString("", "\nUNION ALL\n", "")}
          |ORDER BY user_id, item_j""".stripMargin
     }) { (spark, d) =>
-      val ckpt = new java.io.File(
-        "target/checkpoints/q_checkpoint_score").getAbsolutePath
+      // unique per-build dir: a shared fixed path would race
+      // delete-vs-read when two JVMs (verify + bench) build concurrently
+      val ckpt = java.nio.file.Files
+        .createTempDirectory("graft_ckpt").resolve("weights").toString
       Checkpoint.save(spark, ckpt,
         Map("W" -> Scorer.weightsW, "E" -> Scorer.itemVecs))
       val loaded = Checkpoint.load(spark, ckpt)

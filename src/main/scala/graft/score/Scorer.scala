@@ -35,8 +35,10 @@ object Scorer {
     java.lang.Long.parseLong(hex.substring(0, 15), 16)
   }
 
-  /** Deterministic rational in [-1, 1] with 3 decimal digits. */
-  private def rat(parts: String*): Double = ((h60Local(parts: _*) % 2001L) - 1000L) / 1000.0
+  /** Deterministic rational in [-1, 1] with 3 decimal digits — the one
+    * weight-quantization formula (Lifecycle.epochWeights reuses it).
+    */
+  def rat(parts: String*): Double = ((h60Local(parts: _*) % 2001L) - 1000L) / 1000.0
 
   /** k×k first-layer weights W, row-major. */
   def weightsW: Array[Array[Double]] =
