@@ -110,6 +110,17 @@ object ScoreQueries {
         .orderBy("user_id", "item_j")
     },
 
+    // ---- orthogonal-constraint reconstruction loss (model_my.py:66-70):
+    //      reg = ||h − (h·W)·Wᵀ||₁ per user and direction — the last
+    //      forward-pass output of the reference model ----
+    "q_orth_reg_loss" -> QueryDef(
+      Scorer.duckOrthRegSql(userSlice)) { (spark, d) =>
+      val users = Tables.orders(spark, d)
+        .filter(expr(userSlice))
+        .select(col("o_custkey").as("user_id")).distinct()
+      Scorer.orthRegLoss(spark, users).orderBy("user_id")
+    },
+
     // ---- BCE-with-logits as an aggregable expression (A8, main_my.py:225-228) ----
     "q_sigmoid_bce" -> QueryDef({
       val h = Hashing.duckH60("l_orderkey", "l_linenumber", "'bce'")

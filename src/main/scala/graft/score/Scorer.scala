@@ -194,6 +194,62 @@ object Scorer {
        |FROM (SELECT user_id, $hs FROM (SELECT user_id, $us FROM score_users))""".stripMargin
   }
 
+  /** Orthogonal-constraint reconstruction loss (model_my.py:66-70):
+    * reg_x = ‖h − (h·W)·Wᵀ‖₁ and reg_y = ‖h − (h·Wᵀ)·W‖₁ per user —
+    * the penalty that pushes the shared map toward orthogonality. Row
+    * convention: h·W = matVec(Wᵀ, h).
+    */
+  def orthRegLoss(spark: SparkSession, users: DataFrame): DataFrame = {
+    import spark.implicits._
+    val w = orthW
+    val wt = transpose(w)
+    users.select(col("user_id").cast("long")).as[Long]
+      .mapPartitions { it =>
+        it.map { uid =>
+          val h = matVec(weightsW, userVec(uid)).map(math.max(0.0, _))
+          def l1(a: Array[Double], b: Array[Double]): Double = {
+            var s = 0.0
+            var i = 0
+            while (i < a.length) { s += math.abs(a(i) - b(i)); i += 1 }
+            s
+          }
+          // matVec(wt, h) = h·W; mapping back via ·Wᵀ = matVec(w, _)
+          val mx = matVec(wt, h)
+          val my = matVec(w, h)
+          (uid,
+            round6pos(l1(h, matVec(w, mx))),
+            round6pos(l1(h, matVec(wt, my))))
+        }
+      }
+      .toDF("user_id", "reg_x", "reg_y")
+  }
+
+  private def round6pos(s: Double): Double = math.floor(s * 1e6 + 0.5) / 1e6
+
+  /** Oracle SQL replaying [[orthRegLoss]]: u → h → (mx, my) → (bx, by) →
+    * L1 distances, all in the same ascending association order.
+    */
+  def duckOrthRegSql(userWhere: String): String = {
+    val us = (0 until K).map(jj => s"${duckUserVecExpr(jj)} AS u$jj").mkString(", ")
+    val hs = duckMatVecSelect(weightsW, "u", "h", relu = true)
+    val hKeep = (0 until K).map(i => s"h$i").mkString(", ")
+    val maps = duckMatVecSelect(transpose(orthW), "h", "mx", relu = false) + ", " +
+      duckMatVecSelect(orthW, "h", "my", relu = false)
+    val backs = duckMatVecSelect(orthW, "mx", "bx", relu = false) + ", " +
+      duckMatVecSelect(transpose(orthW), "my", "by", relu = false)
+    val regX = (0 until K).map(i => s"abs(h$i - bx$i)").mkString(" + ")
+    val regY = (0 until K).map(i => s"abs(h$i - by$i)").mkString(" + ")
+    s"""WITH score_users AS (
+       |  SELECT DISTINCT o_custkey AS user_id FROM orders WHERE $userWhere
+       |), mapped AS (
+       |  SELECT user_id, $hKeep, $backs FROM (
+       |    SELECT user_id, $hKeep, $maps FROM (
+       |      SELECT user_id, $hs FROM (SELECT user_id, $us FROM score_users))))
+       |SELECT user_id, round($regX, 6) AS reg_x, round($regY, 6) AS reg_y
+       |FROM mapped
+       |ORDER BY user_id""".stripMargin
+  }
+
   /** SELECT-list text for out_i = Σ_j m(i)(j)·in_j (optionally ReLU'd),
     * same ascending-j association as [[matVec]].
     */
