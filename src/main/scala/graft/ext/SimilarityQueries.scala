@@ -53,17 +53,43 @@ object SimilarityQueries {
        |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS bi) f
        |)""".stripMargin
 
+  /** Hyperplane coefficients, JVM twin of the planes CTE:
+    * c(j)(i-1) = h60("j:i:plane") % 2001 − 1000.
+    */
+  private lazy val planeMatrix: Array[Array[Long]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(NUM_PLANES, VectorOps.DIM)((j, i0) =>
+      Hashing.h60Jvm(md, s"$j:${i0 + 1}:plane") % 2001 - 1000)
+  }
+
+  /** (vec_id, sig): 8-bit hyperplane signatures in ONE narrow pass — the
+    * dot products run per row against the closure-captured 8×64 plane
+    * matrix. The first formulation exploded elems ⋈ planes (25M rows at
+    * sf0.1) through two shuffled aggregates for the same integer dots;
+    * signatures are embarrassingly parallel and must never shuffle.
+    */
   private def sparkSigs(spark: org.apache.spark.sql.SparkSession, d: String) = {
-    val planes = spark.range(NUM_PLANES).select(col("id").as("j"))
-      .crossJoin(spark.range(1, VectorOps.DIM + 1).select(col("id").as("i")))
-      .select(col("j"), col("i"),
-        (Hashing.h60(col("j"), col("i"), lit("plane")) % 2001 - 1000).as("c"))
-    VectorOps.elems(spark, d)
-      .join(broadcast(planes), "i")
-      .groupBy("vec_id", "j")
-      .agg(when(sum(col("e") * col("c")) > 0, 1L).otherwise(0L).as("b"))
-      .groupBy("vec_id")
-      .agg(sum(expr("shiftleft(b, j)")).as("sig"))
+    import spark.implicits._
+    val planes = planeMatrix
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("e")).as[(Long, Array[Long])]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.map { case (v, e) =>
+          var sig = 0L
+          var j = 0
+          while (j < NUM_PLANES) {
+            var dot = 0L
+            var i = 0
+            while (i < e.length) { dot += e(i) * planes(j)(i); i += 1 }
+            if (dot > 0) sig |= 1L << j
+            j += 1
+          }
+          (v, sig)
+        }
+      }.toDF("vec_id", "sig")
   }
 
   /** Brute-force top-k, corpus-size aware: under `maxBroadcast` vectors
