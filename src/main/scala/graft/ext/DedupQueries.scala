@@ -73,6 +73,50 @@ object DedupQueries {
        |  WHERE round(CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni), 6) >= $minJac
        |)""".stripMargin
 
+  /** (doc_id, band, sig) MinHash band signatures in ONE narrow pass:
+    * per document, shingle-set dedup + all NUM_HASH mins + band strings
+    * happen in-memory inside mapPartitions. The first formulation ran
+    * the same integer math as distinct-shuffle → ×NUM_HASH explode →
+    * two hash aggregates (3 shuffles of shingle-scale rows; 5.1s → 1.3s
+    * at sf0.1). Bit-identical to the mh/bands oracle CTEs: h60("sh:j")
+    * mins over the distinct shingle set, comma-joined ascending j.
+    */
+  private def minhashBands(spark: SparkSession, d: String, k: Int): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select("doc_id", "text").as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        val utf8 = java.nio.charset.StandardCharsets.UTF_8
+        val empty = Array.emptyByteArray
+        it.flatMap { case (docId, text) =>
+          val w = text.split(" ", -1)
+          val seen = new java.util.HashSet[String]
+          val mins = Array.fill(NUM_HASH)(Long.MaxValue)
+          var s = 0
+          while (s + k <= w.length) {
+            val sh = w.slice(s, s + k).mkString(" ")
+            if (seen.add(sh)) {
+              val prefix = (sh + ":").getBytes(utf8)
+              var j = 0
+              while (j < NUM_HASH) {
+                val h = Hashing.h60JvmParts(md, prefix, j.toString, empty)
+                if (h < mins(j)) mins(j) = h
+                j += 1
+              }
+            }
+            s += 1
+          }
+          // shingle-less docs have no mh rows in the oracle either
+          if (seen.isEmpty) Iterator.empty
+          else (0 until NUM_HASH / BAND_ROWS).iterator.map { b =>
+            (docId, b,
+              (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(mins).mkString(","))
+          }
+        }
+      }.toDF("doc_id", "band", "sig")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: re-ingest scenario, keep min doc_id per content hash ----
@@ -125,16 +169,8 @@ object DedupQueries {
          |), ${duckJaccardVerify(MINHASH_JAC)}
          |SELECT doc_a, doc_b, ni, jac FROM verified
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
-      val sh = TextOps.wordShingles(spark, d, 5)
-      val mh = sh
-        .withColumn("j", explode(sequence(lit(0), lit(NUM_HASH - 1))))
-        .groupBy("doc_id", "j")
-        .agg(min(Hashing.h60(col("sh"), col("j"))).as("mh"))
-      val bands = mh
-        .groupBy(col("doc_id"), (col("j") / BAND_ROWS).cast("int").as("band"))
-        .agg(array_join(
-          expr("transform(array_sort(collect_list(struct(j, mh))), s -> cast(s.mh as string))"),
-          ",").as("sig"))
+      val sh = TextOps.wordShingles(spark, d, 5) // verify pass input
+      val bands = minhashBands(spark, d, 5)
       val cand = bands.as("a")
         .join(bands.as("b"),
           col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
