@@ -117,6 +117,47 @@ object DedupQueries {
       }.toDF("doc_id", "band", "sig")
   }
 
+  /** (doc_id, simhash, bi, blk) SimHash byte blocks in ONE narrow pass —
+    * same fusion as [[minhashBands]]: bigram set, per-bit ±1 sums, sign
+    * bits and the 4 byte blocks per document, all in-memory. Replaces a
+    * 32-way bit explosion through two hash aggregates; bit-identical to
+    * the th/bits/sim/blocks oracle CTEs.
+    */
+  private def simhashBlocks(spark: SparkSession, d: String): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, d).select("doc_id", "text").as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, text) =>
+          val w = text.split(" ", -1)
+          val seen = new java.util.HashSet[String]
+          val sums = new Array[Int](SIMHASH_BITS)
+          var s = 0
+          while (s + 2 <= w.length) {
+            val sh = w(s) + " " + w(s + 1)
+            if (seen.add(sh)) {
+              val h = Hashing.h60Jvm(md, sh)
+              var j = 0
+              while (j < SIMHASH_BITS) {
+                sums(j) += (if (((h >> j) & 1L) == 1L) 1 else -1)
+                j += 1
+              }
+            }
+            s += 1
+          }
+          if (seen.isEmpty) Iterator.empty
+          else {
+            var sim = 0L
+            var j = 0
+            while (j < SIMHASH_BITS) { if (sums(j) > 0) sim |= 1L << j; j += 1 }
+            (0 until 4).iterator.map(bi =>
+              (docId, sim, bi, (sim >> (8 * bi)) & 255L))
+          }
+        }
+      }.toDF("doc_id", "simhash", "bi", "blk")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- exact dedup: re-ingest scenario, keep min doc_id per content hash ----
@@ -210,19 +251,7 @@ object DedupQueries {
          |FROM pairs
          |WHERE bit_count(xor(sim_a, sim_b)) <= $MAX_HAMMING
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
-      val th = TextOps.wordShingles(spark, d, 2)
-        .select(col("doc_id"), Hashing.h60(col("sh")).as("h"))
-      val bits = th
-        .withColumn("j", explode(sequence(lit(0), lit(SIMHASH_BITS - 1))))
-        .groupBy("doc_id", "j")
-        .agg(when(sum(when(expr("(shiftright(h, j) % 2) = 1"), 1).otherwise(-1)) > 0, 1L)
-          .otherwise(0L).as("b"))
-      val sim = bits.groupBy("doc_id")
-        .agg(sum(expr("shiftleft(b, j)")).as("simhash"))
-      val blocks = sim
-        .withColumn("bi", explode(sequence(lit(0), lit(3))))
-        .select(col("doc_id"), col("simhash"), col("bi"),
-          expr("shiftright(simhash, 8 * bi) % 256").as("blk"))
+      val blocks = simhashBlocks(spark, d)
       blocks.as("a")
         .join(blocks.as("b"),
           col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") &&
