@@ -77,8 +77,8 @@ object DedupQueries {
     * per document, shingle-set dedup + all NUM_HASH mins + band strings
     * happen in-memory inside mapPartitions. The first formulation ran
     * the same integer math as distinct-shuffle → ×NUM_HASH explode →
-    * two hash aggregates (3 shuffles of shingle-scale rows; 5.1s → 1.3s
-    * at sf0.1). Bit-identical to the mh/bands oracle CTEs: h60("sh:j")
+    * two hash aggregates (3 shuffles of shingle-scale rows; 5.1s → 1.7s
+    * warm at sf0.1). Bit-identical to the mh/bands oracle CTEs: h60("sh:j")
     * mins over the distinct shingle set, comma-joined ascending j.
     */
   private def minhashBands(spark: SparkSession, d: String, k: Int): DataFrame = {
@@ -90,6 +90,8 @@ object DedupQueries {
         val utf8 = java.nio.charset.StandardCharsets.UTF_8
         val empty = Array.emptyByteArray
         it.flatMap { case (docId, text) =>
+          // null text → no shingle rows in the oracle (string_split(NULL))
+          if (text == null) Iterator.empty else {
           val w = text.split(" ", -1)
           val seen = new java.util.HashSet[String]
           val mins = Array.fill(NUM_HASH)(Long.MaxValue)
@@ -113,6 +115,7 @@ object DedupQueries {
             (docId, b,
               (b * BAND_ROWS until (b + 1) * BAND_ROWS).map(mins).mkString(","))
           }
+          }
         }
       }.toDF("doc_id", "band", "sig")
   }
@@ -130,6 +133,8 @@ object DedupQueries {
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
         it.flatMap { case (docId, text) =>
+          // null text → no shingle rows in the oracle (string_split(NULL))
+          if (text == null) Iterator.empty else {
           val w = text.split(" ", -1)
           val seen = new java.util.HashSet[String]
           val sums = new Array[Int](SIMHASH_BITS)
@@ -153,6 +158,7 @@ object DedupQueries {
             while (j < SIMHASH_BITS) { if (sums(j) > 0) sim |= 1L << j; j += 1 }
             (0 until 4).iterator.map(bi =>
               (docId, sim, bi, (sim >> (8 * bi)) & 255L))
+          }
           }
         }
       }.toDF("doc_id", "simhash", "bi", "blk")

@@ -77,17 +77,22 @@ object SimilarityQueries {
         .as("e")).as[(Long, Array[Long])]
       .repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
-        it.map { case (v, e) =>
-          var sig = 0L
-          var j = 0
-          while (j < NUM_PLANES) {
-            var dot = 0L
-            var i = 0
-            while (i < e.length) { dot += e(i) * planes(j)(i); i += 1 }
-            if (dot > 0) sig |= 1L << j
-            j += 1
+        // null/empty embeddings produce no elems rows in the oracle CTE
+        // (and in the join formulation this replaced) — emit no sig
+        it.flatMap { case (v, e) =>
+          if (e == null || e.isEmpty) Iterator.empty
+          else {
+            var sig = 0L
+            var j = 0
+            while (j < NUM_PLANES) {
+              var dot = 0L
+              var i = 0
+              while (i < e.length) { dot += e(i) * planes(j)(i); i += 1 }
+              if (dot > 0) sig |= 1L << j
+              j += 1
+            }
+            Iterator.single((v, sig))
           }
-          (v, sig)
         }
       }.toDF("vec_id", "sig")
   }

@@ -203,10 +203,11 @@ object Scorer {
     import spark.implicits._
     val w = orthW
     val wt = transpose(w)
+    val ww = weightsW // loop-invariant: 64 md5s, never per user
     users.select(col("user_id").cast("long")).as[Long]
       .mapPartitions { it =>
         it.map { uid =>
-          val h = matVec(weightsW, userVec(uid)).map(math.max(0.0, _))
+          val h = matVec(ww, userVec(uid)).map(math.max(0.0, _))
           def l1(a: Array[Double], b: Array[Double]): Double = {
             var s = 0.0
             var i = 0
@@ -217,14 +218,12 @@ object Scorer {
           val mx = matVec(wt, h)
           val my = matVec(w, h)
           (uid,
-            round6pos(l1(h, matVec(w, mx))),
-            round6pos(l1(h, matVec(wt, my))))
+            round6(l1(h, matVec(w, mx))),
+            round6(l1(h, matVec(wt, my))))
         }
       }
       .toDF("user_id", "reg_x", "reg_y")
   }
-
-  private def round6pos(s: Double): Double = math.floor(s * 1e6 + 0.5) / 1e6
 
   /** Oracle SQL replaying [[orthRegLoss]]: u → h → (mx, my) → (bx, by) →
     * L1 distances, all in the same ascending association order.
