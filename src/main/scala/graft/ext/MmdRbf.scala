@@ -58,21 +58,104 @@ object MmdRbf {
     kmean(a, a) + kmean(b, b) - 2.0 * kmean(a, b)
   }
 
+  /** Oracle-parity formulation: fixed-point vectors (the engine's ×1e7
+    * grid), per-pair kernel values ROUNDED to integers at 1e-9 so the
+    * block sums are association-free in both engines, and a deterministic
+    * `vec_id % SLICE_MOD` sample per label — the minibatch the reference
+    * computes MMD over. The only floating-point steps are exp() and the
+    * final estimator divisions, both mirrored op-for-op in the SQL; a
+    * ±1-ulp exp() disagreement moves an integer kernel sum by at most a
+    * few 1e-9 units, absorbed by the 6-decimal output rounding.
+    */
+  val SLICE_MOD = 20
+  val KSCALE = 1e9
+
+  /** Integer kernel-block sum Σ_pairs round(K(x,y)·1e9) over fixed-point
+    * row sets (ordered pairs, diagonal included — the biased estimator).
+    */
+  def kernelSumScaled(a: Array[Array[Long]], b: Array[Array[Long]]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < b.length) {
+        val x = a(i); val y = b(j)
+        var d2 = 0L
+        var t = 0
+        while (t < x.length) { val d = x(t) - y(t); d2 += d * d; t += 1 }
+        val dd = d2.toDouble / 1e14
+        var k = 0.0
+        var g = 0
+        while (g < GAMMAS.length) { k += math.exp(-(GAMMAS(g) * dd)); g += 1 }
+        s += math.floor(k * KSCALE + 0.5).toLong
+        j += 1
+      }
+      i += 1
+    }
+    s
+  }
+
+  private def duckKernExpr: String =
+    GAMMAS.map(g =>
+      s"exp(-($g * (CAST(dd AS DOUBLE) / 100000000000000.0)))")
+      .mkString("round((", " + ", s") * ${KSCALE.toLong}.0)")
+
   val defs: Map[String, QueryDef] = Map(
-    "q_mmd_rbf" -> QueryDef.noOracle { (spark, d) =>
+    "q_mmd_rbf" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte},
+         |sel AS (
+         |  SELECT * FROM elems WHERE vec_id % $SLICE_MOD = 0
+         |), d2 AS (
+         |  SELECT a.vec_id AS va, b.vec_id AS vb,
+         |         MIN(a.label) AS la, MIN(b.label) AS lb,
+         |         CAST(SUM((a.e - b.e) * (a.e - b.e)) AS BIGINT) AS dd
+         |  FROM sel a JOIN sel b ON a.i = b.i
+         |  GROUP BY a.vec_id, b.vec_id
+         |), kern AS (
+         |  SELECT la, lb, CAST($duckKernExpr AS BIGINT) AS ks FROM d2
+         |), sums AS (
+         |  SELECT la, lb, CAST(SUM(ks) AS BIGINT) AS s FROM kern GROUP BY la, lb
+         |), counts AS (
+         |  SELECT label, COUNT(DISTINCT vec_id) AS n FROM sel GROUP BY label
+         |)
+         |SELECT c1.label AS label_a, c2.label AS label_b,
+         |  round((CAST(sxx.s AS DOUBLE) / (c1.n * c1.n)
+         |       + CAST(syy.s AS DOUBLE) / (c2.n * c2.n)
+         |       - 2 * CAST(sxy.s AS DOUBLE) / (c1.n * c2.n))
+         |       / ${KSCALE.toLong}.0, 6) AS mmd2_rbf
+         |FROM counts c1 JOIN counts c2 ON c1.label <= c2.label
+         |JOIN sums sxx ON sxx.la = c1.label AND sxx.lb = c1.label
+         |JOIN sums syy ON syy.la = c2.label AND syy.lb = c2.label
+         |JOIN sums sxy ON sxy.la = c1.label AND sxy.lb = c2.label
+         |ORDER BY label_a, label_b""".stripMargin) { (spark, d) =>
       import spark.implicits._
-      val mats = Tables.embeddings(spark, d)
+      val mats: Map[Int, Array[Array[Long]]] = Tables.embeddings(spark, d)
+        .filter(expr(s"vec_id % $SLICE_MOD = 0"))
         .select(col("label"), expr(
-          "transform(embedding, x -> cast(x as double))").as("e"))
-        .as[(Int, Array[Double])].collect()
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+          .as("e"))
+        .as[(Int, Array[Long])].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val bc = spark.sparkContext.broadcast(mats)
       val labels = mats.keys.toSeq.sorted
       val pairs = for (a <- labels; b <- labels if a <= b) yield (a, b)
       spark.createDataset(pairs)
         .map { case (a, b) =>
-          (a, b, BigDecimal(mmd2(bc.value(a), bc.value(b)))
-            .setScale(9, BigDecimal.RoundingMode.HALF_UP).toDouble)
+          val (ma, mb) = (bc.value(a), bc.value(b))
+          val (nx, ny) = (ma.length.toLong, mb.length.toLong)
+          val v =
+            if (a == b) 0.0 // x + x − 2x is exactly 0 in IEEE; skip O(n²)
+            else {
+              val sxx = kernelSumScaled(ma, ma)
+              val syy = kernelSumScaled(mb, mb)
+              val sxy = kernelSumScaled(ma, mb)
+              // op-for-op mirror of the oracle's estimator expression
+              val raw = (sxx.toDouble / (nx * nx)
+                + syy.toDouble / (ny * ny)
+                - 2 * sxy.toDouble / (nx * ny)) / KSCALE
+              math.floor(raw * 1e6 + 0.5) / 1e6
+            }
+          (a, b, v)
         }
         .toDF("label_a", "label_b", "mmd2_rbf")
         .orderBy("label_a", "label_b")

@@ -31,8 +31,11 @@ class MmdRbfSpec extends SparkSpec {
   }
 
   test("query emits one row per unordered label pair incl. self") {
+    import org.apache.spark.sql.functions.col
     val rows = graft.SparkEntry.defs("q_mmd_rbf").build(spark, sf()).collect()
+    // labels present in the query's deterministic minibatch slice
     val labels = spark.read.parquet(sf() + "/embeddings.parquet")
+      .filter(col("vec_id") % MmdRbf.SLICE_MOD === 0)
       .select("label").distinct().count().toInt
     assert(rows.length == labels * (labels + 1) / 2)
     rows.foreach { r =>
