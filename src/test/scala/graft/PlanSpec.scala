@@ -70,6 +70,19 @@ class PlanSpec extends SparkSpec {
       "the four input tables must appear as scans in the plan")
   }
 
+  test("fused signature passes are narrow mapPartitions, shuffle-bounded") {
+    // the signature computations must stay fused per-row passes — a
+    // regression to the exploded-join formulations shows up as extra
+    // exchanges (r3 baselines: lsh 5, minhash 10, simhash 4)
+    for ((q, maxEx) <- Seq(("q_sim_lsh", 6), ("q_dedup_minhash", 11),
+        ("q_dedup_simhash", 5))) {
+      val p = plan(q)
+      assert(p.contains("MapPartitions"), s"$q: fused signature stage missing")
+      val ex = """\(\d+\) Exchange""".r.findAllIn(p).size
+      assert(ex <= maxEx, s"$q shuffle count regressed: $ex > $maxEx")
+    }
+  }
+
   test("salted join spreads the dim across salts and stays a single shuffle shape") {
     val p = plan("q_salted_agg")
     // the exploded dim side must appear (generator) and the salt column
