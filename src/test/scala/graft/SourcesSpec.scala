@@ -30,6 +30,14 @@ class SourcesSpec extends SparkSpec {
     assert(checksum(back) == checksum(base))
   }
 
+  test("orc round-trip preserves the relation") {
+    val dir = java.nio.file.Files.createTempDirectory("srcorc").toString
+    base.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.count() == base.count())
+    assert(checksum(back) == checksum(base))
+  }
+
   test("json round-trip preserves the relation") {
     val dir = java.nio.file.Files.createTempDirectory("srcjson").toString
     base.write.mode("overwrite").json(dir)

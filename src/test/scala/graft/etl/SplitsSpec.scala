@@ -106,5 +106,12 @@ class SplitsSpec extends SparkSpec {
       maxBroadcastItems = 0))
     assert(viaJoin.nonEmpty)
     assert(viaJoin.sameElements(viaBroadcast))
+    // user slicing must not change any sampled user's rows on either path
+    val f = col("user_id") === 1L
+    val slicedB = rows(Splits.negativeSampleScalableFrom(fixture, 8, f))
+    val slicedJ = rows(Splits.negativeSampleScalableFrom(fixture, 8, f,
+      maxBroadcastItems = 0))
+    assert(slicedB.sameElements(viaBroadcast.filter(_._1 == 1L)))
+    assert(slicedJ.sameElements(slicedB))
   }
 }
