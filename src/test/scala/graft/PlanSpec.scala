@@ -14,6 +14,12 @@ class PlanSpec extends SparkSpec {
     SparkEntry.defs(name).build(spark, sf())
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
 
+  /** Shuffle-exchange count in a formatted plan: nodes print as
+    * "(n) Exchange" ("(n) BroadcastExchange" intentionally excluded).
+    */
+  private def shuffles(p: String): Int =
+    """\(\d+\) Exchange""".r.findAllIn(p).size
+
   test("q1: shipdate predicate and column pruning reach the parquet scan") {
     val p = plan("q1_pricing_summary")
     assert(p.contains("LessThanOrEqual(l_shipdate"), "filter not pushed to scan")
@@ -48,7 +54,7 @@ class PlanSpec extends SparkSpec {
     val p = plan("q_neg_sample_scalable")
     // exchanges: the userPositives hash aggregate + the final sort/agg
     // pair — the r1 formulation had 4 shuffles of drawn rows in between
-    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    val exchanges = shuffles(p)
     assert(exchanges <= 3, s"sampler shuffle count regressed: $exchanges\n")
     assert(p.contains("MapPartitions"), "imperative sampler stage missing")
   }
@@ -78,7 +84,7 @@ class PlanSpec extends SparkSpec {
         ("q_dedup_simhash", 5))) {
       val p = plan(q)
       assert(p.contains("MapPartitions"), s"$q: fused signature stage missing")
-      val ex = """\(\d+\) Exchange""".r.findAllIn(p).size
+      val ex = shuffles(p)
       assert(ex <= maxEx, s"$q shuffle count regressed: $ex > $maxEx")
     }
   }

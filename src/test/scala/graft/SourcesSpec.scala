@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -12,41 +13,39 @@ class SourcesSpec extends SparkSpec {
   private lazy val base = Tables.orders(spark, sf())
     .select("o_orderkey", "o_custkey", "o_totalprice", "o_orderpriority")
 
-  private def checksum(df: org.apache.spark.sql.DataFrame): Long =
+  private val schema = StructType(Seq(
+    StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
+    StructField("o_totalprice", DoubleType),
+    StructField("o_orderpriority", StringType)))
+
+  private def checksum(df: DataFrame): Long =
     // bit_xor: order-independent and overflow-free (ANSI mode rejects a
     // plain SUM of 64-bit hashes)
     df.agg(expr("bit_xor(xxhash64(o_orderkey, o_custkey, o_totalprice, " +
       "o_orderpriority))")).collect().head.getLong(0)
 
-  test("csv round-trip preserves the relation") {
-    val dir = java.nio.file.Files.createTempDirectory("srccsv").toString
-    base.write.mode("overwrite").option("header", "true").csv(dir)
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
-      StructField("o_totalprice", DoubleType),
-      StructField("o_orderpriority", StringType)))
-    val back = spark.read.schema(schema).option("header", "true").csv(dir)
+  private def assertRoundTrip(tag: String)(write: String => Unit)(
+      read: String => DataFrame): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory(tag).toString
+    write(dir)
+    val back = read(dir)
     assert(back.count() == base.count())
     assert(checksum(back) == checksum(base))
+  }
+
+  test("csv round-trip preserves the relation") {
+    assertRoundTrip("srccsv") {
+      base.write.mode("overwrite").option("header", "true").csv(_)
+    }(spark.read.schema(schema).option("header", "true").csv(_))
   }
 
   test("orc round-trip preserves the relation") {
-    val dir = java.nio.file.Files.createTempDirectory("srcorc").toString
-    base.write.mode("overwrite").orc(dir)
-    val back = spark.read.orc(dir)
-    assert(back.count() == base.count())
-    assert(checksum(back) == checksum(base))
+    assertRoundTrip("srcorc")(base.write.mode("overwrite").orc(_))(
+      spark.read.orc(_))
   }
 
   test("json round-trip preserves the relation") {
-    val dir = java.nio.file.Files.createTempDirectory("srcjson").toString
-    base.write.mode("overwrite").json(dir)
-    val schema = StructType(Seq(
-      StructField("o_orderkey", LongType), StructField("o_custkey", LongType),
-      StructField("o_totalprice", DoubleType),
-      StructField("o_orderpriority", StringType)))
-    val back = spark.read.schema(schema).json(dir)
-    assert(back.count() == base.count())
-    assert(checksum(back) == checksum(base))
+    assertRoundTrip("srcjson")(base.write.mode("overwrite").json(_))(
+      spark.read.schema(schema).json(_))
   }
 }

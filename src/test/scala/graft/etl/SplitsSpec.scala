@@ -111,6 +111,7 @@ class SplitsSpec extends SparkSpec {
     val slicedB = rows(Splits.negativeSampleScalableFrom(fixture, 8, f))
     val slicedJ = rows(Splits.negativeSampleScalableFrom(fixture, 8, f,
       maxBroadcastItems = 0))
+    assert(slicedB.nonEmpty) // else the equalities below pass vacuously
     assert(slicedB.sameElements(viaBroadcast.filter(_._1 == 1L)))
     assert(slicedJ.sameElements(slicedB))
   }
