@@ -1,6 +1,6 @@
 package graft.ext
 
-import graft.{QueryDef, Tables}
+import graft.{Hashing, QueryDef, Tables}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -28,25 +28,30 @@ object IvfQueries {
   val TOP_K = 3
   private val querySlice = "vec_id % 20 = 0"
 
-  /** Centroid-training sample: a deterministic `vec_id % TRAIN_MOD = 0`
-    * slice. Training memory on the driver is O(corpus / TRAIN_MOD) —
-    * production sizes the mod so the sample stays bounded (a few hundred
-    * vectors per centroid is the standard IVF training budget); the mod
-    * slice (vs TABLESAMPLE) keeps the oracle replay exact.
+  /** Centroid-training sample: the first TRAIN_N vectors in deterministic
+    * hash order — `ORDER BY h60(vec_id), vec_id LIMIT TRAIN_N`. COUNT-
+    * bounded, not modulus-bounded: driver training memory is O(TRAIN_N·dim)
+    * — constant in corpus size (a fixed-mod slice is still O(corpus/mod)
+    * and melts the driver at 10⁸ vectors). 256 vectors per centroid is the
+    * standard IVF training budget; h60 order is md5-based so DuckDB
+    * replays the identical sample, and Spark evaluates the sort+limit as a
+    * distributed TakeOrderedAndProject — only TRAIN_N rows ever reach the
+    * driver.
     */
-  val TRAIN_MOD = 4
-  private val trainSlice = s"vec_id % $TRAIN_MOD = 0"
+  val TRAIN_N: Int = K * 256
 
   val defs: Map[String, QueryDef] = Map(
     "q_sim_ivf" -> QueryDef(
       s"""WITH ${VectorOps.duckElemsCte},
          |${VectorOps.duckNormsCte},
-         |train AS (
-         |  SELECT * FROM elems WHERE $trainSlice
+         |train_ids AS (
+         |  SELECT vec_id FROM embeddings WHERE len(embedding) > 0
+         |  ORDER BY ${Hashing.duckH60("vec_id")}, vec_id LIMIT $TRAIN_N
+         |), train AS (
+         |  SELECT e.* FROM elems e JOIN train_ids t ON e.vec_id = t.vec_id
          |), seed_ids AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cent_id
-         |  FROM (SELECT vec_id FROM embeddings WHERE $trainSlice
-         |        ORDER BY vec_id LIMIT $K)
+         |  FROM (SELECT vec_id FROM train_ids ORDER BY vec_id LIMIT $K)
          |), cent0 AS (
          |  SELECT s.cent_id, e.i, e.e AS c
          |  FROM seed_ids s JOIN train e ON e.vec_id = s.vec_id
@@ -93,19 +98,22 @@ object IvfQueries {
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
       import spark.implicits._
-      // Centroid training runs on a bounded deterministic sample
-      // (`trainSlice`) — the slice is filtered DISTRIBUTED and only the
-      // sample is collected, so driver training memory is
-      // O(corpus / TRAIN_MOD), not O(corpus). Assignment, probing and
-      // re-rank — the data-scale passes — stay distributed. All
-      // arithmetic matches the oracle SQL bit-for-bit: integer distances,
-      // double division + HALF_UP for the refined centroids.
+      // Centroid training runs on a COUNT-bounded deterministic sample:
+      // sort by h60(vec_id) + LIMIT executes as a distributed
+      // TakeOrderedAndProject, so at most TRAIN_N rows reach the driver —
+      // O(1) memory in corpus size. Assignment, probing and re-rank — the
+      // data-scale passes — stay distributed. All arithmetic matches the
+      // oracle SQL bit-for-bit: integer distances, double division +
+      // HALF_UP for the refined centroids.
       val trainCorpus: Array[(Long, Array[Long])] =
         Tables.embeddings(spark, d)
-          .filter(expr(trainSlice))
+          .filter(size(col("embedding")) > 0)
           .select(col("vec_id"), expr(
             "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
-            .as("e")).as[(Long, Array[Long])].collect()
+            .as("e"))
+          .orderBy(Hashing.h60(col("vec_id")), col("vec_id"))
+          .limit(TRAIN_N)
+          .as[(Long, Array[Long])].collect()
       // empty training slice → no centroids → no assignments: the oracle
       // CTEs produce the same empty relation, so mirror it instead of
       // crashing on .head

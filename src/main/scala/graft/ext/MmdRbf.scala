@@ -1,6 +1,7 @@
 package graft.ext
 
-import graft.{QueryDef, Tables}
+import graft.{Hashing, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's ACTUAL MMD statistic (my_utils.py:12-68): mixed RBF
@@ -9,11 +10,15 @@ import org.apache.spark.sql.functions._
   * — and the biased estimator mean(Kxx) + mean(Kyy) − 2·mean(Kxy)
   * (my_utils.py:58-61, diagonals included).
   *
-  * `exp()` is not bit-stable across engines, so this query is rows-only
-  * (driver records a row-count check; MmdRbfSpec asserts the statistic's
-  * mathematical properties instead: self-distance ≈ 0, symmetry in the
-  * estimator, agreement in ORDER with the oracle-checked linear-kernel
-  * q_mmd_linear).
+  * `q_mmd_rbf` IS oracle-gated (hash-matched against DuckDB): per-pair
+  * kernel values are rounded to integers at 1e-9 (`KSCALE`) before
+  * summing, so the kernel-block sums are association-free in both
+  * engines; the only floating-point steps — exp() and the final
+  * estimator divisions — are mirrored op-for-op in the oracle SQL, and
+  * the 6-decimal output rounding absorbs any ±1-ulp exp() drift.
+  * MmdRbfSpec additionally asserts the statistic's mathematical
+  * properties (self-distance 0, symmetry, order agreement with the
+  * linear-kernel q_mmd_linear).
   *
   * Execution shape: label matrices are small (the reference computes MMD
   * per mini-batch); each matrix is collected once and broadcast, and each
@@ -60,14 +65,20 @@ object MmdRbf {
 
   /** Oracle-parity formulation: fixed-point vectors (the engine's ×1e7
     * grid), per-pair kernel values ROUNDED to integers at 1e-9 so the
-    * block sums are association-free in both engines, and a deterministic
-    * `vec_id % SLICE_MOD` sample per label — the minibatch the reference
-    * computes MMD over. The only floating-point steps are exp() and the
-    * final estimator divisions, both mirrored op-for-op in the SQL; a
-    * ±1-ulp exp() disagreement moves an integer kernel sum by at most a
-    * few 1e-9 units, absorbed by the 6-decimal output rounding.
+    * block sums are association-free in both engines, and a COUNT-bounded
+    * deterministic minibatch per label — the first BATCH_N vec_ids in
+    * h60 hash order (`row_number() OVER (PARTITION BY label ORDER BY
+    * h60(vec_id), vec_id) <= BATCH_N`). This mirrors the reference's
+    * per-minibatch MMD (my_utils.py:37-68: the statistic is computed over
+    * fixed-size training batches, never the full corpus), and it bounds
+    * driver memory at labels × BATCH_N × dim — O(1) in corpus size,
+    * unlike a fixed-modulus slice which still grows with the corpus.
+    * The only floating-point steps are exp() and the final estimator
+    * divisions, both mirrored op-for-op in the SQL; a ±1-ulp exp()
+    * disagreement moves an integer kernel sum by at most a few 1e-9
+    * units, absorbed by the 6-decimal output rounding.
     */
-  val SLICE_MOD = 20
+  val BATCH_N = 128
   val KSCALE = 1e9
 
   /** Integer kernel-block sum Σ_pairs round(K(x,y)·1e9) over fixed-point
@@ -103,8 +114,14 @@ object MmdRbf {
   val defs: Map[String, QueryDef] = Map(
     "q_mmd_rbf" -> QueryDef(
       s"""WITH ${VectorOps.duckElemsCte},
-         |sel AS (
-         |  SELECT * FROM elems WHERE vec_id % $SLICE_MOD = 0
+         |sel_ids AS (
+         |  SELECT vec_id FROM (
+         |    SELECT vec_id, row_number() OVER (PARTITION BY label
+         |      ORDER BY ${Hashing.duckH60("vec_id")}, vec_id) AS rn
+         |    FROM embeddings WHERE len(embedding) > 0)
+         |  WHERE rn <= $BATCH_N
+         |), sel AS (
+         |  SELECT e.* FROM elems e JOIN sel_ids s ON e.vec_id = s.vec_id
          |), d2 AS (
          |  SELECT a.vec_id AS va, b.vec_id AS vb,
          |         MIN(a.label) AS la, MIN(b.label) AS lb,
@@ -129,11 +146,20 @@ object MmdRbf {
          |JOIN sums sxy ON sxy.la = c1.label AND sxy.lb = c2.label
          |ORDER BY label_a, label_b""".stripMargin) { (spark, d) =>
       import spark.implicits._
+      // Per-label minibatch: row_number in h60 order, capped at BATCH_N —
+      // the collect is labels × BATCH_N rows regardless of corpus size.
+      // The len>0 guard mirrors the oracle's elems unnest (a null/empty
+      // embedding contributes no elems rows, so it must not be counted or
+      // NPE the kernel either).
       val mats: Map[Int, Array[Array[Long]]] = Tables.embeddings(spark, d)
-        .filter(expr(s"vec_id % $SLICE_MOD = 0"))
-        .select(col("label"), expr(
+        .filter(size(col("embedding")) > 0)
+        .select(col("label"), col("vec_id"), expr(
           "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
           .as("e"))
+        .withColumn("rn", row_number().over(Window.partitionBy("label")
+          .orderBy(Hashing.h60(col("vec_id")), col("vec_id"))))
+        .filter(col("rn") <= BATCH_N)
+        .select(col("label"), col("e"))
         .as[(Int, Array[Long])].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
       val bc = spark.sparkContext.broadcast(mats)

@@ -2,9 +2,9 @@ package graft.ext
 
 import graft.SparkSpec
 
-/** Mathematical properties of the RBF MMD statistic (rows-only query —
-  * exp() is not cross-engine bit-stable, so the spec carries the
-  * correctness burden the oracle can't).
+/** Mathematical properties of the RBF MMD statistic, complementing the
+  * fixed-point oracle gate on q_mmd_rbf (which hash-checks values but not
+  * the statistic's semantics).
   */
 class MmdRbfSpec extends SparkSpec {
 
@@ -31,11 +31,12 @@ class MmdRbfSpec extends SparkSpec {
   }
 
   test("query emits one row per unordered label pair incl. self") {
-    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.{col, size}
     val rows = graft.SparkEntry.defs("q_mmd_rbf").build(spark, sf()).collect()
-    // labels present in the query's deterministic minibatch slice
+    // labels present in the query's deterministic minibatch (every label
+    // with at least one non-empty embedding contributes a batch)
     val labels = spark.read.parquet(sf() + "/embeddings.parquet")
-      .filter(col("vec_id") % MmdRbf.SLICE_MOD === 0)
+      .filter(size(col("embedding")) > 0)
       .select("label").distinct().count().toInt
     assert(rows.length == labels * (labels + 1) / 2)
     rows.foreach { r =>
