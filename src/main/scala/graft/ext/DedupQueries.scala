@@ -37,6 +37,10 @@ object DedupQueries {
   /** Exact Jaccard verification of candidate pairs against the distinct
     * shingle sets: |A∩B| / (|A|+|B|−|A∩B|), as a join of the candidate
     * pairs back to the shingle table (touches only candidate docs).
+    * Callers pass h60-HASHED shingles ([[TextOps.wordShingleHashes]])
+    * so both verify joins shuffle 8-byte longs, not k-gram strings —
+    * the oracle hashes identically, so Jaccard-over-hashes is
+    * bit-reproducible cross-engine.
     */
   private def jaccardVerify(cand: DataFrame, shingles: DataFrame,
       minJac: Double): DataFrame = {
@@ -55,14 +59,14 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
-  private def duckJaccardVerify(minJac: Double): String =
+  private def duckJaccardVerify(minJac: Double, shTable: String = "shingles"): String =
     s"""sizes AS (
-       |  SELECT doc_id, COUNT(*) AS ns FROM shingles GROUP BY doc_id
+       |  SELECT doc_id, COUNT(*) AS ns FROM $shTable GROUP BY doc_id
        |), inter AS (
        |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
        |  FROM cand c
-       |  JOIN shingles sa ON sa.doc_id = c.doc_a
-       |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+       |  JOIN $shTable sa ON sa.doc_id = c.doc_a
+       |  JOIN $shTable sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
        |  GROUP BY c.doc_a, c.doc_b
        |), verified AS (
        |  SELECT i.doc_a, i.doc_b, i.ni,
@@ -213,10 +217,12 @@ object DedupQueries {
          |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
          |  FROM bands a JOIN bands b
          |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |), ${duckJaccardVerify(MINHASH_JAC)}
+         |), hsh AS (
+         |  SELECT DISTINCT doc_id, ${Hashing.duckH60("sh")} AS sh FROM shingles
+         |), ${duckJaccardVerify(MINHASH_JAC, "hsh")}
          |SELECT doc_a, doc_b, ni, jac FROM verified
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
-      val sh = TextOps.wordShingles(spark, d, 5) // verify pass input
+      val sh = TextOps.wordShingleHashes(spark, d, 5) // verify pass input, 8-byte keys
       val bands = minhashBands(spark, d, 5)
       val cand = bands.as("a")
         .join(bands.as("b"),
@@ -275,7 +281,7 @@ object DedupQueries {
     // frequency in [2, MAX_DF]; frequency-capped so no hot shingle ever
     // produces a quadratic bucket (the classic inverted-index guard).
     "q_dedup_ngram" -> QueryDef(
-      s"""WITH ${TextOps.duckWordShinglesCte(NGRAM_K)},
+      s"""WITH ${TextOps.duckWordShingleHashesCte(NGRAM_K)},
          |rare AS (
          |  SELECT sh FROM shingles GROUP BY sh
          |  HAVING COUNT(*) BETWEEN 2 AND $MAX_DF
@@ -287,7 +293,10 @@ object DedupQueries {
          |), ${duckJaccardVerify(NGRAM_JAC)}
          |SELECT doc_a, doc_b, ni, jac FROM verified
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
-      val sh = TextOps.wordShingles(spark, d, NGRAM_K)
+      // hashed shingles end to end: the inverted index, candidate join
+      // and verify pass all shuffle longs (df counts over h60 values are
+      // identical in both engines, so the oracle replays exactly)
+      val sh = TextOps.wordShingleHashes(spark, d, NGRAM_K)
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= MAX_DF)
         .select("sh")

@@ -63,6 +63,53 @@ object TextOps {
        |)""".stripMargin
   }
 
+  /** Distinct word k-gram shingles per doc, HASHED to h60 longs:
+    * (doc_id, sh BIGINT). The shuffle-cheap twin of [[wordShingles]] —
+    * downstream joins/aggregates shuffle 8-byte keys instead of k-gram
+    * strings (~8× smaller payload for 5-grams), which is what a 100 TB
+    * dedup verify pass must do. Dedup is BY HASH per doc (so an
+    * intra-doc h60 collision — ~2⁻⁶⁰ — still matches the oracle's
+    * DISTINCT over hashed values exactly). One fused narrow pass:
+    * split + shingle + hash + dedup all in-memory per document.
+    */
+  def wordShingleHashes(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
+    import spark.implicits._
+    Tables.documents(spark, sfDir).select("doc_id", "text").as[(Long, String)]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.flatMap { case (docId, text) =>
+          // null text → no shingle rows in the oracle (string_split(NULL))
+          if (text == null) Iterator.empty else {
+            val w = text.split(" ", -1)
+            val seen = new java.util.HashSet[Long]
+            val out = Array.newBuilder[(Long, Long)]
+            var s = 0
+            while (s + k <= w.length) {
+              val h = Hashing.h60Jvm(md, w.slice(s, s + k).mkString(" "))
+              if (seen.add(h)) out += ((docId, h))
+              s += 1
+            }
+            out.result().iterator
+          }
+        }
+      }.toDF("doc_id", "sh")
+  }
+
+  /** DuckDB twin of [[wordShingleHashes]] as a CTE named `shingles`
+    * (drop-in for the string CTE in hash-keyed dedup plans).
+    */
+  def duckWordShingleHashesCte(k: Int): String = {
+    val parts = (0 until k).map(o => s"w[i + $o]").mkString(" || ' ' || ")
+    s"""shingles AS (
+       |  SELECT DISTINCT doc_id, ${Hashing.duckH60("sh")} AS sh FROM (
+       |    SELECT doc_id,
+       |      unnest(list_transform(generate_series(1, greatest(len(w) - ${k - 1}, 0)),
+       |             i -> $parts)) AS sh
+       |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+       |)""".stripMargin
+  }
+
   /** One row per character k-gram occurrence: (doc_id, p, h) where p is
     * the 1-based start position and h = h60 of the k-gram — the rolling
     * hash stream a fingerprinting pass consumes.
