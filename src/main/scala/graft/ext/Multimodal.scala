@@ -63,10 +63,13 @@ object Multimodal {
     val hist = new Array[Long](16)
     var i = 0
     while (i < b.length) { hist((b(i) & 0xff) % 16) += 1; i += 1 }
-    // aspect-preserving fit: longest edge -> RESIZE_TO
-    val scale = RESIZE_TO.toDouble / math.max(w, h)
-    val (rw, rh) = (math.max(1, math.round(w * scale).toInt),
-      math.max(1, math.round(h * scale).toInt))
+    // aspect-preserving fit: longest edge -> RESIZE_TO. Integer HALF_UP
+    // rounding (floor((2·e·RESIZE_TO + m) / 2m) ≡ round(e·RESIZE_TO/m))
+    // so the arithmetic replays exactly in integer SQL — double rounding
+    // is engine-internal, integer division is not.
+    val m = math.max(w, h)
+    val (rw, rh) = (math.max(1, (2 * w * RESIZE_TO + m) / (2 * m)),
+      math.max(1, (2 * h * RESIZE_TO + m) / (2 * m)))
     val nFrames = math.min(MAX_FRAMES, (b.length + FRAME_BLOCK - 1) / FRAME_BLOCK)
     val frames = Array.tabulate(nFrames) { f =>
       var s = 0L
@@ -85,6 +88,9 @@ object Multimodal {
   def decodeFeatures(spark: SparkSession, sfDir: String): DataFrame = {
     import spark.implicits._
     media(spark, sfDir)
+      // a null payload (null source text) is undecodable — drop it, like
+      // the oracle's WHERE text IS NOT NULL
+      .filter(col("payload").isNotNull)
       .select("doc_id", "kind", "payload").as[MediaRow]
       .repartition(spark.sparkContext.defaultParallelism) // decode in parallel
       .mapPartitions(_.grouped(BATCH).flatMap(batch => batch.map(fakeDecode)))
@@ -117,12 +123,53 @@ object Multimodal {
         .orderBy("kind")
     },
 
-    // ---- batched stub decode: rows-only (mapPartitions is not SQL) ----
-    // Array columns (hist, frame_samples) are projected to scalar
-    // checksums here: the driver's pandas-based compare cannot sort/hash
-    // ndarray cells (CORRECTNESS_r02 `err`). The raw arrays stay covered
-    // by MultimodalSpec.
-    "q_mm_features" -> QueryDef.noOracle { (spark, d) =>
+    // ---- batched stub decode, ORACLE-GATED ----
+    // fakeDecode is deterministic byte math over the UTF-8 payload, so
+    // DuckDB replays it from hex(encode(text)): byte i is the i-th hex
+    // pair. The histogram checksum collapses algebraically —
+    // Σ_k hist[k]·(k+1) = Σ_bytes (b%16 + 1) — and frames_sum is the sum
+    // of bytes in the first MAX_FRAMES·FRAME_BLOCK positions. Array
+    // columns (hist, frame_samples) are projected to these scalar
+    // checksums: the driver's pandas-based compare cannot sort/hash
+    // ndarray cells (CORRECTNESS_r02 `err`). Raw arrays stay covered by
+    // ExtSpec's decode invariants.
+    "q_mm_features" -> QueryDef(
+      s"""WITH m AS (
+         |  SELECT doc_id,
+         |    CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+         |         ELSE 'video' END AS kind,
+         |    hex(encode(text)) AS hx,
+         |    CAST(octet_length(encode(text)) AS INT) AS n_bytes
+         |  FROM documents WHERE text IS NOT NULL
+         |), dims AS (
+         |  SELECT doc_id, kind, n_bytes,
+         |    64 + CASE WHEN n_bytes > 0
+         |      THEN CAST(('0x' || substr(hx, 1, 2)) AS INT) % 192 ELSE 0 END AS width,
+         |    64 + CASE WHEN n_bytes > 1
+         |      THEN CAST(('0x' || substr(hx, 3, 2)) AS INT) % 192 ELSE 0 END AS height
+         |  FROM m
+         |), bytes AS (
+         |  SELECT doc_id, i, CAST(('0x' || substr(hx, 2 * CAST(i AS INT) - 1, 2)) AS INT) AS b
+         |  FROM (SELECT doc_id, hx, unnest(generate_series(1, n_bytes)) AS i FROM m)
+         |), agg AS (
+         |  SELECT doc_id,
+         |    CAST(SUM(b % 16 + 1) AS BIGINT) AS hist_checksum,
+         |    CAST(SUM(CASE WHEN i <= ${MAX_FRAMES * FRAME_BLOCK} THEN b ELSE 0 END)
+         |         AS BIGINT) AS frames_sum
+         |  FROM bytes GROUP BY doc_id
+         |)
+         |SELECT d.doc_id, d.kind, d.n_bytes, d.width, d.height,
+         |  COALESCE(a.hist_checksum, 0) AS hist_checksum,
+         |  CAST(16 AS INT) AS hist_bins,
+         |  CAST(greatest(1, (2 * width * $RESIZE_TO + greatest(width, height))
+         |       // (2 * greatest(width, height))) AS INT) AS resized_w,
+         |  CAST(greatest(1, (2 * height * $RESIZE_TO + greatest(width, height))
+         |       // (2 * greatest(width, height))) AS INT) AS resized_h,
+         |  CAST(least($MAX_FRAMES, (d.n_bytes + ${FRAME_BLOCK - 1}) // $FRAME_BLOCK) AS INT)
+         |    AS n_frames,
+         |  COALESCE(a.frames_sum, 0) AS frames_sum
+         |FROM dims d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
       decodeFeatures(spark, d)
         .select(col("doc_id"), col("kind"), col("n_bytes"),
           col("width"), col("height"),
