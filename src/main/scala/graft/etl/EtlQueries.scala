@@ -19,6 +19,15 @@ object EtlQueries {
     */
   private val subsetWhere = "user_id % 200 = 0"
 
+  /** HLL++ relative standard deviation for q_approx_counts, and the
+    * oracle-gated error bound DERIVED from it (2.5σ). Coupled on purpose:
+    * the oracle asserts `|approx−exact|/exact < APPROX_BOUND` as a
+    * constant-TRUE boolean, so retuning the sketch precision retunes the
+    * gate with it instead of silently breaking a hardcoded 5%.
+    */
+  val APPROX_RSD = 0.02
+  val APPROX_BOUND: Double = 2.5 * APPROX_RSD
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- id densification (replaces the reference's contiguity assumption,
@@ -66,19 +75,27 @@ object EtlQueries {
          |FROM interactions
          |GROUP BY domain
          |ORDER BY domain""".stripMargin) { (spark, d) =>
-      // rsd 0.02: measured ≤1.11% relative error across sf0.001–0.1
-      // (default 0.05 rsd strayed to 7%) — 4.5× margin under the bound
+      // Bound = 2.5×rsd, NOT an independent constant: the oracle asserts
+      // the booleans are TRUE, so the bound and the sketch precision must
+      // move together — a looser rsd silently breaking a fixed 5% gate
+      // would read as a correctness regression (ADVICE r3). rsd is the
+      // HLL++ standard error, so 2.5σ holds with large margin (measured
+      // ≤1.11% relative error across sf0.001–0.1 at rsd 0.02; the
+      // DEFAULT rsd 0.05 strayed to 7%, outside its own 1σ but inside
+      // 2.5σ).
+      val rsd = EtlQueries.APPROX_RSD
+      val bound = EtlQueries.APPROX_BOUND
       Interactions(spark, d)
         .groupBy("domain")
         .agg(
           countDistinct(col("user_id")).as("n_users_exact"),
           countDistinct(col("item_id")).as("n_items_exact"),
-          (abs(approx_count_distinct(col("user_id"), 0.02).cast("double")
+          (abs(approx_count_distinct(col("user_id"), rsd).cast("double")
               - countDistinct(col("user_id")))
-            / countDistinct(col("user_id")) < 0.05).as("users_within_5pct"),
-          (abs(approx_count_distinct(col("item_id"), 0.02).cast("double")
+            / countDistinct(col("user_id")) < bound).as("users_within_5pct"),
+          (abs(approx_count_distinct(col("item_id"), rsd).cast("double")
               - countDistinct(col("item_id")))
-            / countDistinct(col("item_id")) < 0.05).as("items_within_5pct"))
+            / countDistinct(col("item_id")) < bound).as("items_within_5pct"))
         .orderBy("domain")
     },
 

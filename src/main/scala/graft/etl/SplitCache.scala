@@ -41,13 +41,31 @@ object SplitCache {
       val tmp = new org.apache.hadoop.fs.Path(
         p.getParent, s".${p.getName}.__tmp.${java.util.UUID.randomUUID}")
       df.write.mode("overwrite").parquet(tmp.toString)
-      // only a PARTIAL destination (no marker) is ever deleted; if a
-      // racing writer committed meanwhile, or our rename loses the race,
-      // their identical deterministic bytes win and we discard the temp
-      if (!complete) {
-        if (fs.exists(p)) fs.delete(p, true)
-        if (!fs.rename(tmp, p) && fs.exists(tmp)) fs.delete(tmp, true)
-      } else fs.delete(tmp, true)
+      // Commit loop: only a PARTIAL destination (no marker) is ever
+      // deleted, and the marker is re-checked IMMEDIATELY before each
+      // destructive step — a racing writer that commits between checks
+      // wins (its identical deterministic bytes stand) and our temp is
+      // discarded. Rename only targets an ABSENT destination (HDFS
+      // renames INTO an existing directory — nesting, not replacing),
+      // and success is judged by the marker landing at the destination
+      // root, not by rename's return value; a failed round cleans any
+      // stray nested copy and retries.
+      var attempts = 0
+      while (!complete && attempts < 3) {
+        attempts += 1
+        if (!complete) {
+          if (fs.exists(p) && !complete) fs.delete(p, true)
+          if (!fs.exists(p)) fs.rename(tmp, p)
+          if (!complete) {
+            val stray = new org.apache.hadoop.fs.Path(p, tmp.getName)
+            if (fs.exists(stray)) fs.delete(stray, true)
+          }
+        }
+      }
+      if (fs.exists(tmp)) fs.delete(tmp, true)
+      // never hand a partial directory to the caller: surface commit
+      // failure loudly instead of silently scanning half a cache
+      require(complete, s"writeOnce: $path has no _SUCCESS marker after commit")
     }
     spark.read.parquet(path)
   }

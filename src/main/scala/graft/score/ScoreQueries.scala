@@ -48,11 +48,17 @@ object ScoreQueries {
     }) { (spark, d) =>
       // unique per-build dir: a shared fixed path would race
       // delete-vs-read when two JVMs (verify + bench) build concurrently
-      val ckpt = java.nio.file.Files
-        .createTempDirectory("graft_ckpt").resolve("weights").toString
+      val tmpRoot = java.nio.file.Files.createTempDirectory("graft_ckpt")
+      val ckpt = tmpRoot.resolve("weights").toString
       Checkpoint.save(spark, ckpt,
         Map("W" -> Scorer.weightsW, "E" -> Scorer.itemVecs))
       val loaded = Checkpoint.load(spark, ckpt)
+      // load() collects the state_dict to the driver, so the on-disk copy
+      // is dead past this point — remove it (repeated verify/bench runs
+      // were accumulating checkpoint dirs in /tmp)
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(tmpRoot).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
       val users = Tables.orders(spark, d)
         .filter(expr(userSlice))
         .select(col("o_custkey").as("user_id")).distinct()
