@@ -103,6 +103,112 @@ object Lifecycle {
     score.Scorer.scoreUsersWith(spark, users, loaded("W"), loaded("E"))
   }
 
+  /** Epoch count for [[defs]]' q_lifecycle — fixed so the oracle SQL can
+    * inline each epoch's deterministic weights as literals.
+    */
+  val EPOCHS = 3
+
+  private val eckUserSlice = "o_custkey % 20 = 0"
+
+  /** E1 end to end, ORACLE-GATED (main_my.py:302-375): EPOCHS scoring
+    * rounds through the memoized split cache (S2 write + read-through) →
+    * metrics log (S4) → keep-first best-epoch argmax (A7) → per-(domain,
+    * metric) checkpoints of the winning epoch's weights (S3 persist) →
+    * score from the RELOADED state_dict, reduced to an integer checksum
+    * per epoch. One row per (domain, k, metric): the winning epoch, its
+    * metric value, and (at k=10, the checkpointed tier) the reloaded-
+    * weights score checksum. The oracle replays the whole chain — splits,
+    * sampler, candidates, per-epoch salted scores, window metrics, argmax
+    * — and computes each epoch's checksum from the same weight formula
+    * the checkpoints round-trip, so a single flipped bit anywhere in the
+    * compose (cache, log, argmax, save, reload, score) changes the hash.
+    */
+  val defs: Map[String, QueryDef] = Map(
+    "q_lifecycle" -> QueryDef({
+      val ecks = (1 to EPOCHS).map { e =>
+        val w = epochWeights(e)
+        score.Scorer.duckChecksumSubquery(w("W"), w("E"), "eck_users")
+      }
+      val eckRows = ecks.zipWithIndex.map { case (cks, i) =>
+        s"SELECT ${i + 1} AS epoch, $cks AS reload_checksum"
+      }.mkString("\n  UNION ALL\n  ")
+      val epochVals = (1 to EPOCHS).map(e => s"($e)").mkString(", ")
+      s"""WITH ${etl.Interactions.duckCte},
+         |${etl.Splits.duckLeaveTwoOutCte},
+         |${etl.Interactions.duckDenseItemsCte},
+         |${etl.Splits.duckNegativeSampleScalableCte(160)},
+         |${etl.Splits.duckCandidatesCte},
+         |escored AS (
+         |  SELECT ep.epoch, c.user_id, c.domain, c.item_id, c.is_positive,
+         |    ${Hashing.duckH60("c.user_id", "c.item_id", "c.domain",
+               "'epoch' || CAST(ep.epoch AS VARCHAR)")} % 1000000 AS score
+         |  FROM candidates c CROSS JOIN (VALUES $epochVals) ep(epoch)
+         |), epos AS (
+         |  SELECT epoch, domain, rn FROM (
+         |    SELECT epoch, domain, is_positive,
+         |      row_number() OVER (PARTITION BY epoch, user_id, domain
+         |        ORDER BY score DESC, item_id) AS rn
+         |    FROM escored)
+         |  WHERE is_positive = 1
+         |), mrows AS (
+         |  SELECT epoch, domain, k,
+         |    round(AVG(CASE WHEN rn <= k THEN 1.0 ELSE 0.0 END), 6) AS hr,
+         |    round(AVG(CASE WHEN rn <= k THEN ln(2.0)/ln(rn + 1) ELSE 0.0 END), 6) AS ndcg,
+         |    round(AVG(CASE WHEN rn <= k THEN 1.0/rn ELSE 0.0 END), 6) AS mrr
+         |  FROM epos CROSS JOIN (VALUES (5), (10)) ks(k)
+         |  GROUP BY epoch, domain, k
+         |), mlong AS (
+         |  SELECT domain, k, 'hr' AS metric, hr AS value, epoch FROM mrows
+         |  UNION ALL
+         |  SELECT domain, k, 'ndcg' AS metric, ndcg AS value, epoch FROM mrows
+         |  UNION ALL
+         |  SELECT domain, k, 'mrr' AS metric, mrr AS value, epoch FROM mrows
+         |), best AS (
+         |  SELECT domain, k, metric, value, epoch FROM (
+         |    SELECT domain, k, metric, value, epoch,
+         |      row_number() OVER (PARTITION BY domain, k, metric
+         |        ORDER BY value DESC, epoch) AS rn
+         |    FROM mlong) WHERE rn = 1
+         |), eck_users AS (
+         |  SELECT DISTINCT o_custkey AS user_id FROM orders WHERE $eckUserSlice
+         |), eck AS (
+         |  $eckRows
+         |)
+         |SELECT b.domain, b.k, b.metric, b.value, b.epoch,
+         |  CASE WHEN b.k = 10 THEN e.reload_checksum END AS reload_checksum
+         |FROM best b LEFT JOIN eck e ON e.epoch = b.epoch
+         |ORDER BY b.domain, b.k, b.metric""".stripMargin
+    }) { (spark, d) =>
+      import spark.implicits._
+      val workDir = java.nio.file.Files.createTempDirectory("graft_lifecycle")
+      val wd = workDir.toString
+      (1 to EPOCHS).foreach(e => runEpoch(spark, d, wd, e))
+      // S3: checkpoint each k=10 winner, then score from the RELOADED
+      // bytes. Weights for an epoch are identical across (domain, metric)
+      // checkpoints, so one scoring pass per distinct winning epoch.
+      val ckpts = checkpointBest(spark, wd)
+      val users = Tables.orders(spark, d).filter(expr(eckUserSlice))
+        .select(col("o_custkey").as("user_id")).distinct()
+      val byEpoch: Map[Int, Long] = ckpts.values.toSeq.groupBy(_._1)
+        .map { case (e, ps) =>
+          e -> scoreFromCheckpoint(spark, ps.head._2, users)
+            .agg(sum(round(col("score") * 1e6, 0).cast("long"))).as[Long].head()
+        }
+      val best = bestEpochs(spark, wd).collect().map { r =>
+        val k = r.getAs[Int]("k"); val e = r.getAs[Int]("epoch")
+        (r.getAs[String]("domain"), k, r.getAs[String]("metric"),
+          r.getAs[Double]("value"), e,
+          if (k == 10) Some(byEpoch(e)) else Option.empty[Long])
+      }.toSeq
+      // everything is collected (12 rows + checksums) — the temp workDir
+      // (split cache, metrics log, checkpoints) is dead; remove it
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(workDir).iterator().asScala.toSeq
+        .sortBy(-_.getNameCount).foreach(java.nio.file.Files.deleteIfExists(_))
+      best.toDF("domain", "k", "metric", "value", "epoch", "reload_checksum")
+        .orderBy("domain", "k", "metric")
+    })
+
   /** Dev main: run `epochs` scoring rounds and print the selection. */
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -20,7 +20,8 @@ object SparkEntry {
     ext.SimilarityQueries.defs,
     ext.Multimodal.defs,
     ext.MmdRbf.defs,
-    ext.IvfQueries.defs)
+    ext.IvfQueries.defs,
+    Lifecycle.defs)
 
   val defs: Map[String, QueryDef] = {
     val merged = modules.reduce(_ ++ _)

@@ -194,6 +194,25 @@ object Scorer {
        |FROM (SELECT user_id, $hs FROM (SELECT user_id, $us FROM score_users))""".stripMargin
   }
 
+  /** Scalar subquery: the reload-score CHECKSUM for explicit weight
+    * matrices — Σ over `usersCte` × all NUM_ITEMS of
+    * round6(score)·1e6 as BIGINT (integer sum, association-free).
+    * Mirrors [[scoreUsersWith]] + a sum aggregate; q_lifecycle uses one
+    * per epoch to hash-verify that scoring from a RELOADED checkpoint
+    * reproduces the selected epoch's weights bit-for-bit.
+    */
+  def duckChecksumSubquery(w: Array[Array[Double]],
+      items: Array[Array[Double]], usersCte: String): String = {
+    val us = (0 until K).map(jj => s"${duckUserVecExpr(jj)} AS u$jj").mkString(", ")
+    val hs = duckMatVecSelect(w, "u", "h", relu = true)
+    val terms = (0 until NUM_ITEMS).map { j =>
+      val dot = (0 until K).map(i => s"(h$i * ${dlit(items(j)(i))})").mkString(" + ")
+      s"CAST(round(round(1.0/(1.0 + exp(-($dot))), 6) * 1000000.0) AS BIGINT)"
+    }.mkString(" + ")
+    s"""(SELECT CAST(SUM($terms) AS BIGINT)
+       |  FROM (SELECT user_id, $hs FROM (SELECT user_id, $us FROM $usersCte)))""".stripMargin
+  }
+
   /** Orthogonal-constraint reconstruction loss (model_my.py:66-70):
     * reg_x = ‖h − (h·W)·Wᵀ‖₁ and reg_y = ‖h − (h·Wᵀ)·W‖₁ per user —
     * the penalty that pushes the shared map toward orthogonality. Row
