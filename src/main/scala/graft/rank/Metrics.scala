@@ -82,27 +82,135 @@ object Metrics {
        |${Splits.duckCandidatesCte},
        |$duckScoredCte""".stripMargin
 
+  /** The positive's exact rank per (user, domain) WITHOUT a window sort,
+    * fully codegen: rank = 1 + count of candidates beating the positive
+    * on (score DESC, item ASC). The positives table is re-derived from
+    * the splits alone (test_item + the deterministic score formula), so
+    * the expensive sampler runs once; the join is hinted shuffle-hash —
+    * both sides hash-shuffle on (user_id, domain) with NO sort, and the
+    * following aggregate reuses that partitioning (no extra exchange).
+    * This is the plan that replaces the window when per-group sorts are
+    * waste (groups far larger than ~100 rows): exactly one shuffle of
+    * the candidate set, zero sorts, whole-stage codegen throughout. At
+    * sf0.1 local[32] the window formulation is still faster (2.3s vs
+    * 5.2s) because its ~160-row group sorts are trivial and this plan
+    * pays a second splits pass for the positives table — the crossover
+    * is group size, not data size.
+    */
+  def posRanksJoin(spark: SparkSession, sfDir: String): DataFrame = {
+    val sc = scoredCandidates(spark, sfDir)
+    val pos = Splits.leaveTwoOut(spark, sfDir)
+      .select(col("user_id"), col("domain"), col("test_item").as("item_id"))
+      .select(col("user_id"), col("domain"), syntheticScore, col("item_id"))
+      .select(col("user_id"), col("domain"),
+        col("score").as("ps"), col("item_id").as("pi"))
+    sc.join(pos.hint("shuffle_hash"), Seq("user_id", "domain"))
+      .groupBy("user_id", "domain")
+      .agg((lit(1) + sum(when(col("score") > col("ps")
+          || (col("score") === col("ps") && col("item_id") < col("pi")), 1L)
+        .otherwise(0L))).cast("int").as("rn"))
+  }
+
+  /** Network-optimal variant of [[posRanksJoin]] for when the shuffle is
+    * the bottleneck (a 1000-executor cluster, not a local[32] box):
+    * per-partition [[TopBuf]] digests — each mapper emits at most kMax
+    * rows per (user, domain) it saw, so the shuffle carries a bounded
+    * digest (~16× less than the candidate set at 160 candidates/user) —
+    * then one merge pass reads off the positive's rank (0 = below kMax,
+    * which every @K≤kMax metric treats as out of range). Hand-rolled
+    * partial aggregation rather than a typed Aggregator because
+    * ObjectHashAggregate falls back to sort-based aggregation past 128
+    * groups per partition, re-sorting every candidate row (measured
+    * 7.4s vs 2.3s at sf0.1). Locally the typed boundary costs more than
+    * it saves; MetricsSpec proves it rank-identical to [[posRanksJoin]].
+    */
+  def posRanksDigest(spark: SparkSession, sfDir: String, kMax: Int): DataFrame = {
+    import spark.implicits._
+    val parts = scoredCandidates(spark, sfDir)
+      .select(col("user_id"), col("domain"), col("score"), col("item_id"),
+        col("is_positive"))
+      .as[(Long, String, Long, Long, Int)]
+      .mapPartitions { it =>
+        import scala.jdk.CollectionConverters._
+        val m = new java.util.HashMap[(Long, String), TopBuf]
+        it.foreach { case (u, dom, s, i, p) =>
+          var b = m.get((u, dom))
+          if (b == null) { b = new TopBuf(kMax); m.put((u, dom), b) }
+          b.insert(s, i, p == 1)
+        }
+        m.entrySet().iterator().asScala.map { e =>
+          val b = e.getValue
+          (e.getKey._1, e.getKey._2,
+            b.scores.take(b.n), b.items.take(b.n), b.pos.take(b.n))
+        }
+      }
+    parts
+      .groupByKey { case (u, dom, _, _, _) => (u, dom) }
+      .mapGroups { (key: (Long, String),
+          it: Iterator[(Long, String, Array[Long], Array[Long], Array[Boolean])]) =>
+        val b = new TopBuf(kMax)
+        it.foreach { case (_, _, ss, ii, pp) =>
+          var j = 0
+          while (j < ss.length) { b.insert(ss(j), ii(j), pp(j)); j += 1 }
+        }
+        (key._1, key._2, b.rank)
+      }
+      .toDF("user_id", "domain", "rn")
+  }
+
+  /** The flagship metric oracle — shared verbatim by the window
+    * formulation (q_rank_metrics) and the one-pass typed-aggregate
+    * formulation (q_rank_metrics_agg): both must hash to it.
+    */
+  private val duckRankMetricsSql: String =
+    s"""$duckPipelinePrefix,
+       |pos_rank AS (
+       |  SELECT domain, rn FROM (
+       |    SELECT domain, is_positive,
+       |      row_number() OVER (PARTITION BY user_id, domain
+       |        ORDER BY score DESC, item_id) AS rn
+       |    FROM scored)
+       |  WHERE is_positive = 1
+       |)
+       |SELECT domain, k, COUNT(*) AS n_users,
+       |  round(AVG(CASE WHEN rn <= k THEN 1.0 ELSE 0.0 END), 6) AS hr,
+       |  round(AVG(CASE WHEN rn <= k THEN ln(2.0)/ln(rn + 1) ELSE 0.0 END), 6) AS ndcg,
+       |  round(AVG(CASE WHEN rn <= k THEN 1.0/rn ELSE 0.0 END), 6) AS mrr
+       |FROM pos_rank CROSS JOIN (VALUES (5), (10)) ks(k)
+       |GROUP BY domain, k
+       |ORDER BY domain, k""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- the flagship: E3 end-to-end, HR/NDCG/MRR@{5,10} ----
-    "q_rank_metrics" -> QueryDef(
-      s"""$duckPipelinePrefix,
-         |pos_rank AS (
-         |  SELECT domain, rn FROM (
-         |    SELECT domain, is_positive,
-         |      row_number() OVER (PARTITION BY user_id, domain
-         |        ORDER BY score DESC, item_id) AS rn
-         |    FROM scored)
-         |  WHERE is_positive = 1
-         |)
-         |SELECT domain, k, COUNT(*) AS n_users,
-         |  round(AVG(CASE WHEN rn <= k THEN 1.0 ELSE 0.0 END), 6) AS hr,
-         |  round(AVG(CASE WHEN rn <= k THEN ln(2.0)/ln(rn + 1) ELSE 0.0 END), 6) AS ndcg,
-         |  round(AVG(CASE WHEN rn <= k THEN 1.0/rn ELSE 0.0 END), 6) AS mrr
-         |FROM pos_rank CROSS JOIN (VALUES (5), (10)) ks(k)
-         |GROUP BY domain, k
-         |ORDER BY domain, k""".stripMargin) { (spark, d) =>
+    "q_rank_metrics" -> QueryDef(duckRankMetricsSql) { (spark, d) =>
       rankingMetrics(scoredCandidates(spark, d), Seq(5, 10))
+    },
+
+    // ---- the same metrics WITHOUT the window sort ([[posRanksJoin]]:
+    //      count-of-beats via shuffle-hash join, zero sorts, all
+    //      codegen). Same oracle SQL as q_rank_metrics: the two plans
+    //      must agree bit-for-bit. ----
+    "q_rank_metrics_agg" -> QueryDef(duckRankMetricsSql) { (spark, d) =>
+      import spark.implicits._
+      val ranks = posRanksJoin(spark, d)
+      // rn = 0 means the positive ranked below 10: counted in n_users,
+      // contributes 0 to every @K metric — exactly the window semantics.
+      // One cross join against the k values instead of a union of
+      // per-k branches: the typed rank pipeline is computed ONCE (a
+      // union would plan — and run — the whole aggregate per branch).
+      val ks = Seq(5, 10).toDF("k")
+      val in = col("rn") >= 1 && col("rn") <= col("k")
+      ranks.crossJoin(broadcast(ks))
+        .groupBy("domain", "k")
+        .agg(
+          count(lit(1)).as("n_users"),
+          round(avg(when(in, 1.0).otherwise(0.0)), 6).as("hr"),
+          round(avg(when(in, log(lit(2.0)) / log(col("rn") + 1))
+            .otherwise(0.0)), 6).as("ndcg"),
+          round(avg(when(in, lit(1.0) / col("rn")).otherwise(0.0)), 6).as("mrr"))
+        .select("domain", "k", "n_users", "hr", "ndcg", "mrr")
+        .orderBy("domain", "k")
     },
 
     // ---- same top-K via the typed bounded Aggregator (§4.3): O(K)

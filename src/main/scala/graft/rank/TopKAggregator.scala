@@ -1,6 +1,6 @@
 package graft.rank
 
-import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.Encoder
 import org.apache.spark.sql.catalyst.encoders.ExpressionEncoder
 import org.apache.spark.sql.expressions.Aggregator
 
@@ -36,4 +36,44 @@ class TopKAggregator(k: Int)
 
   override def bufferEncoder: Encoder[Seq[ScoredItem]] = ExpressionEncoder()
   override def outputEncoder: Encoder[Seq[ScoredItem]] = ExpressionEncoder()
+}
+
+/** Bounded top-K buffer for manual partial aggregation: a fixed-K
+  * insertion-sorted (score DESC, item ASC) top list with is-positive
+  * flags and an O(1) reject fast path. Used by
+  * [[Metrics.posRanksDigest]], the network-optimal rank formulation —
+  * each mapper reduces its rows to ≤K-entry digests per group, so the
+  * metric shuffle carries a bounded digest instead of every candidate
+  * row. Hand-rolled rather than a typed `Aggregator` because
+  * `ObjectHashAggregate` falls back to sort-based aggregation past 128
+  * groups per partition (spark.sql.objectHashAggregate.sortBased.
+  * fallbackThreshold), which re-sorts every input row.
+  */
+final class TopBuf(k: Int) {
+  val scores = new Array[Long](k)
+  val items = new Array[Long](k)
+  val pos = new Array[Boolean](k)
+  var n = 0
+
+  private def beats(s: Long, i: Long, idx: Int): Boolean =
+    s > scores(idx) || (s == scores(idx) && i < items(idx))
+
+  def insert(s: Long, i: Long, p: Boolean): Unit = {
+    if (n == k && !beats(s, i, n - 1)) return
+    var idx = if (n < k) n else k - 1
+    while (idx > 0 && beats(s, i, idx - 1)) {
+      scores(idx) = scores(idx - 1); items(idx) = items(idx - 1)
+      pos(idx) = pos(idx - 1)
+      idx -= 1
+    }
+    scores(idx) = s; items(idx) = i; pos(idx) = p
+    if (n < k) n += 1
+  }
+
+  /** 1-based rank of the positive within the buffer, 0 if it fell out. */
+  def rank: Int = {
+    var j = 0
+    while (j < n) { if (pos(j)) return j + 1; j += 1 }
+    0
+  }
 }

@@ -44,4 +44,45 @@ class MetricsSpec extends SparkSpec {
     assert(m.getAs[Double]("ndcg") == 0.0)
     assert(m.getAs[Double]("mrr") == 0.0)
   }
+
+  test("TopBuf insertion order, tiebreaks, rejection, and merge paths") {
+    def rank(items: Seq[(Long, Long, Boolean)], split: Int): Int = {
+      val direct = new TopBuf(3)
+      items.foreach { case (s, i, p) => direct.insert(s, i, p) }
+      // partial-merge path must agree with sequential insertion
+      val (xs, ys) = items.splitAt(split)
+      val (a, b) = (new TopBuf(3), new TopBuf(3))
+      xs.foreach { case (s, i, p) => a.insert(s, i, p) }
+      ys.foreach { case (s, i, p) => b.insert(s, i, p) }
+      val m = new TopBuf(3)
+      Seq(a, b).foreach { t =>
+        (0 until t.n).foreach(j => m.insert(t.scores(j), t.items(j), t.pos(j)))
+      }
+      assert(direct.rank == m.rank, "merge must agree with sequential insert")
+      direct.rank
+    }
+    // positive at rank 2 via score tie broken by item_id
+    assert(rank(Seq((5L, 1L, false), (5L, 2L, true), (1L, 3L, false)), 1) == 2)
+    // positive below kMax=3 -> 0
+    assert(rank(Seq((9L, 1L, false), (8L, 2L, false),
+      (7L, 3L, false), (1L, 4L, true)), 2) == 0)
+    // positive first despite arriving last
+    assert(rank(Seq((1L, 9L, false), (9L, 1L, true)), 1) == 1)
+  }
+
+  test("digest ranks equal join ranks (clamped at kMax) on real data") {
+    import org.apache.spark.sql.functions._
+    val join = Metrics.posRanksJoin(spark, sf())
+      .withColumn("rn", when(col("rn") <= 10, col("rn")).otherwise(0))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    val digest = Metrics.posRanksDigest(spark, sf(), 10)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getInt(2))).toSet
+    assert(join.nonEmpty && join == digest)
+  }
+
+  test("aggregate formulation equals the window formulation end to end") {
+    val win = graft.SparkEntry.defs("q_rank_metrics").build(spark, sf()).collect()
+    val agg = graft.SparkEntry.defs("q_rank_metrics_agg").build(spark, sf()).collect()
+    assert(win.map(_.toSeq).toSeq == agg.map(_.toSeq).toSeq)
+  }
 }
