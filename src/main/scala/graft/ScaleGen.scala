@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dev-only scale amplifier: writes an N× copy of a test-data dir by
@@ -10,11 +10,22 @@ import org.apache.spark.sql.functions._
   * (users, items, docs, vectors — not just row counts).
   *
   *   sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10"
+  *
+  * Optional 4th arg `zipf`: hot-key mode — ~20% of orders land on ONE
+  * customer and ~20% of lineitems on ONE supplier (deterministic
+  * xxhash64 row selection), modelling the power-law skew a real corpus
+  * has and uniform replication hides. Used by [[SkewProbe]] and the
+  * skewed sampler measurements in SCALING.md.
   */
 object ScaleGen {
+
+  /** 1/HOT_MOD of fact rows get the hot key (key = 1). */
+  val HOT_MOD = 5
+
   def main(args: Array[String]): Unit = {
     val Array(src, dst, nStr) = args.take(3)
     val n = nStr.toInt
+    val zipf = args.lift(3).contains("zipf")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -49,18 +60,27 @@ object ScaleGen {
     }
 
     def off(c: String, k: Long) = col(c) + k
+    // hot-key rewrite: a deterministic 1/HOT_MOD slice of rows moves to
+    // key 1 (which exists in every dim), preserving the column's dtype
+    def hot(df: DataFrame, keyCol: String, unique: Column): DataFrame =
+      if (!zipf) df
+      else df.withColumn(keyCol,
+        when(pmod(xxhash64(unique), lit(HOT_MOD)) === 0,
+          lit(1).cast(df.schema(keyCol).dataType)).otherwise(col(keyCol)))
     copy("region")
     copy("nation")
     copy("supplier")
     rep("customer") { (df, k) => df.withColumn("c_custkey", off("c_custkey", k)) }
     rep("part") { (df, k) => df.withColumn("p_partkey", off("p_partkey", k)) }
     rep("orders") { (df, k) =>
-      df.withColumn("o_orderkey", off("o_orderkey", k))
-        .withColumn("o_custkey", off("o_custkey", k))
+      hot(df.withColumn("o_orderkey", off("o_orderkey", k))
+        .withColumn("o_custkey", off("o_custkey", k)),
+        "o_custkey", col("o_orderkey"))
     }
     rep("lineitem") { (df, k) =>
-      df.withColumn("l_orderkey", off("l_orderkey", k))
-        .withColumn("l_partkey", off("l_partkey", k))
+      hot(df.withColumn("l_orderkey", off("l_orderkey", k))
+        .withColumn("l_partkey", off("l_partkey", k)),
+        "l_suppkey", col("l_orderkey") * 16 + col("l_linenumber"))
     }
     rep("events") { (df, k) =>
       df.withColumn("event_id", off("event_id", k))

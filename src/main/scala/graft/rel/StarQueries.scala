@@ -216,7 +216,7 @@ object StarQueries {
       val dim = Tables.supplier(spark, d)
         .select(col("s_suppkey").as("suppkey"), col("s_nationkey"))
       Salting.saltedJoin(big, dim, "suppkey",
-        concat_ws(":", col("l_orderkey"), col("l_linenumber")), salts = 8)
+        Seq(col("l_orderkey"), col("l_linenumber")), salts = 8)
         .groupBy(col("s_nationkey").as("nation"))
         .agg(count(lit(1)).as("n_items"),
           round(sum(col("rev")), 2).cast("double").as("revenue"))
