@@ -97,4 +97,21 @@ class PlanSpec extends SparkSpec {
       "salt explode missing from dim side")
     assert(p.contains("_salt"), "salt key missing from join")
   }
+
+  test("sort-free rank join is a hash join: no sort-merge, no window") {
+    // posRanksJoin's whole claim is "zero sorts": the shuffle_hash hint
+    // must actually produce a ShuffledHashJoin (a silent fallback to
+    // sort-merge re-adds the per-partition sorts the formulation
+    // removes) and no Window/Sort may appear below the aggregate
+    // (the splits/sampler SUBTREE legitimately contains windows, so the
+    // assertion is relative: strictly fewer Window nodes than the window
+    // formulation of the same metrics, and none added by the join)
+    val p = rank.Metrics.posRanksJoin(spark, sf())
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("ShuffledHashJoin"), "shuffle_hash hint not honored")
+    assert(!p.contains("SortMergeJoin"), "rank join fell back to sort-merge")
+    def windows(s: String): Int = """\(\d+\) Window""".r.findAllIn(s).size
+    assert(windows(p) < windows(plan("q_rank_metrics")),
+      "join formulation must plan fewer windows than the window formulation")
+  }
 }
