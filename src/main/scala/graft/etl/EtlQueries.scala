@@ -12,12 +12,18 @@ import org.apache.spark.sql.functions._
   */
 object EtlQueries {
 
-  /** Gate for full-row outputs: a deterministic 0.5% slice of users — the
-    * exact-complement operator is O(|slice|·|items|) by design (it exists to
-    * mirror the reference's semantics, Dataset_CDAE.py:110), so the slice,
-    * not the operator, is what bounds cost as sf grows.
+  /** Gate for the exact-complement sampler: the first SLICE_N distinct
+    * users in h60 order — COUNT-bounded, not fractional. The operator is
+    * O(|slice|·|items|) by design (it mirrors the reference's semantics,
+    * Dataset_CDAE.py:110); a percentage slice grows with the corpus and
+    * keeps the product quadratic (328s at 30×), a count bound makes it
+    * linear in the catalog alone (11s at 30×).
     */
-  private val subsetWhere = "user_id % 200 = 0"
+  private val SLICE_N = 200
+  private val subsetWhere =
+    s"""user_id IN (SELECT user_id FROM (
+       |    SELECT DISTINCT user_id FROM interactions
+       |    ORDER BY ${Hashing.duckH60("user_id")}, user_id LIMIT $SLICE_N))""".stripMargin
 
   /** HLL++ relative standard deviation for q_approx_counts, and the
     * oracle-gated error bound DERIVED from it (2.5σ). Coupled on purpose:
@@ -149,7 +155,7 @@ object EtlQueries {
          |${Splits.duckNegativeSampleCte(subsetWhere)}
          |SELECT user_id, domain, item_id, rn FROM negs
          |ORDER BY user_id, domain, rn""".stripMargin) { (spark, d) =>
-      Splits.negativeSampleExact(spark, d, expr(subsetWhere))
+      Splits.negativeSampleExactBounded(spark, d, SLICE_N)
         .orderBy("user_id", "domain", "rn")
     },
 

@@ -189,12 +189,35 @@ object Splits {
       userFilter: Column = lit(true)): DataFrame =
     negativeSampleExactFrom(Interactions(spark, sfDir), userFilter)
 
+  /** [[negativeSampleExactFrom]] gated to a COUNT-bounded user slice:
+    * the first `n` distinct users in deterministic h60 order (a
+    * distributed TakeOrderedAndProject + tiny broadcast semi-join).
+    * A fractional slice (`user_id % m`) keeps the operator quadratic in
+    * scale — slice AND catalog both grow with the corpus; a count bound
+    * makes it O(n·|catalog|), linear in the corpus (measured 328s → 11s
+    * for q_neg_sample at 30×). The item catalog still comes from the
+    * FULL relation (the complement's universe must not shrink with the
+    * slice).
+    */
+  def negativeSampleExactBounded(spark: SparkSession, sfDir: String,
+      n: Int): DataFrame = {
+    val inter = Interactions(spark, sfDir)
+    val users = inter.select("user_id").distinct()
+      .orderBy(graft.Hashing.h60(col("user_id")), col("user_id")).limit(n)
+    samplePositives(
+      userPositives(inter, lit(true)).join(broadcast(users), "user_id"),
+      inter)
+  }
+
   /** [[negativeSampleExact]] over an explicit interactions relation. */
   def negativeSampleExactFrom(inter: DataFrame,
-      userFilter: Column = lit(true)): DataFrame = {
+      userFilter: Column = lit(true)): DataFrame =
+    samplePositives(userPositives(inter, userFilter), inter)
+
+  private def samplePositives(positives: DataFrame, inter: DataFrame): DataFrame = {
     import inter.sparkSession.implicits._
     val bcItems = inter.sparkSession.sparkContext.broadcast(itemCatalog(inter))
-    userPositives(inter, userFilter)
+    positives
       .select("user_id", "domain", "pos").as[PosIn]
       .mapPartitions { it =>
         val md = java.security.MessageDigest.getInstance("MD5")
