@@ -21,11 +21,15 @@ object Profile {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     def time(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
-      val d = df
-      if (explain) { println(s"==== $name plan"); d.explain("formatted") }
+      // clock starts BEFORE the builder is forced: eager builders
+      // (streaming runBounded, lifecycle collects) do their work inside
+      // build(), exactly like Bench measures them
       val t0 = System.nanoTime()
+      val d = df
+      val tBuild = (System.nanoTime() - t0) / 1e9
+      if (explain) { println(s"==== $name plan"); d.explain("formatted") }
       val n = d.count()
-      println(f"==== $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s  rows=$n")
+      println(f"==== $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s (build $tBuild%.2f)  rows=$n")
     }
     val picked =
       if (names.isEmpty) SparkEntry.defs.keys.toSeq.sorted
