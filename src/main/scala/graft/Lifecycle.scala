@@ -37,7 +37,8 @@ object Lifecycle {
     */
   def runEpoch(spark: SparkSession, sfDir: String, workDir: String,
       epoch: Int): DataFrame = {
-    val (splits, negatives, _) = SplitCache.cachedPipeline(spark, sfDir, s"$workDir/cache")
+    val (splits, negatives, _) = timed(s"e$epoch cachedPipeline") {
+      SplitCache.cachedPipeline(spark, sfDir, s"$workDir/cache") }
     // candidates come from the MEMOIZED negatives scan — epochs must not
     // re-run the sampler (that is the point of the S2 cache)
     val cands = negatives
@@ -50,7 +51,8 @@ object Lifecycle {
           lit(s"epoch$epoch")) % 1000000L).as("score"))
     val metrics = graft.rank.Metrics.rankingMetrics(scored, Seq(5, 10))
       .withColumn("epoch", lit(epoch))
-    MetricsSink.appendParquet(metrics, s"$workDir/metrics_log")
+    timed(s"e$epoch metrics+append") {
+      MetricsSink.appendParquet(metrics, s"$workDir/metrics_log") }
     metrics
   }
 
@@ -93,16 +95,27 @@ object Lifecycle {
     */
   def checkpointBest(spark: SparkSession, workDir: String)
       : Map[(String, String), (Int, String)] = {
-    bestEpochs(spark, workDir)
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration.Duration
+    val winners = bestEpochs(spark, workDir)
       .filter(col("k") === 10).collect()
-      .map { r =>
+    // the six saves are independent tiny write jobs — submit them
+    // concurrently like cachedPipeline does its three relations
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(
+      math.max(1, math.min(6, winners.length)))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      winners.map { r =>
         val (domain, metric, epoch) =
           (r.getAs[String]("domain"), r.getAs[String]("metric"),
             r.getAs[Int]("epoch"))
         val path = s"$workDir/ckpt/best_${metric}_$domain"
-        score.Checkpoint.save(spark, path, epochWeights(epoch))
-        (domain, metric) -> (epoch, path)
-      }.toMap
+        Future {
+          score.Checkpoint.save(spark, path, epochWeights(epoch))
+          (domain, metric) -> (epoch, path)
+        }
+      }.map(Await.result(_, Duration.Inf)).toMap
+    } finally pool.shutdown()
   }
 
   /** S3 reload step (main_my.py:351-370): load one saved checkpoint and
@@ -198,15 +211,17 @@ object Lifecycle {
       // S3: checkpoint each k=10 winner, then score from the RELOADED
       // bytes. Weights for an epoch are identical across (domain, metric)
       // checkpoints, so one scoring pass per distinct winning epoch.
-      val ckpts = checkpointBest(spark, wd)
+      val ckpts = timed("checkpointBest") { checkpointBest(spark, wd) }
       val users = Tables.orders(spark, d).filter(expr(eckUserSlice))
         .select(col("o_custkey").as("user_id")).distinct()
-      val byEpoch: Map[Int, Long] = ckpts.values.toSeq.groupBy(_._1)
-        .map { case (e, ps) =>
-          e -> scoreFromCheckpoint(spark, ps.head._2, users)
-            .agg(sum(round(col("score") * 1e6, 0).cast("long"))).as[Long].head()
-        }
-      val best = bestEpochs(spark, wd).collect().map { r =>
+      val byEpoch: Map[Int, Long] = timed("reloadScore") {
+        ckpts.values.toSeq.groupBy(_._1)
+          .map { case (e, ps) =>
+            e -> scoreFromCheckpoint(spark, ps.head._2, users)
+              .agg(sum(round(col("score") * 1e6, 0).cast("long"))).as[Long].head()
+          }
+      }
+      val best = timed("bestEpochs collect") { bestEpochs(spark, wd).collect() }.map { r =>
         val k = r.getAs[Int]("k"); val e = r.getAs[Int]("epoch")
         (r.getAs[String]("domain"), k, r.getAs[String]("metric"),
           r.getAs[Double]("value"), e,
