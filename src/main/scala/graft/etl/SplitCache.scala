@@ -73,15 +73,22 @@ object SplitCache {
   /** The reference's six cached relations in one call: splits, negatives
     * and train for a scale dir, memoized under `cacheDir`.
     *
-    * The three relations are independent, so on a cache miss they
-    * materialize CONCURRENTLY (three driver threads submitting jobs into
-    * the same scheduler — the standard multi-job pattern; on a cluster
-    * the FAIR scheduler interleaves their stages). They share one
-    * persisted interactions scan instead of re-deriving the
-    * orders⋈lineitem distinct three times. Measured at sf0.1: the e1
-    * cache build dropped 18.1s → 4.8s warm (12.9s first-in-JVM), taking
-    * q_lifecycle from 35s to 13.4s warm. On a warm cache the futures are
-    * three `_SUCCESS` stats — no job, no persist.
+    * Materialization order is chosen for scale, not maximal parallelism:
+    * splits first (train's hold-out join CONSUMES it — deriving train
+    * from the written parquet scan removes a second leave-two-out window
+    * over the full log), then negatives and train concurrently (two
+    * driver threads submitting independent jobs — the standard multi-job
+    * pattern; on a cluster the FAIR scheduler interleaves their stages).
+    * All recomputes share one persisted interactions scan instead of
+    * re-deriving the orders⋈lineitem distinct three times. Measured at
+    * sf0.1: the e1 cache build went 18.1s (sequential, no sharing) →
+    * ~5-6s warm. A fully-parallel variant (all three at once, train
+    * re-ranking the log itself) was equally fast at sf0.1 but collapsed
+    * at 30× scale (269s for the e1 build): three simultaneous full-log
+    * window sorts each got a third of the unified execution-memory pool
+    * and all spilled — splits-first does strictly less work AND caps
+    * concurrent sort memory at two jobs. On a warm cache this is three
+    * `_SUCCESS` stats — no job, no persist.
     */
   def cachedPipeline(spark: SparkSession, sfDir: String, cacheDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -92,27 +99,27 @@ object SplitCache {
       p.getFileSystem(spark.sessionState.newHadoopConf())
         .exists(new org.apache.hadoop.fs.Path(p, "_SUCCESS"))
     }
-    val paths = Seq(s"$cacheDir/splits", s"$cacheDir/negatives", s"$cacheDir/train")
-    val allCached = paths.forall(complete)
+    val allCached = Seq("splits", "negatives", "train")
+      .forall(n => complete(s"$cacheDir/$n"))
     // interactions feed all three recomputes — persist once, drop after
     val inter =
       if (allCached) null
       else Interactions(spark, sfDir).persist()
-    val builders: Seq[() => DataFrame] = Seq(
-      () => Splits.leaveTwoOutFrom(inter),
-      () => Splits.negativeSampleScalableFrom(inter),
-      () => Splits.trainSubsampleFrom(inter, Splits.TRAIN_PCT))
-    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
-    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try {
-      val fs = paths.zip(builders).map { case (p, b) =>
-        Future(writeOnce(spark, b(), p))
-      }
-      val Seq(splits, negatives, train) =
-        fs.map(Await.result(_, Duration.Inf))
-      (splits, negatives, train)
+      val splits =
+        writeOnce(spark, Splits.leaveTwoOutFrom(inter), s"$cacheDir/splits")
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+      try {
+        val negF = Future(writeOnce(spark,
+          Splits.negativeSampleScalableFrom(inter), s"$cacheDir/negatives"))
+        val trainF = Future(writeOnce(spark,
+          Splits.trainSubsampleWith(inter, splits, Splits.TRAIN_PCT),
+          s"$cacheDir/train"))
+        (splits, Await.result(negF, Duration.Inf),
+          Await.result(trainF, Duration.Inf))
+      } finally pool.shutdown()
     } finally {
-      pool.shutdown()
       if (inter != null) inter.unpersist(false)
     }
   }

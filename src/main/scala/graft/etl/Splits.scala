@@ -86,8 +86,20 @@ object Splits {
     trainSubsampleFrom(Interactions(spark, sfDir), pct)
 
   /** [[trainSubsample]] over an explicit interactions relation. */
-  def trainSubsampleFrom(inter: DataFrame, pct: Double): DataFrame = {
-    val train = inter.join(leaveTwoOutFrom(inter), Seq("user_id", "domain"))
+  def trainSubsampleFrom(inter: DataFrame, pct: Double): DataFrame =
+    trainSubsampleWith(inter, leaveTwoOutFrom(inter), pct)
+
+  /** [[trainSubsample]] against an ALREADY-COMPUTED splits relation —
+    * callers holding a materialized split cache (SplitCache) pass its
+    * scan here so the hold-out join reads parquet instead of re-running
+    * the leave-two-out window over the full interaction log (at 30×
+    * scale that recompute was the cache build's largest redundant sort).
+    */
+  def trainSubsampleWith(inter: DataFrame, splits: DataFrame,
+      pct: Double): DataFrame = {
+    val train = inter.join(
+      splits.select("user_id", "domain", "deg", "vali_item", "test_item"),
+      Seq("user_id", "domain"))
       .filter(!(col("item_id") === col("vali_item")) &&
         !(col("deg") > 2 && col("item_id") === col("test_item")))
     val w = Window.partitionBy("user_id", "domain")

@@ -154,6 +154,10 @@ object IvfQueries {
       // data-scale axis (the inverted-list build a 1000-executor cluster
       // would run); re-rank picks broadcast vs distributed by corpus size
       val vecs = Tables.embeddings(spark, d)
+        // empty embeddings have no elems rows in the oracle's d1 CTE, so
+        // they must not be assigned to a cell here either (same guard as
+        // the training slice above and MmdRbf's minibatch)
+        .filter(size(col("embedding")) > 0)
         .select(col("vec_id"), expr(
           "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
           .as("e"))
