@@ -426,9 +426,16 @@ object Splits {
     * planted held-out positive, per (user, domain).
     */
   def candidates(spark: SparkSession, sfDir: String,
-      userFilter: Column = lit(true)): DataFrame =
-    candidatesFrom(Interactions(spark, sfDir),
-      leaveTwoOut(spark, sfDir), userFilter)
+      userFilter: Column = lit(true)): DataFrame = {
+    // persist the interaction log for the query's duration: the E3
+    // pipeline reads it three times (catalog collect, sampler positives,
+    // leave-two-out window) and the CacheManager substitutes the cached
+    // relation into every identical subtree — one persist covers all
+    // three, turning two redundant orders⋈lineitem distincts into
+    // in-memory scans (the same sharing cachedPipeline does explicitly)
+    val inter = Interactions(spark, sfDir).persist()
+    candidatesFrom(inter, leaveTwoOutFrom(inter), userFilter)
+  }
 
   /** [[candidates]] over explicit relations; `userFilter` slices users
     * without changing any user's candidate set (see

@@ -29,21 +29,25 @@ object Metrics {
     * exactly one positive per user×domain).
     */
   def rankingMetrics(scored: DataFrame, ks: Seq[Int]): DataFrame = {
+    import scored.sparkSession.implicits._
     val w = Window.partitionBy("user_id", "domain")
       .orderBy(col("score").desc, col("item_id"))
     val posRank = scored
       .withColumn("rn", row_number().over(w))
       .filter(col("is_positive") === 1)
-    ks.map { k =>
-      posRank.groupBy("domain")
-        .agg(
-          lit(k).as("k"),
-          count(lit(1)).as("n_users"),
-          round(avg(when(col("rn") <= k, 1.0).otherwise(0.0)), 6).as("hr"),
-          round(avg(when(col("rn") <= k, log(lit(2.0)) / log(col("rn") + 1))
-            .otherwise(0.0)), 6).as("ndcg"),
-          round(avg(when(col("rn") <= k, lit(1.0) / col("rn")).otherwise(0.0)), 6).as("mrr"))
-    }.reduce(_ unionAll _)
+    // ONE pass over the ranked positives for every k: a union branch per
+    // k would re-plan — and re-run — the entire upstream pipeline per
+    // branch (ReuseExchange does not dedup across union arms here; the
+    // two-branch plan measured 2× the single-pass one at sf0.1)
+    val in = col("rn") <= col("k")
+    posRank.crossJoin(broadcast(ks.toDF("k")))
+      .groupBy("domain", "k")
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(avg(when(in, 1.0).otherwise(0.0)), 6).as("hr"),
+        round(avg(when(in, log(lit(2.0)) / log(col("rn") + 1))
+          .otherwise(0.0)), 6).as("ndcg"),
+        round(avg(when(in, lit(1.0) / col("rn")).otherwise(0.0)), 6).as("mrr"))
       .select("domain", "k", "n_users", "hr", "ndcg", "mrr")
       .orderBy("domain", "k")
   }

@@ -110,8 +110,15 @@ class PlanSpec extends SparkSpec {
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("ShuffledHashJoin"), "shuffle_hash hint not honored")
     assert(!p.contains("SortMergeJoin"), "rank join fell back to sort-merge")
-    def windows(s: String): Int = """\(\d+\) Window""".r.findAllIn(s).size
-    assert(windows(p) < windows(plan("q_rank_metrics")),
-      "join formulation must plan fewer windows than the window formulation")
+    // the only windows allowed are the splits subtree's h60-ordered ones;
+    // a window ordered by score would mean the ranking re-grew a sort
+    // (the window formulation's metric window orders by score DESC —
+    // present in q_rank_metrics, and it must NOT appear here)
+    def scoreWindow(s: String): Boolean =
+      """score#\d+L? DESC""".r.findFirstIn(s).isDefined
+    assert(scoreWindow(plan("q_rank_metrics")),
+      "sanity: window formulation ranks by score DESC")
+    assert(!scoreWindow(p),
+      "join formulation must not rank via a score-ordered window/sort")
   }
 }
