@@ -32,6 +32,23 @@ object Interactions {
         when(col("l_partkey") % 2 === 0, "x").otherwise("y").as("domain"))
       .distinct()
 
+  /** [[apply]] persisted for the session — the interaction log is the
+    * pipeline's shared base relation (every E2/E3 operator reads it), so
+    * the first query materializes it once and the rest scan memory. The
+    * CacheManager keys the entry by canonicalized plan, so each sfDir
+    * caches independently and every identical subtree in later queries is
+    * substituted automatically. The storageLevel gate makes the call
+    * idempotent: a plan already cached (e.g. by the Bench/Verify harness
+    * up front) is returned as-is, so callers can never double-persist —
+    * and, critically, must never unpersist what they didn't cache.
+    */
+  def cached(spark: SparkSession, sfDir: String): DataFrame = {
+    val df = apply(spark, sfDir)
+    if (df.storageLevel == org.apache.spark.storage.StorageLevel.NONE)
+      df.persist()
+    else df
+  }
+
   /** DuckDB CTE computing the identical relation (for oracle SQL reuse). */
   val duckCte: String =
     """interactions AS (

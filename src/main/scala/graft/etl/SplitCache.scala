@@ -101,10 +101,19 @@ object SplitCache {
     }
     val allCached = Seq("splits", "negatives", "train")
       .forall(n => complete(s"$cacheDir/$n"))
-    // interactions feed all three recomputes — persist once, drop after
+    // interactions feed all three recomputes — share one materialization.
+    // Only unpersist what THIS call cached: the plan may already be in
+    // the session cache (Bench/Verify pre-persist it; Splits.candidates
+    // persists it per query), and unpersisting a shared entry here would
+    // evict it for every later query in the session (measured: the
+    // r4 bench ran q_train_subsample at 10.5s right after q_lifecycle
+    // dropped the harness's cache — 2.5× its warm cost).
+    val preCached = !allCached &&
+      Interactions(spark, sfDir).storageLevel !=
+        org.apache.spark.storage.StorageLevel.NONE
     val inter =
       if (allCached) null
-      else Interactions(spark, sfDir).persist()
+      else Interactions.cached(spark, sfDir)
     try {
       val splits =
         writeOnce(spark, Splits.leaveTwoOutFrom(inter), s"$cacheDir/splits")
@@ -120,7 +129,7 @@ object SplitCache {
           Await.result(trainF, Duration.Inf))
       } finally pool.shutdown()
     } finally {
-      if (inter != null) inter.unpersist(false)
+      if (inter != null && !preCached) inter.unpersist(false)
     }
   }
 }

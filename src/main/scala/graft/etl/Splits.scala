@@ -427,13 +427,13 @@ object Splits {
     */
   def candidates(spark: SparkSession, sfDir: String,
       userFilter: Column = lit(true)): DataFrame = {
-    // persist the interaction log for the query's duration: the E3
+    // share one interactions materialization across the query: the E3
     // pipeline reads it three times (catalog collect, sampler positives,
     // leave-two-out window) and the CacheManager substitutes the cached
     // relation into every identical subtree — one persist covers all
     // three, turning two redundant orders⋈lineitem distincts into
     // in-memory scans (the same sharing cachedPipeline does explicitly)
-    val inter = Interactions(spark, sfDir).persist()
+    val inter = Interactions.cached(spark, sfDir)
     candidatesFrom(inter, leaveTwoOutFrom(inter), userFilter)
   }
 

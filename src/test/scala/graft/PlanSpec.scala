@@ -10,9 +10,16 @@ import org.apache.spark.sql.execution.ExplainMode
   */
 class PlanSpec extends SparkSpec {
 
-  private def plan(name: String): String =
+  private def plan(name: String): String = {
+    // these tests assert the UNCACHED plan shapes (scan pruning, shuffle
+    // counts): a prior suite may have left shared relations persisted
+    // (Interactions.cached), and the CacheManager's InMemoryRelation
+    // substitution would both hide the scans and print the cached
+    // subtree's build-time exchanges into the formatted plan
+    spark.catalog.clearCache()
     SparkEntry.defs(name).build(spark, sf())
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
+  }
 
   /** Shuffle-exchange count in a formatted plan: nodes print as
     * "(n) Exchange" ("(n) BroadcastExchange" intentionally excluded).
