@@ -7,6 +7,10 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // the test layout is one FILE per table, so scan parallelism comes
+      // entirely from row-group split points; the 128 MB default made
+      // every first stage of a 30× run 1-4 tasks on 32 cores
+      .config("spark.sql.files.maxPartitionBytes", s"${16 * 1024 * 1024}")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

@@ -36,10 +36,19 @@ object ScaleGen {
 
     val OFF = 10000000L
     // mirror the driver layout: each table is a single FILE named
-    // <table>.parquet (the streaming source's glob filter depends on it)
+    // <table>.parquet (the streaming source's glob filter depends on it).
+    // Row groups are kept small (16 MB vs the 128 MB default) because
+    // parquet scan parallelism is bounded by ROW GROUPS, not by
+    // maxPartitionBytes: a 67 MB single-row-group orders file pinned
+    // every first stage of the 30× suite to ONE task on 32 cores. A real
+    // deployment gets the same parallelism from many files; single-file
+    // layout is a driver-contract artifact, so the row-group size is
+    // where the split points must come from.
     def writeSingle(df: DataFrame, name: String): Unit = {
       val tmp = s"$dst/_tmp_$name"
-      df.coalesce(1).write.mode("overwrite").parquet(tmp)
+      df.coalesce(1).write.mode("overwrite")
+        .option("parquet.block.size", (16L * 1024 * 1024).toString)
+        .parquet(tmp)
       val fs = new java.io.File(tmp)
       val part = fs.listFiles().find(_.getName.endsWith(".parquet")).get
       val target = new java.io.File(s"$dst/$name.parquet")

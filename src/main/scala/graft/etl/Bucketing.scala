@@ -1,0 +1,49 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Bucketed materialization — the cluster-scale companion to
+  * [[SplitCache]]: where writeOnce removes RECOMPUTATION, bucketing
+  * removes the SHUFFLE that every downstream consumer of a relation
+  * would otherwise pay to co-locate it.
+  *
+  * The whole E2/E3 family (leave-two-out window, train subsample,
+  * sampler positives, rank window, hold-out join) hash-distributes the
+  * interaction log on (user_id, domain) — the same key, query after
+  * query. On a 1000-executor cluster the winning layout is to pay that
+  * exchange ONCE: persist the log as a table bucketed by the key, and
+  * every aggregate/window/join whose required distribution is satisfied
+  * by the bucketing reads bucket-local files with NO Exchange in the
+  * plan (BucketingSpec asserts exactly that). The reference has no
+  * notion of data layout at all — it reloads pickles into driver RAM
+  * (Dataset_CDAE.py:26-33); this is the Spark-native answer to the same
+  * "stop re-paying data preparation" goal.
+  *
+  * Local caveat folded into the design: bucketed scans are only
+  * shuffle-free when `spark.sql.sources.bucketing.enabled` is true (the
+  * default) and the consumer's keys start with the bucket columns.
+  */
+object Bucketing {
+
+  /** Materialize `df` as a bucketed, per-bucket-sorted managed table
+    * (overwriting any previous copy) and return a scan of it. Buckets
+    * and sort share `cols`: sorting within buckets lets sort-merge
+    * consumers skip their per-partition sort as well.
+    */
+  def writeBucketed(df: DataFrame, table: String, buckets: Int,
+      cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "bucketing needs at least one column")
+    df.write
+      .mode("overwrite")
+      .bucketBy(buckets, cols.head, cols.tail: _*)
+      .sortBy(cols.head, cols.tail: _*)
+      .saveAsTable(table)
+    df.sparkSession.table(table)
+  }
+
+  /** The interaction log bucketed on its universal key. */
+  def bucketedInteractions(spark: SparkSession, sfDir: String,
+      table: String = "inter_bucketed", buckets: Int = 32): DataFrame =
+    writeBucketed(Interactions(spark, sfDir), table, buckets,
+      Seq("user_id", "domain"))
+}

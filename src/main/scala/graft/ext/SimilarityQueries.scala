@@ -187,16 +187,47 @@ object SimilarityQueries {
     fixed.repartition(spark.sparkContext.defaultParallelism)
       .mapPartitions { it =>
       val c = corpus.value
+      val n = c.length
       it.flatMap { case (ida, ea) =>
         val na = math.sqrt(ea.map(x => x * x).sum.toDouble)
-        c.iterator.filter(t => t._1 > ida && t._3 > 0.0 && na > 0.0)
-          .flatMap { case (idb, eb, nb) =>
-          var dot = 0L
-          var i = 0
-          while (i < ea.length) { dot += ea(i) * eb(i); i += 1 }
-          val cos = BigDecimal(dot.toDouble / (na * nb))
-            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
-          if (cos >= NEAR_DUP_COS) Some((ida, idb, cos)) else None
+        if (na == 0.0) Iterator.empty
+        else {
+          // corpus is sorted by vec_id — binary-search the first id > ida
+          // and run a primitive index loop from there. The first version
+          // boxed every pair through iterator/Option AND built a
+          // BigDecimal per pair for the 6-decimal rounding: at 30× scale
+          // (60 k vectors, 1.8 G pairs) the BigDecimal allocation alone
+          // dominated the O(n²d) dot products. Rounding only matters for
+          // pairs that can clear the threshold, so gate it: HALF_UP at 6
+          // decimals moves a value by at most 5e-7, hence any raw cosine
+          // below NEAR_DUP_COS − 5e-7 cannot round into the output (the
+          // boundary raw == T − 5e-7 itself rounds up to T, inclusive).
+          var lo = 0
+          var hi = n
+          while (lo < hi) {
+            val m = (lo + hi) >>> 1
+            if (c(m)._1 <= ida) lo = m + 1 else hi = m
+          }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          val dim = ea.length
+          var j = lo
+          while (j < n) {
+            val t = c(j)
+            if (t._3 > 0.0) {
+              val eb = t._2
+              var dot = 0L
+              var i = 0
+              while (i < dim) { dot += ea(i) * eb(i); i += 1 }
+              val raw = dot.toDouble / (na * t._3)
+              if (raw >= NEAR_DUP_COS - 5e-7) {
+                val cos = BigDecimal(raw)
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (cos >= NEAR_DUP_COS) out += ((ida, t._1, cos))
+              }
+            }
+            j += 1
+          }
+          out.iterator
         }
       }
     }.toDF("vec_a", "vec_b", "cos")
