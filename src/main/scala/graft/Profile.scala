@@ -38,8 +38,24 @@ object Profile {
       else names.toSeq
     // repeat a name to re-time it warm (first run carries JIT/codegen;
     // host noise here swings single measurements up to 4× — see SCALING.md)
-    picked.foreach { name =>
-      time(name, SparkEntry.defs(name).build(spark, sfDir))
+    picked.foreach {
+      // dev probes for the shared base relation (not driver queries):
+      // raw = compute only; persist = compute + cache materialization
+      case "dev:inter" =>
+        time("dev:inter", etl.Interactions(spark, sfDir))
+        spark.catalog.clearCache()
+      case "dev:inter_persist" =>
+        time("dev:inter_persist", etl.Interactions(spark, sfDir).persist())
+        spark.catalog.clearCache()
+      // scaled ANN parameterizations (the production dials; the driver
+      // queries pin the oracle-gated demo constants)
+      case s"dev:lsh$bits" =>
+        time(s"dev:lsh$bits", ext.SimilarityQueries.lshTopK(spark, sfDir,
+          bandBits = bits.toInt, numBands = 2))
+      case s"dev:ivf$k" =>
+        time(s"dev:ivf$k", ext.IvfQueries.ivfTopK(spark, sfDir, k = k.toInt))
+      case name =>
+        time(name, SparkEntry.defs(name).build(spark, sfDir))
     }
     spark.stop()
   }

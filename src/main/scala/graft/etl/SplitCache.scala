@@ -16,6 +16,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SplitCache {
 
+  /** Dev stage timer (same contract as Lifecycle.timed): stderr only
+    * when GRAFT_STAGE_TIMING is set.
+    */
+  private def timed[A](stage: String)(body: => A): A = {
+    if (sys.env.contains("GRAFT_STAGE_TIMING")) {
+      val t0 = System.nanoTime()
+      val r = body
+      System.err.println(f"[splitcache] $stage%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
+      r
+    } else body
+  }
+
   /** Materialize `df` at `path` unless already present AND complete;
     * return a scan of the materialized table (never the in-memory plan,
     * so downstream consumers get identical data regardless of who wrote
@@ -114,17 +126,21 @@ object SplitCache {
     val inter =
       if (allCached) null
       else Interactions.cached(spark, sfDir)
+    // dev-only probe: separates base-relation materialization from the
+    // three writes in stage timings (adds no job otherwise)
+    if (inter != null && sys.env.contains("GRAFT_STAGE_TIMING"))
+      timed("inter materialize") { inter.count() }
     try {
-      val splits =
-        writeOnce(spark, Splits.leaveTwoOutFrom(inter), s"$cacheDir/splits")
+      val splits = timed("splits write") {
+        writeOnce(spark, Splits.leaveTwoOutFrom(inter), s"$cacheDir/splits") }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
-        val negF = Future(writeOnce(spark,
-          Splits.negativeSampleScalableFrom(inter), s"$cacheDir/negatives"))
-        val trainF = Future(writeOnce(spark,
+        val negF = Future(timed("negatives write") { writeOnce(spark,
+          Splits.negativeSampleScalableFrom(inter), s"$cacheDir/negatives") })
+        val trainF = Future(timed("train write") { writeOnce(spark,
           Splits.trainSubsampleWith(inter, splits, Splits.TRAIN_PCT),
-          s"$cacheDir/train"))
+          s"$cacheDir/train") })
         (splits, Await.result(negF, Duration.Inf),
           Await.result(trainF, Duration.Inf))
       } finally pool.shutdown()

@@ -40,6 +40,19 @@ object IvfQueries {
     */
   val TRAIN_N: Int = K * 256
 
+  /** IVF-Flat top-k parameterized by the inverted-list count — THE scale
+    * dial: cell occupancy is n / k, and probe-candidate cost per query is
+    * nprobe × occupancy, so k must grow with the corpus (the standard
+    * IVF sizing is k ≈ √n). The demo query pins k = [[K]] = 16 for the
+    * oracle-gated small-sf range; at 30× (60 k vectors) k = 64 measured
+    * 3× faster for the same nprobe (SCALING.md r5). Training stays
+    * COUNT-bounded at k·256 — driver memory scales with k, never with
+    * the corpus.
+    */
+  def ivfTopK(spark: org.apache.spark.sql.SparkSession, d: String,
+      k: Int = K, nprobe: Int = NPROBE): org.apache.spark.sql.DataFrame =
+    build(spark, d, k, nprobe)
+
   val defs: Map[String, QueryDef] = Map(
     "q_sim_ivf" -> QueryDef(
       s"""WITH ${VectorOps.duckElemsCte},
@@ -97,6 +110,11 @@ object IvfQueries {
          |  FROM cosines)
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
+      build(spark, d, K, NPROBE)
+    })
+
+  private def build(spark: org.apache.spark.sql.SparkSession, d: String,
+      k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
       import spark.implicits._
       // Centroid training runs on a COUNT-bounded deterministic sample:
       // sort by h60(vec_id) + LIMIT executes as a distributed
@@ -112,7 +130,7 @@ object IvfQueries {
             "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
             .as("e"))
           .orderBy(Hashing.h60(col("vec_id")), col("vec_id"))
-          .limit(TRAIN_N)
+          .limit(k * 256)
           .as[(Long, Array[Long])].collect()
       // empty training slice → no centroids → no assignments: the oracle
       // CTEs produce the same empty relation, so mirror it instead of
@@ -134,18 +152,18 @@ object IvfQueries {
       def best(e: Array[Long], cents: Seq[(Int, Array[Long])], n: Int): Seq[Int] =
         cents.map { case (id, c) => (d2(e, c), id) }.sorted.take(n).map(_._2)
 
-      val seedIds = trainCorpus.map(_._1).sorted.take(K)
-      val cent0 = seedIds.zipWithIndex.map { case (v, k) => (k + 1, trainMap(v)) }.toSeq
+      val seedIds = trainCorpus.map(_._1).sorted.take(k)
+      val cent0 = seedIds.zipWithIndex.map { case (v, ci) => (ci + 1, trainMap(v)) }.toSeq
       val cells = trainCorpus.toSeq
         .map { case (v, e) => (best(e, cent0, 1).head, e) }
         .groupBy(_._1)
-      val cent1 = cells.toSeq.sortBy(_._1).map { case (k, vs) =>
+      val cent1 = cells.toSeq.sortBy(_._1).map { case (cid, vs) =>
         val c = Array.tabulate(dim) { i =>
           val s = vs.iterator.map(_._2(i)).sum
           BigDecimal(s.toDouble / vs.length)
             .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
         }
-        (k, c)
+        (cid, c)
       }
       val bcCent1 = spark.sparkContext.broadcast(cent1)
 
@@ -169,7 +187,7 @@ object IvfQueries {
       }.toDF("vec_id", "cent_id")
       val probes = vecs.filter(expr(querySlice)).mapPartitions { it =>
         val cents = bcCent1.value
-        it.flatMap { case (v, e) => best(e, cents, NPROBE).map(k => (v, k)) }
+        it.flatMap { case (v, e) => best(e, cents, nprobe).map(c => (v, c)) }
       }.toDF("query_id", "cent_id")
 
       val pairs = probes.join(assign1, "cent_id")
@@ -183,5 +201,5 @@ object IvfQueries {
         .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rn"))
         .orderBy("query_id", "rn")
       }
-    })
+  }
 }

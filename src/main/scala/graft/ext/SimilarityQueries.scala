@@ -54,11 +54,13 @@ object SimilarityQueries {
        |)""".stripMargin
 
   /** Hyperplane coefficients, JVM twin of the planes CTE:
-    * c(j)(i-1) = h60("j:i:plane") % 2001 − 1000.
+    * c(j)(i-1) = h60("j:i:plane") % 2001 − 1000. `n` planes — the demo
+    * query uses [[NUM_PLANES]]; scaled deployments request more (see
+    * [[lshTopK]]).
     */
-  private lazy val planeMatrix: Array[Array[Long]] = {
+  private def planeMatrixFor(n: Int): Array[Array[Long]] = {
     val md = java.security.MessageDigest.getInstance("MD5")
-    Array.tabulate(NUM_PLANES, VectorOps.DIM)((j, i0) =>
+    Array.tabulate(n, VectorOps.DIM)((j, i0) =>
       Hashing.h60Jvm(md, s"$j:${i0 + 1}:plane") % 2001 - 1000)
   }
 
@@ -68,9 +70,10 @@ object SimilarityQueries {
     * sf0.1) through two shuffled aggregates for the same integer dots;
     * signatures are embarrassingly parallel and must never shuffle.
     */
-  private def sparkSigs(spark: org.apache.spark.sql.SparkSession, d: String) = {
+  private def sparkSigs(spark: org.apache.spark.sql.SparkSession, d: String,
+      numPlanes: Int = NUM_PLANES) = {
     import spark.implicits._
-    val planes = planeMatrix
+    val planes = planeMatrixFor(numPlanes)
     Tables.embeddings(spark, d)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
@@ -84,7 +87,7 @@ object SimilarityQueries {
           else {
             var sig = 0L
             var j = 0
-            while (j < NUM_PLANES) {
+            while (j < planes.length) {
               var dot = 0L
               var i = 0
               while (i < e.length) { dot += e(i) * planes(j)(i); i += 1 }
@@ -234,6 +237,41 @@ object SimilarityQueries {
       .orderBy("vec_a", "vec_b")
   }
 
+  /** Hyperplane-LSH top-k, parameterized by the banding — THE scale dial
+    * of the operator. Bucket occupancy is n / 2^bandBits per band, and
+    * the candidate-pair axis is quadratic in occupancy, so bandBits must
+    * grow with the corpus (≈ log2(n / targetBucket) — the standard LSH
+    * sizing rule): the demo constants (2 bands × 4 bits = 16 buckets)
+    * are right for the oracle-gated sf0.01-0.1 range, while 60 k vectors
+    * already want ≥6-bit bands (measured at 30×: 2×6 bits cut the query
+    * 3× — SCALING.md r5). The signature pass is the same fused narrow
+    * mapPartitions whatever the width; results for any given banding are
+    * deterministic in both engines.
+    */
+  def lshTopK(spark: org.apache.spark.sql.SparkSession, d: String,
+      bandBits: Int = 4, numBands: Int = 2): org.apache.spark.sql.DataFrame = {
+    val sigs = sparkSigs(spark, d, numPlanes = bandBits * numBands)
+    val bands = sigs
+      .withColumn("bi", explode(sequence(lit(0), lit(numBands - 1))))
+      .select(col("vec_id"), col("bi"),
+        expr(s"shiftright(sig, $bandBits * bi) % ${1 << bandBits}").as("blk"))
+    val pairs = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") &&
+          col("a.vec_id") =!= col("b.vec_id"))
+      .filter(col("a.vec_id") % 20 === 0)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    // exact re-rank of LSH candidates: broadcast corpus under the
+    // size ceiling, distributed join formulation past it
+    VectorOps.cosineAuto(spark, d, pairs)
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("cos").desc, col("vec_id"))))
+      .filter(col("rn") <= LSH_K)
+      .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- brute-force cosine top-k: the exact baseline ----
@@ -275,25 +313,7 @@ object SimilarityQueries {
          |  FROM cosines)
          |WHERE rn <= $LSH_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
-      val sigs = sparkSigs(spark, d)
-      val bands = sigs
-        .withColumn("bi", explode(sequence(lit(0), lit(1))))
-        .select(col("vec_id"), col("bi"), expr("shiftright(sig, 4 * bi) % 16").as("blk"))
-      val pairs = bands.as("a")
-        .join(bands.as("b"),
-          col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") &&
-            col("a.vec_id") =!= col("b.vec_id"))
-        .filter(col("a.vec_id") % 20 === 0)
-        .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
-        .distinct()
-      // exact re-rank of LSH candidates: broadcast corpus under the
-      // size ceiling, distributed join formulation past it
-      VectorOps.cosineAuto(spark, d, pairs)
-        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-          .orderBy(col("cos").desc, col("vec_id"))))
-        .filter(col("rn") <= LSH_K)
-        .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos"), col("rn"))
-        .orderBy("query_id", "rn")
+      lshTopK(spark, d)
     },
 
     // ---- embedding-cosine near-duplicate pairs ----
