@@ -53,18 +53,21 @@ object IvfQueries {
       k: Int = K, nprobe: Int = NPROBE): org.apache.spark.sql.DataFrame =
     build(spark, d, k, nprobe)
 
-  val defs: Map[String, QueryDef] = Map(
-    "q_sim_ivf" -> QueryDef(
+  /** Oracle SQL for [[ivfTopK]] at a given nlist/nprobe — shared by the
+    * demo query (k=16) and the oracle-gated scale parameterization
+    * (q_sim_ivf_wide, k=64).
+    */
+  private def ivfSql(k: Int, nprobe: Int): String =
       s"""WITH ${VectorOps.duckElemsCte},
          |${VectorOps.duckNormsCte},
          |train_ids AS (
          |  SELECT vec_id FROM embeddings WHERE len(embedding) > 0
-         |  ORDER BY ${Hashing.duckH60("vec_id")}, vec_id LIMIT $TRAIN_N
+         |  ORDER BY ${Hashing.duckH60("vec_id")}, vec_id LIMIT ${k * 256}
          |), train AS (
          |  SELECT e.* FROM elems e JOIN train_ids t ON e.vec_id = t.vec_id
          |), seed_ids AS (
          |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cent_id
-         |  FROM (SELECT vec_id FROM train_ids ORDER BY vec_id LIMIT $K)
+         |  FROM (SELECT vec_id FROM train_ids ORDER BY vec_id LIMIT $k)
          |), cent0 AS (
          |  SELECT s.cent_id, e.i, e.e AS c
          |  FROM seed_ids s JOIN train e ON e.vec_id = s.vec_id
@@ -97,7 +100,7 @@ object IvfQueries {
          |  SELECT vec_id AS query_id, cent_id FROM (
          |    SELECT vec_id, cent_id,
          |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
-         |    FROM d1 WHERE $querySlice) WHERE rn <= $NPROBE
+         |    FROM d1 WHERE $querySlice) WHERE rn <= $nprobe
          |), pairs AS (
          |  SELECT DISTINCT p.query_id, a.vec_id
          |  FROM probes p JOIN assign1 a ON a.cent_id = p.cent_id
@@ -109,8 +112,18 @@ object IvfQueries {
          |      ORDER BY cos DESC, vec_id) AS rn
          |  FROM cosines)
          |WHERE rn <= $TOP_K
-         |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
+         |ORDER BY query_id, rn""".stripMargin
+
+  val defs: Map[String, QueryDef] = Map(
+    "q_sim_ivf" -> QueryDef(ivfSql(K, NPROBE)) { (spark, d) =>
       build(spark, d, K, NPROBE)
+    },
+
+    // the SCALE nlist of the same operator, oracle-gated: 64 inverted
+    // lists (≈ √n at the 30× corpus — 4× faster there, SCALING.md r5),
+    // hash-verified against the identically-parameterized DuckDB replay
+    "q_sim_ivf_wide" -> QueryDef(ivfSql(64, NPROBE)) { (spark, d) =>
+      build(spark, d, 64, NPROBE)
     })
 
   private def build(spark: org.apache.spark.sql.SparkSession, d: String,

@@ -31,15 +31,15 @@ object SimilarityQueries {
     */
   private val NUM_PLANES = 8
 
-  private def duckPlanesCte: String =
+  private def duckPlanesCte(numPlanes: Int = NUM_PLANES): String =
     s"""planes AS (
        |  SELECT j.j, i.i,
        |         ${Hashing.duckH60("j.j", "i.i", "'plane'")} % 2001 - 1000 AS c
-       |  FROM (SELECT unnest(generate_series(0, ${NUM_PLANES - 1})) AS j) j
+       |  FROM (SELECT unnest(generate_series(0, ${numPlanes - 1})) AS j) j
        |  CROSS JOIN (SELECT unnest(generate_series(1, ${VectorOps.DIM})) AS i) i
        |)""".stripMargin
 
-  private def duckSigCte: String =
+  private def duckSigCte(bandBits: Int = 4, numBands: Int = 2): String =
     s"""sigbits AS (
        |  SELECT e.vec_id, p.j,
        |    CASE WHEN SUM(e.e * p.c) > 0 THEN CAST(1 AS BIGINT)
@@ -49,9 +49,33 @@ object SimilarityQueries {
        |), sigs AS (
        |  SELECT vec_id, CAST(SUM(b << j) AS BIGINT) AS sig FROM sigbits GROUP BY vec_id
        |), bands AS (
-       |  SELECT vec_id, f.bi, (sig >> (4 * f.bi)) & 15 AS blk
-       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS bi) f
+       |  SELECT vec_id, f.bi, (sig >> ($bandBits * f.bi)) & ${(1 << bandBits) - 1} AS blk
+       |  FROM sigs CROSS JOIN (SELECT unnest(generate_series(0, ${numBands - 1})) AS bi) f
        |)""".stripMargin
+
+  /** Oracle SQL for [[lshTopK]] at a given banding — shared by the demo
+    * query (2×4-bit) and the oracle-gated SCALE parameterization
+    * (q_sim_lsh_wide, 2×8-bit): the dial is hash-verified, not just
+    * measured.
+    */
+  private def lshSql(bandBits: Int, numBands: Int): String =
+    s"""WITH ${VectorOps.duckElemsCte},
+       |${VectorOps.duckNormsCte},
+       |${duckPlanesCte(bandBits * numBands)},
+       |${duckSigCte(bandBits, numBands)},
+       |pairs AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.blk = b.blk AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 20 = 0
+       |), ${VectorOps.duckCosineCte}
+       |SELECT query_id, vec_id, round(cos, 6) AS cos, rn FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS rn
+       |  FROM cosines)
+       |WHERE rn <= $LSH_K
+       |ORDER BY query_id, rn""".stripMargin
 
   /** Hyperplane coefficients, JVM twin of the planes CTE:
     * c(j)(i-1) = h60("j:i:plane") % 2001 − 1000. `n` planes — the demo
@@ -295,25 +319,16 @@ object SimilarityQueries {
     },
 
     // ---- LSH-bucketed ANN: 8-bit hyperplane signature, 2 bands of 4 ----
-    "q_sim_lsh" -> QueryDef(
-      s"""WITH ${VectorOps.duckElemsCte},
-         |${VectorOps.duckNormsCte},
-         |$duckPlanesCte,
-         |$duckSigCte,
-         |pairs AS (
-         |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id
-         |  FROM bands a JOIN bands b
-         |    ON a.bi = b.bi AND a.blk = b.blk AND a.vec_id <> b.vec_id
-         |  WHERE a.vec_id % 20 = 0
-         |), ${VectorOps.duckCosineCte}
-         |SELECT query_id, vec_id, round(cos, 6) AS cos, rn FROM (
-         |  SELECT query_id, vec_id, cos,
-         |    row_number() OVER (PARTITION BY query_id
-         |      ORDER BY cos DESC, vec_id) AS rn
-         |  FROM cosines)
-         |WHERE rn <= $LSH_K
-         |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
+    "q_sim_lsh" -> QueryDef(lshSql(4, 2)) { (spark, d) =>
       lshTopK(spark, d)
+    },
+
+    // ---- the SCALE banding of the same operator, oracle-gated: 2×8-bit
+    //      bands (256 buckets/band) — the dial a 60k+-vector corpus needs
+    //      (5.5× faster at 30×, SCALING.md r5); hash-verified against the
+    //      identically-parameterized DuckDB replay ----
+    "q_sim_lsh_wide" -> QueryDef(lshSql(8, 2)) { (spark, d) =>
+      lshTopK(spark, d, bandBits = 8, numBands = 2)
     },
 
     // ---- embedding-cosine near-duplicate pairs ----
