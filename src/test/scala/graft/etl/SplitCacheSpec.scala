@@ -86,4 +86,21 @@ class SplitCacheSpec extends SparkSpec {
     assert(Files.exists(path.resolve("_SUCCESS")))
     assert(recovered.count() == live.count())
   }
+
+  test("cachedPipeline never evicts a shared interactions cache it didn't create") {
+    // the harness (Bench/Verify) pre-persists the interactions subtree;
+    // cachedPipeline must leave that session-wide entry alone — the r4
+    // regression evicted it and every later query rebuilt the relation
+    val inter = Interactions(spark, sf())
+    val preCached = Interactions.cached(spark, sf())
+    assert(preCached.storageLevel.useMemory, "pre-persist failed")
+    val dir = Files.createTempDirectory("splitcache").toString
+    try {
+      SplitCache.cachedPipeline(spark, sf(), dir)
+      assert(inter.storageLevel.useMemory,
+        "cachedPipeline evicted the shared interactions cache it did not own")
+    } finally {
+      spark.catalog.clearCache()
+    }
+  }
 }
