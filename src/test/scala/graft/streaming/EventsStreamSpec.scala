@@ -112,6 +112,34 @@ class EventsStreamSpec extends SparkSpec {
     assert(streamed.sameElements(batch))
   }
 
+  test("RocksDB state store produces the identical dedup relation") {
+    // the 100 TB state backend (opt-in rocksDbState) is storage only:
+    // the watermarked dropDuplicates must collapse the doubled source to
+    // exactly the same relation the default in-memory provider produces
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DecimalType
+    def dedupAgg = {
+      val doubled = EventsStream.readEventsStream(spark, sf())
+        .unionAll(EventsStream.readEventsStream(spark, sf()))
+      doubled
+        .withWatermark("ts", "2 hours")
+        .dropDuplicates("event_id", "ts")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("value").cast(DecimalType(18, 3))), 2)
+            .cast("double").as("sum_value"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val viaRocks = rows(EventsStream.runBounded(
+      dedupAgg, "dedup_rocks_sink", rocksDbState = true))
+    val viaDefault = rows(EventsStream.runBounded(dedupAgg, "dedup_hdfs_sink"))
+    assert(viaRocks.nonEmpty && viaRocks == viaDefault)
+    // the opt-in must not leak the provider into the session default
+    assert(!spark.conf.getOption(
+      "spark.sql.streaming.stateStore.providerClass").exists(_.contains("RocksDB")))
+  }
+
   test("mapGroupsWithState sessionizer carries closed-session count across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
