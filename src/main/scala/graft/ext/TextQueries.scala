@@ -20,6 +20,13 @@ object TextQueries {
 
   /** Stopword list for quality scoring (the corpus' closed-class tokens). */
   private val stopwords = Seq("a", "the", "of", "to", "and", "in")
+
+  /** Deny-list pattern for q_text_scrub — word-bounded alternation, valid
+    * and identical in Java regex (Spark) and RE2 (DuckDB). A PII scrub
+    * swaps the alternation for email/phone/ID patterns; the plumbing —
+    * count, replace, digest — is the operator.
+    */
+  private val scrubPat = "\\b(customer|supplier|order)\\b"
   private val stopSql = stopwords.map(s => s"'$s'").mkString(", ")
 
   val defs: Map[String, QueryDef] = Map(
@@ -196,5 +203,75 @@ object TextQueries {
         }
         .toDF("doc_id", "n_fp", "min_fp", "bottom4_sum")
         .orderBy("doc_id")
+    },
+
+    // ---- deny-list scrubbing: the blocklist-redaction step of a
+    //      training-data pipeline (sensitive/blocked terms masked before
+    //      training; same plumbing as PII regexes — the pattern is the
+    //      only swap). One narrow codegen pass: match count, redacted
+    //      text digest, and the residual length — any wrong or missed
+    //      replacement changes the md5. ----
+    "q_text_scrub" -> QueryDef(
+      s"""SELECT doc_id,
+         |  len(regexp_extract_all(text, '$scrubPat')) AS n_redacted,
+         |  md5(regexp_replace(text, '$scrubPat', '[X]', 'g')) AS scrub_sig,
+         |  length(regexp_replace(text, '$scrubPat', '[X]', 'g')) AS n_chars_scrubbed
+         |FROM documents
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      // the pattern is passed as a Column literal, NEVER through expr():
+      // Spark's SQL parser C-escapes '\b' to backspace inside string
+      // literals, silently breaking the word boundary that DuckDB's
+      // non-escaping literal preserves
+      Tables.documents(spark, d).select(
+        col("doc_id"),
+        size(regexp_extract_all(col("text"), lit(scrubPat), lit(0)))
+          .cast("long").as("n_redacted"),
+        md5(regexp_replace(col("text"), scrubPat, "[X]")).as("scrub_sig"),
+        length(regexp_replace(col("text"), scrubPat, "[X]"))
+          .cast("long").as("n_chars_scrubbed"))
+        .orderBy("doc_id")
+    },
+
+    // ---- tf-idf term extraction: per-doc top-3 terms by tf·ln(N/df).
+    //      Two hash aggregates (term frequency per doc, document
+    //      frequency per term) + a broadcast-sized df join + a bounded
+    //      per-doc window — the standard distributed tf-idf shape; the
+    //      df relation is vocabulary-sized (tiny even at web scale).
+    //      ln parity across engines is already exercised by the NDCG
+    //      oracle; scores round to 6 digits. ----
+    "q_text_tfidf" -> QueryDef(
+      s"""WITH ${TextOps.duckTokensCte},
+         |tf AS (
+         |  SELECT doc_id, tok, COUNT(*) AS tf FROM tokens GROUP BY doc_id, tok
+         |), df AS (
+         |  SELECT tok, COUNT(DISTINCT doc_id) AS df FROM tokens GROUP BY tok
+         |), n AS (
+         |  SELECT COUNT(*) AS n_docs FROM documents
+         |), scored AS (
+         |  SELECT tf.doc_id, tf.tok,
+         |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+         |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN n
+         |)
+         |SELECT doc_id, tok, tfidf, rn FROM (
+         |  SELECT doc_id, tok, tfidf,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY tfidf DESC, tok) AS rn
+         |  FROM scored)
+         |WHERE rn <= 3
+         |ORDER BY doc_id, rn""".stripMargin) { (spark, d) =>
+      val toks = TextOps.tokens(spark, d).select("doc_id", "tok")
+      val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+      val df = toks.groupBy("tok")
+        .agg(countDistinct(col("doc_id")).as("df"))
+      val nDocs = Tables.documents(spark, d).count()
+      val w = Window.partitionBy("doc_id")
+        .orderBy(col("tfidf").desc, col("tok"))
+      tf.join(broadcast(df), "tok")
+        .select(col("doc_id"), col("tok"),
+          round(col("tf") * log(lit(nDocs.toDouble) / col("df")), 6).as("tfidf"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select("doc_id", "tok", "tfidf", "rn")
+        .orderBy("doc_id", "rn")
     })
 }
