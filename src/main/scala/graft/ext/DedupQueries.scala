@@ -77,6 +77,44 @@ object DedupQueries {
        |  WHERE round(CAST(i.ni AS DOUBLE) / (sa.ns + sb.ns - i.ni), 6) >= $minJac
        |)""".stripMargin
 
+  /** DuckDB CTE chain ending in `verified(doc_a, doc_b, ni, jac)`: word
+    * 5-gram shingles → per-band MinHash signatures → banded candidate
+    * pairs → exact-Jaccard verify. Shared by `q_dedup_minhash` (emits the
+    * pairs) and `q_dedup_cluster` (closes them transitively).
+    */
+  private lazy val duckMinhashPairCtes: String =
+    s"""${TextOps.duckWordShinglesCte(5)},
+       |mh AS (
+       |  SELECT doc_id, f.j, MIN(${Hashing.duckH60("sh", "f.j")}) AS mh
+       |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, ${NUM_HASH - 1})) AS j) f
+       |  GROUP BY doc_id, f.j
+       |), bands AS (
+       |  SELECT doc_id, j // $BAND_ROWS AS band,
+       |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+       |  FROM mh GROUP BY doc_id, j // $BAND_ROWS
+       |), cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |), hsh AS (
+       |  SELECT DISTINCT doc_id, ${Hashing.duckH60("sh")} AS sh FROM shingles
+       |), ${duckJaccardVerify(MINHASH_JAC, "hsh")}""".stripMargin
+
+  /** Spark mirror of [[duckMinhashPairCtes]]: verified MinHash duplicate
+    * pairs `(doc_a, doc_b, ni, jac)`, unordered.
+    */
+  private def minhashVerifiedPairs(spark: SparkSession, d: String): DataFrame = {
+    val sh = TextOps.wordShingleHashes(spark, d, 5) // verify pass input, 8-byte keys
+    val bands = minhashBands(spark, d, 5)
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .distinct()
+    jaccardVerify(cand, sh, MINHASH_JAC)
+  }
+
   /** (doc_id, band, sig) MinHash band signatures in ONE narrow pass:
     * per document, shingle-set dedup + all NUM_HASH mins + band strings
     * happen in-memory inside mapPartitions. The first formulation ran
@@ -204,33 +242,42 @@ object DedupQueries {
 
     // ---- MinHash + LSH banding over word 5-gram shingles ----
     "q_dedup_minhash" -> QueryDef(
-      s"""WITH ${TextOps.duckWordShinglesCte(5)},
-         |mh AS (
-         |  SELECT doc_id, f.j, MIN(${Hashing.duckH60("sh", "f.j")}) AS mh
-         |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, ${NUM_HASH - 1})) AS j) f
-         |  GROUP BY doc_id, f.j
-         |), bands AS (
-         |  SELECT doc_id, j // $BAND_ROWS AS band,
-         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
-         |  FROM mh GROUP BY doc_id, j // $BAND_ROWS
-         |), cand AS (
-         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-         |  FROM bands a JOIN bands b
-         |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
-         |), hsh AS (
-         |  SELECT DISTINCT doc_id, ${Hashing.duckH60("sh")} AS sh FROM shingles
-         |), ${duckJaccardVerify(MINHASH_JAC, "hsh")}
+      s"""WITH $duckMinhashPairCtes
          |SELECT doc_a, doc_b, ni, jac FROM verified
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
-      val sh = TextOps.wordShingleHashes(spark, d, 5) // verify pass input, 8-byte keys
-      val bands = minhashBands(spark, d, 5)
-      val cand = bands.as("a")
-        .join(bands.as("b"),
-          col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&
-            col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .distinct()
-      jaccardVerify(cand, sh, MINHASH_JAC)
+      minhashVerifiedPairs(spark, d).orderBy("doc_a", "doc_b")
+    },
+
+    // ---- duplicate-cluster assembly: connected components over the
+    //      verified MinHash pairs (the stage AFTER pair finding — a real
+    //      dedup pipeline keeps ONE doc per transitive cluster, not one
+    //      per pair). cluster_id = min member doc_id = the canonical
+    //      keeper; membership is hash-verified against a recursive-CTE
+    //      reachability closure in DuckDB.
+    "q_dedup_cluster" -> QueryDef(
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION SELECT doc_b, doc_a FROM verified
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+         |), comp AS (
+         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+         |)
+         |SELECT cluster_id, COUNT(*) AS n_members,
+         |       CAST(SUM(doc_id) AS BIGINT) AS member_checksum,
+         |       CAST(MAX(doc_id) AS BIGINT) AS max_member
+         |FROM comp GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin) { (spark, d) =>
+      val pairs = minhashVerifiedPairs(spark, d).select("doc_a", "doc_b")
+      DedupCluster.connectedComponents(pairs)
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("id")).as("member_checksum"),
+          max(col("id")).as("max_member"))
+        .orderBy("cluster_id")
     },
 
     // ---- SimHash over word bigrams, byte-block LSH, hamming <= 3 ----

@@ -1,0 +1,40 @@
+package graft.ext
+
+import graft.SparkSpec
+
+/** Connected-components cluster assembly over duplicate pairs. */
+class DedupClusterSpec extends SparkSpec {
+
+  private def labelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    DedupCluster.connectedComponents(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("chain, triangle and isolated pair collapse to component minima") {
+    val got = labelsOf(Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L)))
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 20L -> 20L, 21L -> 20L))
+  }
+
+  test("long path converges (multi-round propagation, reversed ids)") {
+    // worst case for min-propagation: the min sits at one END of a path
+    // and must travel the full diameter
+    val n = 12L
+    val got = labelsOf((1L until n).map(i => (n - i, n - i + 1)))
+    assert(got === (1L to n).map(_ -> 1L).toMap)
+  }
+
+  test("q_dedup_cluster n_members sums to total paired docs at sf0.001") {
+    val pairs = DedupQueries.defs("q_dedup_minhash").build(spark, sf())
+    val docsInPairs = pairs.select("doc_a").union(pairs.select("doc_b"))
+      .distinct().count()
+    val clusters = DedupQueries.defs("q_dedup_cluster").build(spark, sf())
+      .collect()
+    assert(clusters.map(_.getAs[Long]("n_members")).sum === docsInPairs)
+    // every cluster id is its own minimum member: max_member >= cluster_id
+    assert(clusters.forall(r =>
+      r.getAs[Long]("max_member") >= r.getAs[Long]("cluster_id")))
+  }
+}
