@@ -29,7 +29,35 @@ object TextQueries {
   private val scrubPat = "\\b(customer|supplier|order)\\b"
   private val stopSql = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Per-stratum cap for q_sample_capped. */
+  private val CAP_K = 8
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ---- per-stratum cap sampling: keep at most K docs per
+    //      (source, lang), chosen by deterministic h60 order — the
+    //      "cap per domain" curation step that stops one over-crawled
+    //      source from dominating a training mix. The row_number <= K
+    //      filter triggers Spark's WindowGroupLimit rewrite (asserted in
+    //      PlanSpec): each partition keeps a K-bounded heap instead of
+    //      sorting whole strata, so a billion-doc stratum costs O(n)
+    //      scan + O(K) state, not an O(n log n) sort.
+    "q_sample_capped" -> QueryDef(
+      s"""SELECT source, lang, doc_id, rk FROM (
+         |  SELECT source, lang, doc_id,
+         |    row_number() OVER (PARTITION BY source, lang
+         |      ORDER BY ${Hashing.duckH60("doc_id")}, doc_id) AS rk
+         |  FROM documents)
+         |WHERE rk <= $CAP_K
+         |ORDER BY source, lang, rk""".stripMargin) { (spark, d) =>
+      val w = Window.partitionBy(col("source"), col("lang"))
+        .orderBy(Hashing.h60(col("doc_id")), col("doc_id"))
+      Tables.documents(spark, d)
+        .select("source", "lang", "doc_id")
+        .withColumn("rk", row_number().over(w).cast("long"))
+        .filter(col("rk") <= CAP_K)
+        .orderBy("source", "lang", "rk")
+    },
 
     // ---- token counting: whitespace tokens + regex word-run tokens ----
     "q_text_tokens" -> QueryDef(

@@ -220,5 +220,92 @@ object EventQueries {
           min(col("gap_us")).as("min_gap_us"), max(col("gap_us")).as("max_gap_us"),
           sum(col("gap_us")).as("sum_gap_us"))
         .orderBy("event_type")
+    },
+
+    // ---- AS-OF join: attribute each purchase to the latest strictly-
+    //      earlier click by the same user (order: (ts, event_id)).
+    //      Spark has no ASOF JOIN operator; the naive reformulation is a
+    //      per-row range join (quadratic per hot user). The scale shape
+    //      used here is the single-pass merge: filter both event roles
+    //      into ONE stream, ONE shuffle on user_id, and carry the last
+    //      click forward with an ignoreNulls window over the strictly-
+    //      preceding frame — O(n log n) in each user's events, no
+    //      self-join. The oracle computes the same contract with an
+    //      independent plan (per-purchase LATERAL argmax over clicks).
+    "q_events_asof" -> QueryDef(
+      """SELECT p.event_id AS purchase_id, p.user_id,
+        |       c.click_id, c.gap_us
+        |FROM events p LEFT JOIN LATERAL (
+        |  SELECT c.event_id AS click_id,
+        |         epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |  FROM events c
+        |  WHERE c.user_id = p.user_id AND c.event_type = 'click'
+        |    AND (c.ts < p.ts OR (c.ts = p.ts AND c.event_id < p.event_id))
+        |  ORDER BY c.ts DESC, c.event_id DESC LIMIT 1
+        |) c ON TRUE
+        |WHERE p.event_type = 'purchase'
+        |ORDER BY purchase_id""".stripMargin) { (spark, d) =>
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(spark, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("event_id"), col("user_id"), col("ts"), col("event_type"))
+        .withColumn("click_id",
+          last(when(col("event_type") === "click", col("event_id")),
+            ignoreNulls = true).over(w))
+        .withColumn("click_ts",
+          last(when(col("event_type") === "click", col("ts")),
+            ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          col("click_id"),
+          (unix_micros(col("ts")) - unix_micros(col("click_ts"))).as("gap_us"))
+        .orderBy("purchase_id")
+    },
+
+    // ---- range (interval) join: clicks within 24h AFTER each error,
+    //      per user. A naive time-range join is quadratic per hot user;
+    //      the scale shape is bin-bucketing with bin width = window
+    //      width: each click lands in exactly ONE (user, bin) bucket and
+    //      each error probes exactly TWO (its bin + the next), so the
+    //      equi-join fan-out is bounded by per-user-per-day volume and
+    //      the exact range predicate only filters within buckets. The
+    //      oracle runs the same contract as a plain inequality join.
+    "q_events_range_join" -> QueryDef(
+      """WITH e AS (
+        |  SELECT event_id AS error_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+        |)
+        |SELECT e.error_id, e.user_id,
+        |       COUNT(c.event_id) AS n_clicks,
+        |       MIN(epoch_us(c.ts) - epoch_us(e.ts)) AS min_gap_us
+        |FROM e LEFT JOIN c ON c.user_id = e.user_id
+        |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 24 HOURS
+        |GROUP BY e.error_id, e.user_id
+        |ORDER BY error_id""".stripMargin) { (spark, d) =>
+      val winUs = 24L * 3600 * 1000000 // window = bin width, in microseconds
+      val ev = Tables.events(spark, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          unix_micros(col("ts")).as("e_us"))
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"))
+        .withColumn("bin", expr(s"c_us DIV $winUs"))
+      val probes = errors.withColumn("bin",
+        explode(array(expr(s"e_us DIV $winUs"), expr(s"e_us DIV $winUs") + 1)))
+      val matches = probes.join(clicks, Seq("user_id", "bin"))
+        .filter(col("c_us") >= col("e_us") && col("c_us") < col("e_us") + winUs)
+        .groupBy("error_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("c_us") - col("e_us")).as("min_gap_us"))
+      errors.select("error_id", "user_id")
+        .join(matches, Seq("error_id"), "left")
+        .select(col("error_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"), col("min_gap_us"))
+        .orderBy("error_id")
     })
 }

@@ -105,6 +105,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("_salt"), "salt key missing from join")
   }
 
+  test("as-of join is one shuffle and no self-join") {
+    // the whole point of the merge formulation: an ASOF join that plans
+    // as a single user_id exchange + window, never a range self-join
+    // (quadratic per hot user) — regression here = 100 TB cliff
+    val p = plan("q_events_asof")
+    assert(!p.contains("Join"), "as-of must not plan a self-join")
+    assert(p.contains("Window"), "carry-forward window missing")
+    assert(shuffles(p) <= 2, // user_id exchange + final orderBy range part
+      s"as-of join grew extra shuffles:\n$p")
+  }
+
+  test("cap sampler plans a WindowGroupLimit, not a full stratum sort") {
+    // row_number <= K must trigger the group-limit rewrite: partial
+    // per-partition top-K before the shuffle, O(K) state per stratum
+    val p = plan("q_sample_capped")
+    assert(p.contains("WindowGroupLimit"),
+      s"rank filter did not rewrite to WindowGroupLimit:\n$p")
+  }
+
   test("sort-free rank join is a hash join: no sort-merge, no window") {
     // posRanksJoin's whole claim is "zero sorts": the shuffle_hash hint
     // must actually produce a ShuffledHashJoin (a silent fallback to
