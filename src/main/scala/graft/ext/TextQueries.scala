@@ -59,6 +59,42 @@ object TextQueries {
         .orderBy("source", "lang", "rk")
     },
 
+    // ---- decontamination: flag TRAIN docs sharing word 5-grams with an
+    //      EVAL slice (benchmark-leakage check; the directional twin of
+    //      dedup). The eval membership predicate here is doc_id % 10 — a
+    //      real pipeline passes its benchmark table instead; everything
+    //      else is the operator. Scale shape: eval corpora are tiny by
+    //      construction, so the distinct eval-shingle set BROADCASTS and
+    //      the train side is one narrow shingle pass + broadcast join +
+    //      partial agg — the 100 TB side never shuffles.
+    "q_decontaminate" -> QueryDef(
+      s"""WITH ${TextOps.duckWordShinglesCte(5)},
+         |hsh AS (
+         |  SELECT DISTINCT doc_id, ${Hashing.duckH60("sh")} AS sh FROM shingles
+         |), ev AS (
+         |  SELECT DISTINCT sh FROM hsh WHERE doc_id % 10 = 0
+         |), tr AS (
+         |  SELECT doc_id, sh FROM hsh WHERE doc_id % 10 <> 0
+         |)
+         |SELECT t.doc_id, COUNT(*) AS n_shingles, COUNT(e.sh) AS n_shared,
+         |       round(CAST(COUNT(e.sh) AS DOUBLE) / COUNT(*), 6) AS contamination
+         |FROM tr t LEFT JOIN ev e ON e.sh = t.sh
+         |GROUP BY t.doc_id
+         |HAVING COUNT(e.sh) > 0
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      val sh = TextOps.wordShingleHashes(spark, d, 5)
+      val ev = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
+        .withColumn("hit", lit(1L))
+      sh.filter(col("doc_id") % 10 =!= 0)
+        .join(broadcast(ev), Seq("sh"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"),
+          round(count(col("hit")).cast("double") / count(lit(1)), 6)
+            .as("contamination"))
+        .filter(col("n_shared") > 0)
+        .orderBy("doc_id")
+    },
+
     // ---- token counting: whitespace tokens + regex word-run tokens ----
     "q_text_tokens" -> QueryDef(
       """SELECT doc_id,

@@ -56,6 +56,43 @@ object StarQueries {
         .orderBy(col("l_returnflag"), col("l_linestatus"))
     },
 
+    // ---- distribution quantiles: exact + sketch (the A1-counts pattern
+    //      applied to percentiles). At 100 TB exact percentile holds a
+    //      whole group's values in memory — approx_percentile (bounded
+    //      KLL-style summary, mergeable map-side) is the scale path. The
+    //      exact columns hash-gate against quantile_cont; the approx
+    //      values are gated as booleans: the sketch's rank error is
+    //      <= n/ACCURACY, so the value must land between the exact
+    //      quantiles at q +/- QDELTA (3x the guarantee — deterministic
+    //      for fixed data, robust to merge order). Bound derived from
+    //      ACCURACY so the gate and the sketch precision move together.
+    "q_approx_quantiles" -> QueryDef(
+      """SELECT l_returnflag,
+        |  round(quantile_cont(l_extendedprice, 0.5), 4) AS p50_exact,
+        |  round(quantile_cont(l_extendedprice, 0.95), 4) AS p95_exact,
+        |  TRUE AS p50_in_bound, TRUE AS p95_in_bound
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, d) =>
+      val acc = 10000 // sketch accuracy: rank error <= n/acc
+      val dq = 3.0 / acc // gate half-width in quantile units (3x guarantee)
+      Tables.lineitem(spark, d)
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr(s"percentile(l_extendedprice, array(${0.5 - dq}D, 0.5D, ${0.5 + dq}D, " +
+            s"${0.95 - dq}D, 0.95D, ${0.95 + dq}D))").as("ex"),
+          expr(s"approx_percentile(l_extendedprice, array(0.5D, 0.95D), $acc)")
+            .as("ap"))
+        .select(col("l_returnflag"),
+          round(col("ex")(1), 4).as("p50_exact"),
+          round(col("ex")(4), 4).as("p95_exact"),
+          (col("ap")(0) >= col("ex")(0) && col("ap")(0) <= col("ex")(2))
+            .as("p50_in_bound"),
+          (col("ap")(1) >= col("ex")(3) && col("ap")(1) <= col("ex")(5))
+            .as("p95_in_bound"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- global sort + limit (TakeOrderedAndProject, no full sort) ----
     "q2_top_orders" -> QueryDef(
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
