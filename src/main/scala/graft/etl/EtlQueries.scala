@@ -1,6 +1,6 @@
 package graft.etl
 
-import graft.{Hashing, QueryDef}
+import graft.{Hashing, QueryDef, Tables}
 import org.apache.spark.sql.functions._
 
 /** Oracle-checked query surface for the ETL pipeline operators
@@ -35,6 +35,62 @@ object EtlQueries {
   val APPROX_BOUND: Double = 2.5 * APPROX_RSD
 
   val defs: Map[String, QueryDef] = Map(
+
+    // ---- CDC merge / upsert compaction: apply a changelog (updates +
+    //      tombstones) over a snapshot, last-writer-wins per key — the
+    //      ingest-compaction step of an incremental pipeline. The
+    //      changelog here is derived deterministically from orders
+    //      (%7 keys updated at v2, %11 keys tombstoned at v3); a real
+    //      pipeline unions its CDC feed instead. Scale shape: ONE
+    //      shuffle on the key via groupBy + max_by(struct, version) —
+    //      map-side combinable (each mapper pre-reduces to one row per
+    //      key), unlike a row_number window which must sort whole
+    //      partitions; tombstones are dropped AFTER the merge so a
+    //      delete beats the rows it shadows.
+    "q_merge_upsert" -> QueryDef(
+      """WITH log AS (
+        |  SELECT o_orderkey AS k, o_totalprice AS price,
+        |         o_orderpriority AS pr, 1 AS v, FALSE AS del FROM orders
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice + 100, o_orderpriority, 2, FALSE
+        |  FROM orders WHERE o_orderkey % 7 = 0
+        |  UNION ALL
+        |  SELECT o_orderkey, 0, o_orderpriority, 3, TRUE
+        |  FROM orders WHERE o_orderkey % 11 = 0
+        |), latest AS (
+        |  SELECT k, arg_max(del, v) AS del, arg_max(price, v) AS price,
+        |         arg_max(pr, v) AS pr
+        |  FROM log GROUP BY k
+        |)
+        |SELECT pr AS o_orderpriority, COUNT(*) AS n_live,
+        |  CAST(round(SUM(CAST(price AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_price
+        |FROM latest WHERE NOT del
+        |GROUP BY pr
+        |ORDER BY o_orderpriority""".stripMargin) { (spark, d) =>
+      val o = Tables.orders(spark, d)
+      def slice(mod: Int, priceCol: org.apache.spark.sql.Column, v: Int,
+          del: Boolean) =
+        o.filter(col("o_orderkey") % mod === 0)
+          .select(col("o_orderkey").as("k"), priceCol.as("price"),
+            col("o_orderpriority").as("pr"), lit(v).as("v"),
+            lit(del).as("del"))
+      val base = o.select(col("o_orderkey").as("k"),
+        col("o_totalprice").as("price"), col("o_orderpriority").as("pr"),
+        lit(1).as("v"), lit(false).as("del"))
+      val log = base
+        .unionAll(slice(7, col("o_totalprice") + 100, 2, del = false))
+        .unionAll(slice(11, lit(0.0), 3, del = true))
+      log.groupBy(col("k"))
+        .agg(max_by(col("del"), col("v")).as("del"),
+          max_by(col("price"), col("v")).as("price"),
+          max_by(col("pr"), col("v")).as("pr"))
+        .filter(!col("del"))
+        .groupBy(col("pr").as("o_orderpriority"))
+        .agg(count(lit(1)).as("n_live"),
+          round(sum(col("price").cast(org.apache.spark.sql.types.DecimalType(18, 3))), 2)
+            .cast("double").as("sum_price"))
+        .orderBy("o_orderpriority")
+    },
 
     // ---- id densification (replaces the reference's contiguity assumption,
     //      main_my.py:81-92; our S6 substitute, SURVEY.md §2.1) ----
