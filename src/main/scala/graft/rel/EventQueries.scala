@@ -307,5 +307,48 @@ object EventQueries {
         .select(col("error_id"), col("user_id"),
           coalesce(col("n_clicks"), lit(0L)).as("n_clicks"), col("min_gap_us"))
         .orderBy("error_id")
+    },
+
+    // ---- funnel analysis: ordered signup → click → purchase
+    //      progression per user (each stage's earliest event STRICTLY
+    //      after the previous stage's). Three aggregates chained by
+    //      equi-joins — every shuffle keys on user_id, so a cluster
+    //      co-partitions the whole chain (one real exchange, reused);
+    //      no per-user sort, no event self-join on time. An arbitrary-
+    //      length funnel would swap the chain for one sorted pass in
+    //      flatMapGroups; at 3 fixed stages the join chain keeps the
+    //      whole plan in codegen'd hash aggregates.
+    "q_events_funnel" -> QueryDef(
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s ON s.user_id = e.user_id AND e.ts > s.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |)
+        |SELECT (SELECT COUNT(*) FROM s) AS n_signup,
+        |       (SELECT COUNT(*) FROM c) AS n_click_after,
+        |       (SELECT COUNT(*) FROM p) AS n_purchase_after,
+        |       (SELECT CAST(SUM(epoch_us(p.t3) - epoch_us(s.t1)) AS BIGINT)
+        |        FROM p JOIN s ON s.user_id = p.user_id) AS sum_funnel_us""".stripMargin) {
+      (spark, d) =>
+      val ev = Tables.events(spark, d)
+      def stage(t: String) = ev.filter(col("event_type") === t)
+      val s = stage("signup").groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = stage("click").join(s, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = stage("purchase").join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      s.agg(count(lit(1)).as("n_signup"))
+        .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
+        .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
+        .crossJoin(p.join(s, "user_id")
+          .agg(sum(unix_micros(col("t3")) - unix_micros(col("t1")))
+            .as("sum_funnel_us")))
     })
 }
