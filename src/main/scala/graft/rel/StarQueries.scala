@@ -93,6 +93,40 @@ object StarQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- column profiling: the data-quality step a pipeline runs
+    //      before trusting a new drop — per column: row/null counts,
+    //      exact distinct, range, checksum. Shape: unpivot (stack) to
+    //      (col_name, val) then ONE aggregate — generic over N columns
+    //      without an N-way distinct Expand; the scan stays narrow
+    //      (only profiled columns read). At 100 TB the exact distinct
+    //      is the expensive term — approx_count_distinct is the dial
+    //      (same trade as q_approx_counts).
+    "q_profile_stats" -> QueryDef(
+      """WITH u AS (
+        |  SELECT 'l_quantity' AS col_name, l_quantity AS val FROM lineitem
+        |  UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+        |  UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+        |)
+        |SELECT col_name, COUNT(*) AS n_rows,
+        |  COUNT(*) - COUNT(val) AS n_nulls,
+        |  COUNT(DISTINCT val) AS n_distinct,
+        |  MIN(val) AS min_val, MAX(val) AS max_val,
+        |  CAST(round(SUM(CAST(val AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_val
+        |FROM u GROUP BY col_name
+        |ORDER BY col_name""".stripMargin) { (spark, d) =>
+      Tables.lineitem(spark, d)
+        .select(expr("stack(3, 'l_quantity', l_quantity, " +
+          "'l_extendedprice', l_extendedprice, " +
+          "'l_discount', l_discount) AS (col_name, val)"))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("val"))).as("n_nulls"),
+          countDistinct(col("val")).as("n_distinct"),
+          min(col("val")).as("min_val"), max(col("val")).as("max_val"),
+          round(sum(dec(col("val"))), 2).cast("double").as("sum_val"))
+        .orderBy("col_name")
+    },
+
     // ---- global sort + limit (TakeOrderedAndProject, no full sort) ----
     "q2_top_orders" -> QueryDef(
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
