@@ -169,6 +169,44 @@ object EventQueries {
         .orderBy("event_type")
     },
 
+    // ---- stream-stream interval join (REAL streaming run): purchases
+    //      joined to same-user clicks from the preceding 24h, both sides
+    //      watermarked so the join state is bounded — without the time
+    //      range + watermarks a stream-stream join must buffer BOTH
+    //      streams forever. Append mode (the only mode a stream-stream
+    //      join supports); the oracle replays the identical contract as
+    //      a batch self-join.
+    "q_stream_join" -> QueryDef(
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
+        |FROM events p JOIN events c
+        |  ON c.user_id = p.user_id
+        | AND p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND c.ts >= p.ts - INTERVAL 24 HOURS AND c.ts <= p.ts
+        |ORDER BY purchase_id, click_id""".stripMargin) { (spark, d) =>
+      val es = graft.streaming.EventsStream
+      val clicks = es.readEventsStream(spark, d)
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = es.readEventsStream(spark, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      val joined = purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
+          col("click_ts") <= col("purchase_ts"))
+        .select(col("purchase_id"), col("click_id"),
+          (unix_micros(col("purchase_ts")) - unix_micros(col("click_ts")))
+            .as("gap_us"))
+      es.runBounded(joined, "q_stream_join_sink",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("purchase_id", "click_id")
+    },
+
     // ---- best-metric argmax selection (A7, main_my.py:302-320): the
     //      reference keeps the FIRST epoch that strictly improves each
     //      metric; row_number with (metric DESC, epoch ASC) reproduces

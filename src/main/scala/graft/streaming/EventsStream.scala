@@ -47,7 +47,8 @@ object EventsStream {
     * oracle verifies it (q_events_stream).
     */
   def runBounded(agg: DataFrame, name: String,
-      rocksDbState: Boolean = false): DataFrame = {
+      rocksDbState: Boolean = false,
+      mode: OutputMode = OutputMode.Complete()): DataFrame = {
     val spark = agg.sparkSession
     // State-store backend is a SCALE dial, not a semantics choice: the
     // default in-memory HDFSBackedStateStore keeps every key version on
@@ -65,7 +66,7 @@ object EventsStream {
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
       val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode(OutputMode.Complete())
+        .outputMode(mode)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
       q.awaitTermination()
