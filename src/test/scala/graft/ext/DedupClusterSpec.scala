@@ -26,6 +26,10 @@ class DedupClusterSpec extends SparkSpec {
     assert(got === (1L to n).map(_ -> 1L).toMap)
   }
 
+  test("empty pair set yields empty labels without failing convergence") {
+    assert(labelsOf(Seq.empty) === Map.empty)
+  }
+
   test("q_dedup_cluster n_members sums to total paired docs at sf0.001") {
     val pairs = DedupQueries.defs("q_dedup_minhash").build(spark, sf())
     val docsInPairs = pairs.select("doc_a").union(pairs.select("doc_b"))
