@@ -10,31 +10,40 @@ import org.apache.spark.storage.StorageLevel
   * over-delete: a–b and b–c verified pairs must collapse to ONE keeper,
   * not two independent drops).
   *
-  * Algorithm: iterative min-label propagation. Every vertex starts
-  * labeled with itself; each round every vertex takes the min of its own
-  * label and its neighbors' labels; fixpoint = every vertex carries its
-  * component's minimum id. Rounds needed = graph diameter, and duplicate
-  * graphs are near-clique bundles (each cluster is one document and its
-  * close variants, densely connected by the verify pass), so diameter is
-  * tiny — 2–3 rounds in practice. For adversarial long-chain graphs the
-  * published fix is alternating large-star/small-star contraction
-  * (Kiveris et al., "Connected Components in MapReduce and Beyond",
-  * SoCC'14) at O(log n) rounds; propagation is the cheaper constant for
-  * the dedup shape and is what this operator ships.
+  * Algorithm: FRONTIER (delta) min-label propagation. Every vertex starts
+  * labeled with itself and every vertex is in the round-0 frontier; each
+  * round, only the vertices whose label CHANGED last round push their
+  * label to their neighbors, and a neighbor adopts the pushed minimum iff
+  * it beats its current label. Fixpoint (empty frontier) = every vertex
+  * carries its component's minimum id. Rounds needed = graph diameter;
+  * duplicate graphs are near-clique bundles, so 2–3 rounds in practice.
+  * The frontier form matters at scale: full re-propagation joins ALL
+  * edges against ALL labels every round, while the delta form's
+  * round-k join touches only edges incident to the round-(k-1) changes,
+  * so rounds after the first are nearly free on near-clique dup graphs.
+  * (In the 100× probe both forms time alike — there the wall clock is
+  * the PAIR-GENERATION input, whose replicated corpus packs C(100,2)
+  * pairs per cluster; the propagation tail is small either way. The
+  * delta form's win appears when V is large and the diameter isn't 1 —
+  * long-tail chains of near-dups — where full re-propagation pays the
+  * whole edge join per round.) For adversarial long-chain graphs the
+  * published alternative is alternating large-star/small-star
+  * contraction (Kiveris et al., "Connected Components in MapReduce and
+  * Beyond", SoCC'14) at O(log n) rounds; propagation is the cheaper
+  * constant for the dedup shape.
   *
-  * Scale shape (100 TB): per round, ONE shuffle join of edges(u,v) to
-  * labels(v) plus ONE hash aggregate keyed by 8-byte vertex ids — both
+  * Scale shape (100 TB): per round, one shuffle join of edges(u,v) to the
+  * frontier plus one hash aggregate, both keyed by 8-byte vertex ids, and
+  * one labels⋈updates join whose right side shrinks toward zero — all
   * partition cleanly across executors. State is O(V+E), never collected
-  * to the driver; the only driver action per round is the convergence
-  * count. Each round's labels are eagerly `localCheckpoint`ed: the new
-  * round references the previous labels TWICE (neighbor join + change
-  * count), so without lineage truncation the logical plan doubles every
-  * round and planning itself OOMs long before the data does. A
-  * localCheckpoint replaces the plan with the materialized partitions
-  * (plan size O(1) in rounds); superseded checkpoint blocks are
-  * reference-GC'd by Spark's ContextCleaner. On a real cluster swap
-  * `localCheckpoint` for reliable `checkpoint` if executor loss during
-  * the (short) propagation must be survivable.
+  * to the driver; the only driver action per round is the frontier count.
+  * Labels and frontier are eagerly `localCheckpoint`ed each round: the
+  * new round references the previous state repeatedly, so without
+  * lineage truncation the logical plan grows multiplicatively and
+  * planning itself OOMs long before the data does (superseded checkpoint
+  * blocks are reference-GC'd by Spark's ContextCleaner). On a real
+  * cluster swap `localCheckpoint` for reliable `checkpoint` if executor
+  * loss during the (short) propagation must be survivable.
   */
 object DedupCluster {
 
@@ -57,26 +66,34 @@ object DedupCluster {
     var labels = edges.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("label"))
       .localCheckpoint() // eager: truncates lineage at the start
-    var changed = 1L
+    // round-0 frontier = every vertex (its self-label is "new")
+    var frontier = labels
+    var active = frontier.count()
     var rounds = 0
-    while (changed > 0 && rounds < MAX_ROUNDS) {
-      val nbrMin = edges
-        .join(labels.select(col("id").as("v"), col("label")), "v")
-        .groupBy(col("u")).agg(min(col("label")).as("nbr_min"))
-      val next = labels
-        .join(nbrMin.select(col("u").as("id"), col("nbr_min")), Seq("id"), "left")
-        .select(col("id"),
-          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("label"))
-        .localCheckpoint() // eager: materializes AND truncates lineage
-      changed = next
-        .join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old"))
-        .count()
-      labels = next
+    while (active > 0 && rounds < MAX_ROUNDS) {
+      // labels pushed across edges FROM the frontier only
+      val pushed = edges
+        .join(frontier.select(col("id").as("v"), col("label")), "v")
+        .groupBy(col("u")).agg(min(col("label")).as("cand"))
+      // adopt a pushed label iff it strictly improves — these vertices
+      // are the next frontier
+      val updates = labels
+        .join(pushed.select(col("u").as("id"), col("cand")), "id")
+        .filter(col("cand") < col("label"))
+        .select(col("id"), col("cand").as("label"))
+        .localCheckpoint()
+      active = updates.count()
+      if (active > 0) {
+        labels = labels
+          .join(updates.select(col("id"), col("label").as("upd")), Seq("id"), "left")
+          .select(col("id"), coalesce(col("upd"), col("label")).as("label"))
+          .localCheckpoint()
+      }
+      frontier = updates
       rounds += 1
     }
     edges.unpersist()
-    require(changed == 0,
+    require(active == 0,
       s"connectedComponents did not converge in $MAX_ROUNDS rounds")
     labels
   }
