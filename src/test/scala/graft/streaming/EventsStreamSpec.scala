@@ -140,6 +140,38 @@ class EventsStreamSpec extends SparkSpec {
       "spark.sql.streaming.stateStore.providerClass").exists(_.contains("RocksDB")))
   }
 
+  test("stream-stream join relation is state-backend independent") {
+    // same storage-only guarantee for the JOIN state stores (four per
+    // partition: two streams x keyToNumValues/keyWithIndexToValue)
+    import org.apache.spark.sql.functions._
+    def joined = {
+      val clicks = EventsStream.readEventsStream(spark, sf())
+        .filter(col("event_type") === "click")
+        .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+          col("ts").as("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+      val purchases = EventsStream.readEventsStream(spark, sf())
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
+          col("ts").as("purchase_ts"))
+        .withWatermark("purchase_ts", "2 hours")
+      purchases.join(clicks,
+        col("p_user") === col("c_user") &&
+          col("click_ts") >= col("purchase_ts") - expr("INTERVAL 24 HOURS") &&
+          col("click_ts") <= col("purchase_ts"))
+        .select(col("purchase_id"), col("click_id"))
+    }
+    val append = org.apache.spark.sql.streaming.OutputMode.Append()
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("purchase_id", "click_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val viaRocks = rows(EventsStream.runBounded(
+      joined, "join_rocks_sink", rocksDbState = true, mode = append))
+    val viaDefault = rows(EventsStream.runBounded(
+      joined, "join_hdfs_sink", mode = append))
+    assert(viaRocks.nonEmpty && viaRocks == viaDefault)
+  }
+
   test("mapGroupsWithState sessionizer carries closed-session count across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
