@@ -127,6 +127,41 @@ object StarQueries {
         .orderBy("col_name")
     },
 
+    // ---- feature scaling: min-max normalize a measure per group — the
+    //      feature-prep step before training. Min-max (not z-score) is
+    //      chosen deliberately for the oracle: MIN/MAX are exact and a
+    //      single IEEE double division is bit-identical across engines,
+    //      whereas stddev's accumulation order is engine-internal. Scale
+    //      shape: per-group extrema via ONE hash aggregate (3 rows)
+    //      broadcast-joined back — never a min/max window over whole
+    //      partitions. Output sliced to a deterministic key subset so
+    //      the verify parquet stays small; extrema use ALL rows.
+    "q_feature_scale" -> QueryDef(
+      """WITH mm AS (
+        |  SELECT l_returnflag, MIN(l_extendedprice) AS mn,
+        |         MAX(l_extendedprice) AS mx
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_returnflag,
+        |  CASE WHEN mm.mx > mm.mn
+        |       THEN round((l.l_extendedprice - mm.mn) / (mm.mx - mm.mn), 6)
+        |       ELSE 0.5 END AS scaled
+        |FROM lineitem l JOIN mm ON mm.l_returnflag = l.l_returnflag
+        |WHERE l.l_orderkey % 20 = 0
+        |ORDER BY l_orderkey, l_linenumber, scaled""".stripMargin) { (spark, d) =>
+      val li = Tables.lineitem(spark, d)
+      val mm = li.groupBy(col("l_returnflag"))
+        .agg(min(col("l_extendedprice")).as("mn"),
+          max(col("l_extendedprice")).as("mx"))
+      li.filter(col("l_orderkey") % 20 === 0)
+        .join(broadcast(mm), "l_returnflag")
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"),
+          when(col("mx") > col("mn"),
+            round((col("l_extendedprice") - col("mn")) / (col("mx") - col("mn")), 6))
+            .otherwise(lit(0.5)).as("scaled"))
+        .orderBy("l_orderkey", "l_linenumber", "scaled")
+    },
+
     // ---- global sort + limit (TakeOrderedAndProject, no full sort) ----
     "q2_top_orders" -> QueryDef(
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
