@@ -97,4 +97,68 @@ object DedupCluster {
       s"connectedComponents did not converge in $MAX_ROUNDS rounds")
     labels
   }
+
+  /** Both orientations of an edge set (no self-loops assumed). */
+  private def symmetrize(e: DataFrame): DataFrame =
+    e.unionAll(e.select(col("v").as("u"), col("u").as("v"))).distinct()
+
+  /** One star operation (Kiveris et al., SoCC'14 §3) over a SYMMETRIZED
+    * adjacency: every node u with neighborhood minimum m = min(Γ(u) ∪ u)
+    * re-points its strictly-larger neighbors (large-star) or its smaller
+    * neighbors AND itself (small-star) at m. One hash aggregate
+    * (per-node min) + one join — the same per-round shuffle bill as a
+    * propagation round.
+    */
+  private def star(edgesSym: DataFrame, large: Boolean): DataFrame = {
+    val m = edgesSym.groupBy(col("u")).agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    val side =
+      if (large) edgesSym.filter(col("v") > col("u"))
+      else edgesSym.filter(col("v") < col("u"))
+    val pointed = side.join(m, "u").select(col("v").as("u"), col("m").as("v"))
+    val withSelf =
+      if (large) pointed
+      else pointed.unionAll(m.select(col("u"), col("m").as("v")))
+    withSelf.filter(col("u") =!= col("v")).distinct()
+  }
+
+  /** Alternating large-star/small-star connected components — the
+    * O(log n)-round contraction for ADVERSARIAL graphs (long near-dup
+    * chains) where propagation's diameter-many rounds would hurt. Each
+    * round halves component heights instead of walking them; the edge
+    * set converges to a star per component (every non-min member →
+    * component min). Returns the same `(id, label)` relation as
+    * [[connectedComponents]] — `DedupClusterSpec` proves them equal on
+    * chain, triangle and pseudo-random graphs. Propagation stays the
+    * default for dedup's near-clique bundles (diameter 2–3: fewer total
+    * shuffles); this is the documented escape hatch when the dup graph's
+    * shape is unknown.
+    */
+  def connectedComponentsStar(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    val vertices = fwd.select(col("u")).unionAll(fwd.select(col("v").as("u")))
+      .distinct().localCheckpoint()
+    var edges = fwd.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var rounds = 0
+    var stable = false
+    while (!stable && rounds < MAX_ROUNDS) {
+      val afterLarge = star(symmetrize(edges), large = true).localCheckpoint()
+      val next = star(symmetrize(afterLarge), large = false).localCheckpoint()
+      // fixpoint = identical edge set round-over-round (both distinct,
+      // so count + one anti-join decide equality exactly)
+      stable = next.count() == edges.count() &&
+        next.join(edges, Seq("u", "v"), "left_anti").count() == 0
+      edges = next
+      rounds += 1
+    }
+    require(stable,
+      s"connectedComponentsStar did not converge in $MAX_ROUNDS rounds")
+    // converged edges are (member, component-min) stars; minima carry no
+    // outgoing row and label themselves via the left join
+    vertices
+      .join(edges.select(col("u").as("id"), col("v").as("lbl")),
+        vertices("u") === col("id"), "left")
+      .select(vertices("u").as("id"),
+        coalesce(col("lbl"), vertices("u")).as("label"))
+  }
 }

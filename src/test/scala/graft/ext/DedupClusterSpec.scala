@@ -30,6 +30,26 @@ class DedupClusterSpec extends SparkSpec {
     assert(labelsOf(Seq.empty) === Map.empty)
   }
 
+  private def starLabelsOf(pairs: Seq[(Long, Long)]): Map[Long, Long] = {
+    import spark.implicits._
+    DedupCluster.connectedComponentsStar(pairs.toDF("doc_a", "doc_b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  test("large-star/small-star equals propagation on chain, clique and random graphs") {
+    val chain = (1L until 16L).map(i => (16L - i, 16L - i + 1))
+    val mixed = Seq((1L, 2L), (2L, 3L), (3L, 4L),
+      (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+    // deterministic pseudo-random graph: 60 edges over 40 vertices
+    val rand = (0 until 60).map { i =>
+      val a = (i * 7919L) % 40 + 1
+      val b = (i * 104729L + 13) % 40 + 1
+      (math.min(a, b), math.max(a, b))
+    }.filter { case (a, b) => a != b }
+    for (g <- Seq(chain, mixed, rand))
+      assert(starLabelsOf(g) === labelsOf(g), s"graphs disagree on $g")
+  }
+
   test("q_dedup_cluster n_members sums to total paired docs at sf0.001") {
     val pairs = DedupQueries.defs("q_dedup_minhash").build(spark, sf())
     val docsInPairs = pairs.select("doc_a").union(pairs.select("doc_b"))
