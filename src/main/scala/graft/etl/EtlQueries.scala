@@ -34,7 +34,42 @@ object EtlQueries {
   val APPROX_RSD = 0.02
   val APPROX_BOUND: Double = 2.5 * APPROX_RSD
 
+  /** Per-stratum sample size for q_sample_priority. */
+  private val PRIORITY_K = 40
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ---- weighted priority sampling (Duffield, Lund & Thorup, JACM'07):
+    //      per stratum keep the k smallest priorities u/w, where u is the
+    //      h60 uniform and w the row's weight — heavier rows are
+    //      proportionally likelier to be kept, deterministically. Chosen
+    //      over exponential/A-Res keys because u/w is ONE IEEE division
+    //      (bit-identical cross-engine) while -ln(u)/w is transcendental.
+    //      Same WindowGroupLimit shape as q_sample_capped: O(k) state
+    //      per stratum, no full sort.
+    "q_sample_priority" -> QueryDef(
+      s"""SELECT o_orderpriority, o_orderkey, w FROM (
+         |  SELECT o_orderpriority, o_orderkey, o_totalprice AS w,
+         |    row_number() OVER (PARTITION BY o_orderpriority
+         |      ORDER BY CAST(${Hashing.duckH60("o_orderkey")} AS DOUBLE) / o_totalprice,
+         |               o_orderkey) AS rk
+         |  FROM orders WHERE o_totalprice > 0)
+         |WHERE rk <= $PRIORITY_K
+         |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (spark, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(
+          (Hashing.h60(col("o_orderkey")).cast("double") / col("w")),
+          col("o_orderkey"))
+      Tables.orders(spark, d)
+        .filter(col("o_totalprice") > 0)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          col("o_totalprice").as("w"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= PRIORITY_K)
+        .select("o_orderpriority", "o_orderkey", "w")
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
 
     // ---- CDC merge / upsert compaction: apply a changelog (updates +
     //      tombstones) over a snapshot, last-writer-wins per key — the
