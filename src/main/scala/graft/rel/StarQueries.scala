@@ -162,6 +162,65 @@ object StarQueries {
         .orderBy("l_orderkey", "l_linenumber", "scaled")
     },
 
+    // ---- ranking-function window surface: dense_rank / percent_rank /
+    //      cume_dist / ntile in one pass over a totally-ordered window
+    //      (unique o_orderkey tiebreak makes every function
+    //      deterministic; percent_rank and cume_dist are single IEEE
+    //      divisions of exact integers — bit-identical cross-engine).
+    //      Ranks are computed over ALL rows, the output sliced to a
+    //      deterministic key subset to keep the verify parquet small.
+    "q_window_ranks" -> QueryDef(
+      """SELECT * FROM (
+        |  SELECT o_orderpriority, o_orderkey,
+        |    dense_rank() OVER w AS drank,
+        |    round(percent_rank() OVER w, 6) AS prank,
+        |    round(cume_dist() OVER w, 6) AS cdist,
+        |    ntile(10) OVER w AS decile
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_orderpriority
+        |               ORDER BY o_totalprice, o_orderkey))
+        |WHERE o_orderkey % 20 = 0
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin) { (spark, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice"), col("o_orderkey"))
+      Tables.orders(spark, d)
+        .select(col("o_orderpriority"), col("o_orderkey"),
+          dense_rank().over(w).as("drank"),
+          round(percent_rank().over(w), 6).as("prank"),
+          round(cume_dist().over(w), 6).as("cdist"),
+          ntile(10).over(w).as("decile"))
+        .filter(col("o_orderkey") % 20 === 0)
+        .orderBy("o_orderpriority", "o_orderkey")
+    },
+
+    // ---- explicit GROUPING SETS (the general form rollup/cube sugar):
+    //      mixed granularities in ONE aggregate pass (Spark's Expand
+    //      emits one copy per set — 3 here — into a single shuffle,
+    //      instead of a union of 3 separate aggregations). grouping()
+    //      flags disambiguate real NULL keys from subtotal rows; keys
+    //      coalesce to a sentinel so both engines order identically.
+    "q_grouping_sets" -> QueryDef(
+      """SELECT COALESCE(l_returnflag, '(all)') AS rflag,
+        |  COALESCE(l_linestatus, '(all)') AS lstatus,
+        |  GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+        |  COUNT(*) AS n,
+        |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+        |ORDER BY gid, rflag, lstatus""".stripMargin) { (spark, d) =>
+      Tables.lineitem(spark, d).createOrReplaceTempView("lineitem_gs")
+      spark.sql(
+        """SELECT COALESCE(l_returnflag, '(all)') AS rflag,
+          |  COALESCE(l_linestatus, '(all)') AS lstatus,
+          |  GROUPING(l_returnflag) + 2 * GROUPING(l_linestatus) AS gid,
+          |  COUNT(*) AS n,
+          |  CAST(round(SUM(CAST(l_quantity AS DECIMAL(18,3))), 2) AS DOUBLE) AS sum_qty
+          |FROM lineitem_gs
+          |GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), ())
+          |ORDER BY gid, rflag, lstatus""".stripMargin)
+    },
+
     // ---- global sort + limit (TakeOrderedAndProject, no full sort) ----
     "q2_top_orders" -> QueryDef(
       """SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
