@@ -124,6 +124,15 @@ class PlanSpec extends SparkSpec {
       s"rank filter did not rewrite to WindowGroupLimit:\n$p")
   }
 
+  test("priority sampler keeps the WindowGroupLimit shape too") {
+    // the u/w priority ORDER BY is an expression, not a column — the
+    // group-limit rewrite must still fire or billion-row strata re-grow
+    // a full sort
+    val p = plan("q_sample_priority")
+    assert(p.contains("WindowGroupLimit"),
+      s"priority rank filter did not rewrite to WindowGroupLimit:\n$p")
+  }
+
   test("sort-free rank join is a hash join: no sort-merge, no window") {
     // posRanksJoin's whole claim is "zero sorts": the shuffle_hash hint
     // must actually produce a ShuffledHashJoin (a silent fallback to
