@@ -49,10 +49,12 @@ object Profile {
         spark.catalog.clearCache()
       // scaled ANN parameterizations (the production dials; the driver
       // queries pin the oracle-gated demo constants)
-      case s"dev:lsh$bits" =>
+      // the numeric guard keeps a typo (dev:lshx, dev:ivf-foo) falling
+      // through to the unknown-query error instead of a NumberFormatException
+      case s"dev:lsh$bits" if bits.matches("\\d+") =>
         time(s"dev:lsh$bits", ext.SimilarityQueries.lshTopK(spark, sfDir,
           bandBits = bits.toInt, numBands = 2))
-      case s"dev:ivf$k" =>
+      case s"dev:ivf$k" if k.matches("\\d+") =>
         time(s"dev:ivf$k", ext.IvfQueries.ivfTopK(spark, sfDir, k = k.toInt))
       case name =>
         time(name, SparkEntry.defs(name).build(spark, sfDir))

@@ -16,6 +16,7 @@ object SparkEntry {
     rank.Metrics.defs,
     score.ScoreQueries.defs,
     ext.TextQueries.defs,
+    ext.PackQueries.defs,
     ext.DedupQueries.defs,
     ext.SimilarityQueries.defs,
     ext.Multimodal.defs,

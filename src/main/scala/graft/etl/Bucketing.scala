@@ -41,9 +41,22 @@ object Bucketing {
     df.sparkSession.table(table)
   }
 
-  /** The interaction log bucketed on its universal key. */
+  /** The interaction log bucketed on its universal key. The default
+    * table name encodes the source dir so two sfDirs in one session get
+    * distinct materializations instead of silently overwriting each
+    * other's managed table.
+    */
   def bucketedInteractions(spark: SparkSession, sfDir: String,
-      table: String = "inter_bucketed", buckets: Int = 32): DataFrame =
-    writeBucketed(Interactions(spark, sfDir), table, buckets,
+      table: String = "", buckets: Int = 32): DataFrame = {
+    val t = if (table.nonEmpty) table
+            else s"inter_bucketed_${tableSuffix(sfDir)}"
+    writeBucketed(Interactions(spark, sfDir), t, buckets,
       Seq("user_id", "domain"))
+  }
+
+  /** Stable identifier-safe suffix for a source path. */
+  def tableSuffix(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    java.lang.Long.toHexString(graft.Hashing.h60Jvm(md, sfDir))
+  }
 }

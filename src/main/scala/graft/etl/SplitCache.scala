@@ -85,22 +85,23 @@ object SplitCache {
   /** The reference's six cached relations in one call: splits, negatives
     * and train for a scale dir, memoized under `cacheDir`.
     *
-    * Materialization order is chosen for scale, not maximal parallelism:
-    * splits first (train's hold-out join CONSUMES it — deriving train
-    * from the written parquet scan removes a second leave-two-out window
-    * over the full log), then negatives and train concurrently (two
-    * driver threads submitting independent jobs — the standard multi-job
-    * pattern; on a cluster the FAIR scheduler interleaves their stages).
-    * All recomputes share one persisted interactions scan instead of
-    * re-deriving the orders⋈lineitem distinct three times. Measured at
-    * sf0.1: the e1 cache build went 18.1s (sequential, no sharing) →
-    * ~5-6s warm. A fully-parallel variant (all three at once, train
-    * re-ranking the log itself) was equally fast at sf0.1 but collapsed
-    * at 30× scale (269s for the e1 build): three simultaneous full-log
-    * window sorts each got a third of the unified execution-memory pool
-    * and all spilled — splits-first does strictly less work AND caps
-    * concurrent sort memory at two jobs. On a warm cache this is three
-    * `_SUCCESS` stats — no job, no persist.
+    * The cold build is ONE shared-scan pass: all three relations key on
+    * the same (user_id, domain) shuffle, so the pipeline materializes
+    * `Splits.rankedFrom(interactions)` once — the single expensive
+    * window sort — and derives each sink narrowly from it (splits = one
+    * hash agg; train = window-agg filter + in-partition re-rank, no join
+    * back to the splits table; negatives = one collect_set agg). Earlier
+    * shapes paid the interactions scan and/or the leave-two-out window
+    * up to three times (r5 cold build ~6s of the 11s q_lifecycle line);
+    * this pays it once. Memory discipline at scale still holds: exactly
+    * one full-log window sort exists in the whole build (the r4
+    * all-parallel variant with THREE simultaneous full-log sorts spilled
+    * and collapsed at 30× — 269s), and the two concurrent writes after
+    * `ranked` lands are narrow consumers of the persisted relation. The
+    * persist is owned by this call and released in `finally`; the
+    * session-shared interactions cache entry (Bench/Verify pre-persist
+    * it) is never touched, so no cross-query eviction (the r4 bench bug).
+    * On a warm cache this is three `_SUCCESS` stats — no job, no persist.
     */
   def cachedPipeline(spark: SparkSession, sfDir: String, cacheDir: String)
       : (DataFrame, DataFrame, DataFrame) = {
@@ -113,39 +114,29 @@ object SplitCache {
     }
     val allCached = Seq("splits", "negatives", "train")
       .forall(n => complete(s"$cacheDir/$n"))
-    // interactions feed all three recomputes — share one materialization.
-    // Only unpersist what THIS call cached: the plan may already be in
-    // the session cache (Bench/Verify pre-persist it; Splits.candidates
-    // persists it per query), and unpersisting a shared entry here would
-    // evict it for every later query in the session (measured: the
-    // r4 bench ran q_train_subsample at 10.5s right after q_lifecycle
-    // dropped the harness's cache — 2.5× its warm cost).
-    val preCached = !allCached &&
-      Interactions(spark, sfDir).storageLevel !=
-        org.apache.spark.storage.StorageLevel.NONE
-    val inter =
+    val ranked =
       if (allCached) null
-      else Interactions.cached(spark, sfDir)
+      else Splits.rankedFrom(Interactions(spark, sfDir)).persist()
     // dev-only probe: separates base-relation materialization from the
     // three writes in stage timings (adds no job otherwise)
-    if (inter != null && sys.env.contains("GRAFT_STAGE_TIMING"))
-      timed("inter materialize") { inter.count() }
+    if (ranked != null && sys.env.contains("GRAFT_STAGE_TIMING"))
+      timed("ranked materialize") { ranked.count() }
     try {
       val splits = timed("splits write") {
-        writeOnce(spark, Splits.leaveTwoOutFrom(inter), s"$cacheDir/splits") }
+        writeOnce(spark, Splits.leaveTwoOutFromRanked(ranked), s"$cacheDir/splits") }
       val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
         val negF = Future(timed("negatives write") { writeOnce(spark,
-          Splits.negativeSampleScalableFrom(inter), s"$cacheDir/negatives") })
+          Splits.negativeSampleScalableFrom(ranked), s"$cacheDir/negatives") })
         val trainF = Future(timed("train write") { writeOnce(spark,
-          Splits.trainSubsampleWith(inter, splits, Splits.TRAIN_PCT),
+          Splits.trainSubsampleFromRanked(ranked, Splits.TRAIN_PCT),
           s"$cacheDir/train") })
         (splits, Await.result(negF, Duration.Inf),
           Await.result(trainF, Duration.Inf))
       } finally pool.shutdown()
     } finally {
-      if (inter != null && !preCached) inter.unpersist(false)
+      if (ranked != null) ranked.unpersist(false)
     }
   }
 }

@@ -61,6 +61,57 @@ object Splits {
           min(when(col("rn") === 1, col("item_id")))).as("test_item"))
   }
 
+  /** The shared single-pass base for the memoized pipeline: interactions
+    * plus the leave-two-out rank, ONE (user_id, domain) shuffle + ONE
+    * in-partition sort. Splits, train and negatives are all narrow
+    * derivations of this relation (agg / filter+re-rank / agg), so the
+    * cache build (SplitCache.cachedPipeline) pays the expensive window
+    * exactly once instead of once per sink — and every derivation keeps
+    * the same hash partitioning, so none of them re-shuffles.
+    */
+  def rankedFrom(inter: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id", "domain")
+      .orderBy(hOrder(SEED_SPLIT), col("item_id"))
+    inter.withColumn("rn", row_number().over(w))
+  }
+
+  /** [[leaveTwoOutFrom]] as the aggregate of a pre-[[rankedFrom]]
+    * relation — value-identical (same agg body), shuffle-free over it.
+    */
+  def leaveTwoOutFromRanked(ranked: DataFrame): DataFrame =
+    ranked
+      .groupBy("user_id", "domain")
+      .agg(
+        count(lit(1)).as("deg"),
+        min(when(col("rn") === 1, col("item_id"))).as("vali_item"),
+        coalesce(min(when(col("rn") === 2, col("item_id"))),
+          min(when(col("rn") === 1, col("item_id")))).as("test_item"))
+
+  /** [[trainSubsampleWith]] from a pre-[[rankedFrom]] relation: the
+    * hold-out columns come from window AGGREGATES over the same
+    * partition key (no join back to the splits table, no new exchange),
+    * then the identical degree/hold-out filter and SEED_TRAIN re-rank.
+    */
+  def trainSubsampleFromRanked(ranked: DataFrame, pct: Double): DataFrame = {
+    val grp = Window.partitionBy("user_id", "domain")
+    val held = ranked
+      .withColumn("deg", count(lit(1)).over(grp))
+      .withColumn("vali_item",
+        min(when(col("rn") === 1, col("item_id"))).over(grp))
+      .withColumn("test_item",
+        coalesce(min(when(col("rn") === 2, col("item_id"))).over(grp),
+          min(when(col("rn") === 1, col("item_id"))).over(grp)))
+      .filter(!(col("item_id") === col("vali_item")) &&
+        !(col("deg") > 2 && col("item_id") === col("test_item")))
+    val w = Window.partitionBy("user_id", "domain")
+      .orderBy(hOrder(SEED_TRAIN), col("item_id"))
+    held
+      .withColumn("rn2", row_number().over(w))
+      .withColumn("n_train", count(lit(1)).over(grp))
+      .filter(col("rn2") <= floor(lit(pct) * col("n_train") + 0.5))
+      .select("user_id", "domain", "item_id", "n_train")
+  }
+
   val duckLeaveTwoOutCte: String =
     s"""ranked AS (
        |  SELECT user_id, domain, item_id,

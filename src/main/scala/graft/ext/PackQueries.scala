@@ -1,0 +1,127 @@
+package graft.ext
+
+import graft.{Hashing, QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing / length bucketing — the standard LLM-training-data
+  * step the reference (an offline recommender ETL) has no analogue for,
+  * added as a first-class pipeline operator: pack documents into
+  * fixed-token-budget training rows so padding waste is bounded.
+  *
+  * Discipline (deterministic, closed-form, oracle-replayable):
+  *  1. token counts per doc (whitespace tokens, same contract as
+  *     q_text_tokens);
+  *  2. LENGTH BUCKETS: stratify by `n_tokens DIV bucketWidth` so docs of
+  *     similar length pack together — this bounds per-bin overflow by the
+  *     bucket's max doc length and is what makes step 3 closed-form safe;
+  *  3. PARALLEL PACKERS: salt each bucket into `packers` independent
+  *     streams by `h60(doc_id) % packers` — packing is order-dependent, so
+  *     a single global order would serialize; P streams per bucket give
+  *     cluster-wide parallelism at the cost of ≤ P partially-filled tail
+  *     bins per bucket (negligible against a 100 TB corpus);
+  *  4. BIN ASSIGNMENT: within each (bucket, packer) stratum, order docs by
+  *     (h60(doc_id), doc_id) and take the running token sum; a doc's bin is
+  *     `floor(exclusive_cumsum / budget)`. The doc straddling a budget
+  *     boundary stays in the earlier bin (bins overflow by < bucketWidth
+  *     tokens, then truncate/pad downstream — the standard greedy-fill
+  *     approximation).
+  *
+  * 100 TB shape: ONE hash shuffle on (len_bucket, packer); the in-stratum
+  * sort is per-partition; the running-sum frame
+  * (UnboundedPreceding→CurrentRow) is a streaming frame — WindowExec keeps
+  * O(1) aggregation state per row, never buffering the frame. Stratum size
+  * is |corpus| / (buckets × packers); `packers` is the parallelism dial (a
+  * real deployment sizes it to cores, not 4). No driver-side state at all.
+  */
+object PackQueries {
+
+  /** Token budget per packed training row (demo-sized for 10–99-token
+    * docs; a real pipeline passes its context length, e.g. 8192).
+    */
+  val Budget = 512L
+
+  /** Length-bucket width in tokens. Also the bin-overflow bound. */
+  val BucketWidth = 32L
+
+  /** Independent packing streams per length bucket. */
+  val Packers = 4L
+
+  /** Shared stratified-running-sum CTE body, DuckDB spelling. */
+  private def duckPackedCte: String =
+    s"""tok AS (
+       |  SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+       |         ${Hashing.duckH60("doc_id")} AS ord
+       |  FROM documents
+       |), strat AS (
+       |  SELECT doc_id, n_tokens, ord,
+       |         n_tokens // $BucketWidth AS len_bucket,
+       |         ord % $Packers AS packer
+       |  FROM tok
+       |), packed AS (
+       |  SELECT doc_id, n_tokens, len_bucket, packer,
+       |         CAST(SUM(n_tokens) OVER (
+       |           PARTITION BY len_bucket, packer ORDER BY ord, doc_id
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+       |           AS cum_tokens
+       |  FROM strat
+       |)""".stripMargin
+
+  /** Spark twin of [[duckPackedCte]]: doc_id, n_tokens, len_bucket,
+    * packer, cum_tokens.
+    */
+  private def packed(spark: org.apache.spark.sql.SparkSession, d: String) = {
+    val ord = Hashing.h60(col("doc_id"))
+    val w = Window.partitionBy("len_bucket", "packer")
+      .orderBy(col("ord"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.documents(spark, d)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("ord", ord)
+      .withColumn("len_bucket", expr(s"n_tokens DIV $BucketWidth"))
+      .withColumn("packer", col("ord") % Packers)
+      .withColumn("cum_tokens", sum(col("n_tokens")).over(w))
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- per-doc bin assignment: the packing plan itself. bin_id is
+    //      per-(len_bucket, packer); (len_bucket, packer, bin_id) is the
+    //      physical training row ----
+    "q_pack_sequences" -> QueryDef(
+      s"""WITH $duckPackedCte
+         |SELECT doc_id, n_tokens, len_bucket, packer,
+         |       CAST((cum_tokens - n_tokens) // $Budget AS BIGINT) AS bin_id,
+         |       cum_tokens
+         |FROM packed
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      packed(spark, d)
+        .withColumn("bin_id", expr(s"(cum_tokens - n_tokens) DIV $Budget"))
+        .select("doc_id", "n_tokens", "len_bucket", "packer", "bin_id",
+          "cum_tokens")
+        .orderBy("doc_id")
+    },
+
+    // ---- bin-level fill report: doc count, token fill, and utilization
+    //      per packed row — the number a pipeline owner actually watches
+    //      (padding waste). Same single-shuffle lineage + one hash agg ----
+    "q_pack_bins" -> QueryDef(
+      s"""WITH $duckPackedCte
+         |SELECT len_bucket, packer,
+         |       CAST((cum_tokens - n_tokens) // $Budget AS BIGINT) AS bin_id,
+         |       COUNT(*) AS n_docs,
+         |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens,
+         |       round(CAST(SUM(n_tokens) AS DOUBLE) / $Budget, 6) AS fill
+         |FROM packed
+         |GROUP BY 1, 2, 3
+         |ORDER BY len_bucket, packer, bin_id""".stripMargin) { (spark, d) =>
+      packed(spark, d)
+        .withColumn("bin_id", expr(s"(cum_tokens - n_tokens) DIV $Budget"))
+        .groupBy("len_bucket", "packer", "bin_id")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"),
+          round(sum(col("n_tokens")).cast("double") / Budget, 6).as("fill"))
+        .orderBy("len_bucket", "packer", "bin_id")
+    })
+}

@@ -63,10 +63,14 @@ object TextQueries {
     //      EVAL slice (benchmark-leakage check; the directional twin of
     //      dedup). The eval membership predicate here is doc_id % 10 — a
     //      real pipeline passes its benchmark table instead; everything
-    //      else is the operator. Scale shape: eval corpora are tiny by
-    //      construction, so the distinct eval-shingle set BROADCASTS and
-    //      the train side is one narrow shingle pass + broadcast join +
-    //      partial agg — the 100 TB side never shuffles.
+    //      else is the operator. Scale shape: WHEN the eval slice is
+    //      genuinely small (real benchmark suites are ≤ millions of
+    //      shingles) the distinct eval-shingle set broadcasts and the
+    //      100 TB train side never shuffles. The demo predicate makes
+    //      eval 10% of the corpus, which would NOT broadcast at scale —
+    //      so the builder counts the eval set first and falls back to a
+    //      shuffle join past the broadcast ceiling, the same auto-gate
+    //      as VectorOps.cosineAuto.
     "q_decontaminate" -> QueryDef(
       s"""WITH ${TextOps.duckWordShinglesCte(5)},
          |hsh AS (
@@ -85,8 +89,14 @@ object TextQueries {
       val sh = TextOps.wordShingleHashes(spark, d, 5)
       val ev = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
         .withColumn("hit", lit(1L))
-      sh.filter(col("doc_id") % 10 =!= 0)
-        .join(broadcast(ev), Seq("sh"), "left")
+        .persist()
+      // auto-gate: broadcast only a genuinely small eval set (~8 B/key ×
+      // 2e7 ≈ 160 MB ceiling); a large one shuffle-joins instead. The
+      // count reads the persisted set the join reuses, so it's one pass.
+      val evSmall = ev.count() <= 20L * 1000 * 1000
+      val joined = sh.filter(col("doc_id") % 10 =!= 0)
+        .join(if (evSmall) broadcast(ev) else ev, Seq("sh"), "left")
+      joined
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"),
           round(count(col("hit")).cast("double") / count(lit(1)), 6)

@@ -24,6 +24,21 @@ object EventQueries {
 
   private val M = DecimalType(18, 3)
 
+  /** Exact integer floor division as a SQL fragment. `DIV` truncates
+    * toward zero, so for negative epoch-micros (pre-1970 timestamps) a
+    * value would land one bin too high and miss its probe bins; pmod's
+    * non-negative remainder makes the quotient a true floor without the
+    * double-rounding risk of FLOOR(x / y) on >2^53 microsecond values.
+    */
+  private def floorDiv(c: String, w: Long): String =
+    s"(($c - pmod($c, ${w}L)) DIV ${w}L)"
+
+  /** Stage list for q_events_funnel_n (4 stages exercises the general
+    * path beyond the fixed 3-stage chain). Declared before `defs`, which
+    * captures it at object init.
+    */
+  val FUNNEL_N_STAGES: Seq[String] = Seq("signup", "view", "click", "purchase")
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- JSON scalar extraction + aggregate per event type ----
@@ -176,6 +191,15 @@ object EventQueries {
     //      streams forever. Append mode (the only mode a stream-stream
     //      join supports); the oracle replays the identical contract as
     //      a batch self-join.
+    //      Watermark sizing: the click side must tolerate clicks arriving
+    //      AFTER the purchase that references them advances the clock —
+    //      under multi-batch delivery (maxFilesPerTrigger, many files) a
+    //      delay shorter than the 24h join range silently drops those
+    //      clicks and diverges from the batch oracle. So the click delay
+    //      is join range (24h) + disorder bound (2h) = 26h; the purchase
+    //      side only needs the disorder bound. State stays bounded: Spark
+    //      evicts click state at clickWatermark, purchase state at
+    //      purchaseWatermark - 24h, both finite.
     "q_stream_join" -> QueryDef(
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |       epoch_us(p.ts) - epoch_us(c.ts) AS gap_us
@@ -189,7 +213,7 @@ object EventQueries {
         .filter(col("event_type") === "click")
         .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
           col("ts").as("click_ts"))
-        .withWatermark("click_ts", "2 hours")
+        .withWatermark("click_ts", "26 hours")
       val purchases = es.readEventsStream(spark, d)
         .filter(col("event_type") === "purchase")
         .select(col("user_id").as("p_user"), col("event_id").as("purchase_id"),
@@ -332,9 +356,10 @@ object EventQueries {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           unix_micros(col("ts")).as("c_us"))
-        .withColumn("bin", expr(s"c_us DIV $winUs"))
+        .withColumn("bin", expr(floorDiv("c_us", winUs)))
       val probes = errors.withColumn("bin",
-        explode(array(expr(s"e_us DIV $winUs"), expr(s"e_us DIV $winUs") + 1)))
+        explode(array(expr(floorDiv("e_us", winUs)),
+          expr(floorDiv("e_us", winUs)) + 1)))
       val matches = probes.join(clicks, Seq("user_id", "bin"))
         .filter(col("c_us") >= col("e_us") && col("c_us") < col("e_us") + winUs)
         .groupBy("error_id")
@@ -352,10 +377,11 @@ object EventQueries {
     //      after the previous stage's). Three aggregates chained by
     //      equi-joins — every shuffle keys on user_id, so a cluster
     //      co-partitions the whole chain (one real exchange, reused);
-    //      no per-user sort, no event self-join on time. An arbitrary-
-    //      length funnel would swap the chain for one sorted pass in
-    //      flatMapGroups; at 3 fixed stages the join chain keeps the
-    //      whole plan in codegen'd hash aggregates.
+    //      no per-user sort, no event self-join on time. At 3 fixed
+    //      stages the join chain keeps the whole plan in codegen'd hash
+    //      aggregates; the arbitrary-length form is [[funnelStages]]
+    //      (q_events_funnel_n), spec-proven value-equal to this chain at
+    //      3 stages (FunnelSpec).
     "q_events_funnel" -> QueryDef(
       """WITH s AS (
         |  SELECT user_id, MIN(ts) AS t1 FROM events
@@ -388,5 +414,84 @@ object EventQueries {
         .crossJoin(p.join(s, "user_id")
           .agg(sum(unix_micros(col("t3")) - unix_micros(col("t1")))
             .as("sum_funnel_us")))
+    },
+
+    // ---- arbitrary-length funnel: the generalized operator. One
+    //      user_id shuffle + one per-group SORTED pass (flatMapSortedGroups
+    //      — Spark sorts within groups during the shuffle, state per
+    //      group is O(stages), never the event list), versus the 3-stage
+    //      chain's N shuffled aggregates. Per stage: users reaching it
+    //      and total time-from-funnel-start. This is the form an N-stage
+    //      product funnel runs at 100 TB: adding a stage is a constant,
+    //      not a new join. ----
+    "q_events_funnel_n" -> QueryDef(
+      duckFunnelSql(FUNNEL_N_STAGES)) { (spark, d) =>
+      funnelStages(spark, d, FUNNEL_N_STAGES)
     })
+
+  /** Arbitrary-stage funnel: per stage, the number of users whose
+    * greedy earliest-strictly-after chain reaches it, and the summed gap
+    * from each user's funnel start to that stage's hit. Greedy
+    * earliest-match over the time-sorted stream is exactly the chained
+    * MIN(ts>prev) semantics of the 3-stage join form (FunnelSpec proves
+    * value equality at 3 stages).
+    */
+  def funnelStages(spark: org.apache.spark.sql.SparkSession, d: String,
+      stages: Seq[String]): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val stageArr = stages.toArray
+    Tables.events(spark, d)
+      .filter(col("event_type").isin(stages: _*))
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("ts_us"))
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapSortedGroups(col("ts_us"), col("event_type")) { (uid, it) =>
+        val times = new Array[Long](stageArr.length)
+        var idx = 0
+        var prev = Long.MinValue
+        it.foreach { case (_, et, t) =>
+          if (idx < stageArr.length && et == stageArr(idx) && t > prev) {
+            times(idx) = t; prev = t; idx += 1
+          }
+        }
+        (1 to idx).map(i =>
+          (i.toLong, stageArr(i - 1), uid, times(i - 1) - times(0)))
+      }
+      .toDF("stage_idx", "stage", "user_id", "gap_us")
+      .groupBy("stage_idx", "stage")
+      .agg(count(lit(1)).as("n_users"), sum(col("gap_us")).as("sum_gap_us"))
+      .orderBy("stage_idx")
+  }
+
+  /** DuckDB twin of [[funnelStages]]: the chained-MIN CTE form, generated
+    * for any stage list.
+    */
+  def duckFunnelSql(stages: Seq[String]): String = {
+    val ctes = stages.zipWithIndex.map { case (st, i) =>
+      if (i == 0)
+        s"""s1 AS (
+           |  SELECT user_id, MIN(ts) AS t1 FROM events
+           |  WHERE event_type = '$st' GROUP BY user_id
+           |)""".stripMargin
+      else
+        s"""s${i + 1} AS (
+           |  SELECT e.user_id, MIN(e.ts) AS t${i + 1} FROM events e
+           |  JOIN s$i ON s$i.user_id = e.user_id AND e.ts > s$i.t$i
+           |  WHERE e.event_type = '$st' GROUP BY e.user_id
+           |)""".stripMargin
+    }
+    val selects = stages.zipWithIndex.map { case (st, i) =>
+      val gap =
+        if (i == 0) "CAST(0 AS BIGINT)"
+        else s"CAST(SUM(epoch_us(s${i + 1}.t${i + 1}) - epoch_us(s1.t1)) AS BIGINT)"
+      val from =
+        if (i == 0) "FROM s1"
+        else s"FROM s${i + 1} JOIN s1 ON s1.user_id = s${i + 1}.user_id"
+      s"""SELECT CAST(${i + 1} AS BIGINT) AS stage_idx, '$st' AS stage,
+         |  COUNT(*) AS n_users, coalesce($gap, 0) AS sum_gap_us $from""".stripMargin
+    }
+    s"WITH ${ctes.mkString(",\n")}\n${selects.mkString("\nUNION ALL\n")}" +
+      "\nORDER BY stage_idx"
+  }
 }

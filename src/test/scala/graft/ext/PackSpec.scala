@@ -1,0 +1,70 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Sequence-packing invariants: the properties that make the greedy
+  * stratified fill a valid packing, plus the plan shape that makes it
+  * scale (one hash shuffle, streaming running-sum frame).
+  */
+class PackSpec extends SparkSpec {
+
+  private lazy val assign =
+    graft.SparkEntry.defs("q_pack_sequences").build(spark, sf()).cache()
+
+  test("every doc is packed exactly once") {
+    val docs = graft.Tables.documents(spark, sf()).count()
+    assert(assign.count() == docs)
+    assert(assign.select("doc_id").distinct().count() == docs)
+  }
+
+  test("bins are contiguous from 0 within each stratum") {
+    val bad = assign.groupBy("len_bucket", "packer")
+      .agg(min("bin_id").as("lo"), max("bin_id").as("hi"),
+        countDistinct("bin_id").as("n"))
+      .filter(col("lo") =!= 0 || col("n") =!= col("hi") + 1)
+      .count()
+    assert(bad == 0, "bin ids must be dense 0..max per stratum")
+  }
+
+  test("bin overflow is bounded by the length-bucket width") {
+    // a bin's exclusive cumsums all fall in [b*Budget, (b+1)*Budget), so
+    // its token total is < Budget + (max doc tokens in bucket); bucket b
+    // holds docs of < (b+1)*BucketWidth tokens
+    val bad = assign
+      .groupBy("len_bucket", "packer", "bin_id")
+      .agg(sum("n_tokens").as("bin_tokens"))
+      .filter(col("bin_tokens") >=
+        lit(PackQueries.Budget) + (col("len_bucket") + 1) * PackQueries.BucketWidth)
+      .count()
+    assert(bad == 0, "bin total must stay under budget + bucket width")
+  }
+
+  test("only the LAST bin of a stratum may be under-filled") {
+    val lastBin = assign.groupBy("len_bucket", "packer")
+      .agg(max("bin_id").as("last_bin"))
+    val bad = assign.groupBy("len_bucket", "packer", "bin_id")
+      .agg(sum("n_tokens").as("bin_tokens"))
+      .join(lastBin, Seq("len_bucket", "packer"))
+      // a non-last bin was closed because its running sum crossed the
+      // budget boundary, so its fill is ≥ Budget - (bucket max - 1)
+      .filter(col("bin_id") =!= col("last_bin") &&
+        col("bin_tokens") < lit(PackQueries.Budget) -
+          (col("len_bucket") + 1) * PackQueries.BucketWidth)
+      .count()
+    assert(bad == 0, "interior bins must be filled to the budget boundary")
+  }
+
+  test("packing plans one hash shuffle and a streaming running-sum frame") {
+    spark.catalog.clearCache()
+    val p = graft.SparkEntry.defs("q_pack_sequences").build(spark, sf())
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // exchanges: ONE hash partition on (len_bucket, packer) + the final
+    // presentation sort's range exchange — nothing else
+    val ex = """\(\d+\) Exchange""".r.findAllIn(p).size
+    assert(ex <= 2, s"expected <=2 exchanges (stratum hash + output sort):\n$p")
+    assert(p.contains("unboundedpreceding") && p.contains("currentrow"),
+      s"running-sum must be an UnboundedPreceding..CurrentRow streaming frame:\n$p")
+  }
+}
