@@ -54,6 +54,31 @@ object Bucketing {
       Seq("user_id", "domain"))
   }
 
+  /** The document corpus bucketed by doc_id — the layout a 100 TB
+    * dedup/decontamination deployment materializes ONCE: every per-doc
+    * aggregate in the dedup family (shingle sets, shingle counts,
+    * Jaccard-verify sizes) then reads bucket-local files with no
+    * Exchange (BucketedDocsSpec asserts it via the relational shingle
+    * path, TextOps.wordShingleHashesRel).
+    */
+  def bucketedDocuments(spark: SparkSession, sfDir: String,
+      table: String = "", buckets: Int = 32): DataFrame = {
+    val t = if (table.nonEmpty) table
+            else s"docs_bucketed_${tableSuffix(sfDir)}"
+    writeBucketed(graft.Tables.documents(spark, sfDir), t, buckets, Seq("doc_id"))
+  }
+
+  /** The embedding corpus bucketed by vec_id: the ANN family's element
+    * and norm aggregates, and the exact re-rank join's corpus side, read
+    * it exchange-free (VectorOps.cosineFrom).
+    */
+  def bucketedEmbeddings(spark: SparkSession, sfDir: String,
+      table: String = "", buckets: Int = 32): DataFrame = {
+    val t = if (table.nonEmpty) table
+            else s"embs_bucketed_${tableSuffix(sfDir)}"
+    writeBucketed(graft.Tables.embeddings(spark, sfDir), t, buckets, Seq("vec_id"))
+  }
+
   /** Stable identifier-safe suffix for a source path. */
   def tableSuffix(sfDir: String): String = {
     val md = java.security.MessageDigest.getInstance("MD5")

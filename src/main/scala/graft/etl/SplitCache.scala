@@ -122,17 +122,23 @@ object SplitCache {
     if (ranked != null && sys.env.contains("GRAFT_STAGE_TIMING"))
       timed("ranked materialize") { ranked.count() }
     try {
-      val splits = timed("splits write") {
-        writeOnce(spark, Splits.leaveTwoOutFromRanked(ranked), s"$cacheDir/splits") }
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      // train no longer consumes the written splits table (both derive
+      // from `ranked`), so all three writes are independent narrow
+      // consumers of the one persisted relation and can run concurrently:
+      // the only full-log sort in the build is `ranked` itself, so the
+      // 30× memory collapse of the old all-parallel variant (three
+      // simultaneous full-log window sorts) cannot recur.
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
       implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
       try {
+        val splitsF = Future(timed("splits write") { writeOnce(spark,
+          Splits.leaveTwoOutFromRanked(ranked), s"$cacheDir/splits") })
         val negF = Future(timed("negatives write") { writeOnce(spark,
           Splits.negativeSampleScalableFrom(ranked), s"$cacheDir/negatives") })
         val trainF = Future(timed("train write") { writeOnce(spark,
           Splits.trainSubsampleFromRanked(ranked, Splits.TRAIN_PCT),
           s"$cacheDir/train") })
-        (splits, Await.result(negF, Duration.Inf),
+        (Await.result(splitsF, Duration.Inf), Await.result(negF, Duration.Inf),
           Await.result(trainF, Duration.Inf))
       } finally pool.shutdown()
     } finally {

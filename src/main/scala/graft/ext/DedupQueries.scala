@@ -103,8 +103,18 @@ object DedupQueries {
   /** Spark mirror of [[duckMinhashPairCtes]]: verified MinHash duplicate
     * pairs `(doc_a, doc_b, ni, jac)`, unordered.
     */
-  private def minhashVerifiedPairs(spark: SparkSession, d: String): DataFrame = {
-    val sh = TextOps.wordShingleHashes(spark, d, 5) // verify pass input, 8-byte keys
+  private def minhashVerifiedPairs(spark: SparkSession, d: String): DataFrame =
+    minhashVerifiedPairsWith(spark, d,
+      TextOps.wordShingleHashes(spark, d, 5)) // verify pass input, 8-byte keys
+
+  /** The candidate+verify stages with an injectable shingle relation —
+    * a bucketed-layout deployment passes
+    * `TextOps.wordShingleHashesRel(bucketedDocuments(...), 5)` so the
+    * verify's per-doc aggregates and pair⋈shingle joins read the corpus
+    * side exchange-free (BucketedDocsSpec proves plan + value equality).
+    */
+  def minhashVerifiedPairsWith(spark: SparkSession, d: String,
+      sh: DataFrame): DataFrame = {
     val bands = minhashBands(spark, d, 5)
     val cand = bands.as("a")
       .join(bands.as("b"),

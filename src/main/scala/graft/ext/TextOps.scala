@@ -72,6 +72,29 @@ object TextOps {
     * DISTINCT over hashed values exactly). One fused narrow pass:
     * split + shingle + hash + dedup all in-memory per document.
     */
+  /** Relational twin of [[wordShingleHashes]]: the same distinct h60'd
+    * word k-shingles, expressed as split/transform/slice column
+    * expressions instead of a typed mapPartitions. Value-identical
+    * (BucketedDocsSpec proves it), but — unlike the object-serialization
+    * path, which severs attribute lineage — this keeps the input's
+    * output partitioning visible to the planner: over a documents table
+    * bucketed by doc_id, every downstream per-doc aggregate/distinct
+    * plans with ZERO exchanges (HashPartitioning(doc_id) satisfies any
+    * clustering keyed on a superset of doc_id). The mapPartitions form
+    * stays the default for unbucketed single-file scans, where the
+    * explicit repartition IS the parallelism.
+    */
+  def wordShingleHashesRel(docs: DataFrame, k: Int): DataFrame =
+    docs
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .filter(size(col("w")) >= k)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(w) - $k), s -> concat_ws(' ', slice(w, s + 1, $k)))"))
+        .as("shtxt"))
+      .select(col("doc_id"), Hashing.h60(col("shtxt")).as("sh"))
+      .distinct()
+
   def wordShingleHashes(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir).select("doc_id", "text").as[(Long, String)]

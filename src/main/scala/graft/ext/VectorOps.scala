@@ -24,7 +24,15 @@ object VectorOps {
 
   /** (vec_id, label, i (1-based), e) fixed-point element rows. */
   def elems(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.embeddings(spark, sfDir)
+    elemsFrom(Tables.embeddings(spark, sfDir))
+
+  /** [[elems]] over an explicit embeddings relation — purely relational,
+    * so a scan bucketed by vec_id keeps its partitioning through it and
+    * the downstream per-vector aggregates plan exchange-free
+    * (BucketedDocsSpec).
+    */
+  def elemsFrom(embs: DataFrame): DataFrame =
+    embs
       .select(col("vec_id"), col("label"),
         posexplode(expr(
           "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))"))
@@ -41,7 +49,11 @@ object VectorOps {
 
   /** (vec_id, nrm) — L2 norm of the fixed-point vector, as DOUBLE. */
   def norms(spark: SparkSession, sfDir: String): DataFrame =
-    elems(spark, sfDir)
+    normsFrom(Tables.embeddings(spark, sfDir))
+
+  /** [[norms]] over an explicit embeddings relation. */
+  def normsFrom(embs: DataFrame): DataFrame =
+    elemsFrom(embs)
       .groupBy("vec_id")
       .agg(sqrt(sum(col("e") * col("e")).cast("double")).as("nrm"))
 
@@ -58,9 +70,16 @@ object VectorOps {
     * oracle's cosines CTE and [[cosineByBroadcast]]'s skip — the two
     * formulations are row-identical (ExtSpec fallback-equality).
     */
-  def cosine(spark: SparkSession, sfDir: String, pairs: DataFrame): DataFrame = {
-    val el = elems(spark, sfDir)
-    val nr = norms(spark, sfDir).filter(col("nrm") > 0)
+  def cosine(spark: SparkSession, sfDir: String, pairs: DataFrame): DataFrame =
+    cosineFrom(Tables.embeddings(spark, sfDir), pairs)
+
+  /** [[cosine]] over an explicit embeddings relation: with a vec_id-
+    * bucketed table, the element/norm sides of every join read
+    * pre-partitioned buckets — only the (small) pair side shuffles.
+    */
+  def cosineFrom(embs: DataFrame, pairs: DataFrame): DataFrame = {
+    val el = elemsFrom(embs)
+    val nr = normsFrom(embs).filter(col("nrm") > 0)
     pairs
       .join(el.select(col("vec_id").as("query_id"), col("i"), col("e").as("qe")), "query_id")
       .join(el.select(col("vec_id"), col("i"), col("e").as("ce")), Seq("vec_id", "i"))
