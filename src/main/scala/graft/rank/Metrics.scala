@@ -128,9 +128,17 @@ object Metrics {
     * 7.4s vs 2.3s at sf0.1). Locally the typed boundary costs more than
     * it saves; MetricsSpec proves it rank-identical to [[posRanksJoin]].
     */
-  def posRanksDigest(spark: SparkSession, sfDir: String, kMax: Int): DataFrame = {
+  def posRanksDigest(spark: SparkSession, sfDir: String, kMax: Int): DataFrame =
+    posRanksDigestFrom(scoredCandidates(spark, sfDir), kMax)
+
+  /** [[posRanksDigest]] over an explicit scored-candidate relation —
+    * lets DigestShuffleSpec measure the digest stage's shuffle bytes in
+    * isolation against the window formulation on identical input.
+    */
+  def posRanksDigestFrom(scored: DataFrame, kMax: Int): DataFrame = {
+    val spark = scored.sparkSession
     import spark.implicits._
-    val parts = scoredCandidates(spark, sfDir)
+    val parts = scored
       .select(col("user_id"), col("domain"), col("score"), col("item_id"),
         col("is_positive"))
       .as[(Long, String, Long, Long, Int)]
