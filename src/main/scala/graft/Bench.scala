@@ -35,7 +35,15 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}""")
+    val json =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    println(json)
+    // full, untruncated artifact: the driver's log tail drops entries
+    // past its window (8 of 74 in r5), so round-over-round comparisons
+    // need a file the builder commits (bench_r{N}.json)
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
+    }
     spark.stop()
   }
 }

@@ -11,21 +11,53 @@ import org.apache.spark.sql.functions._
   *
   *   sbt "runMain graft.ScaleGen /root/testdata/sf0.1 /tmp/sf1 10"
   *
-  * Optional 4th arg `zipf`: hot-key mode — ~20% of orders land on ONE
-  * customer and ~20% of lineitems on ONE supplier (deterministic
+  * Optional mode args (4th+): `zipf` — hot-key mode: ~20% of orders land
+  * on ONE customer and ~20% of lineitems on ONE supplier (deterministic
   * xxhash64 row selection), modelling the power-law skew a real corpus
-  * has and uniform replication hides. Used by [[SkewProbe]] and the
-  * skewed sampler measurements in SCALING.md.
+  * has and uniform replication hides (used by [[SkewProbe]] and the
+  * skewed sampler measurements in SCALING.md). `neardup` — mutated
+  * document replication: verbatim replication makes every dup cluster an
+  * n-clique, so dedup-family scale numbers measure C(n,2) input growth,
+  * not the algorithm. In neardup mode replica i of each document is
+  * text-mutated deterministically: long-tail cluster capacities
+  * (cap = 100/(u+1), u = xxhash64(doc_id) % 100 — a few big clusters,
+  * most singletons), in-capacity replicas get TWO token substitutions
+  * (5-gram Jaccard ≈ 0.6-0.7 vs base: above the 0.5 verify threshold but
+  * with honest <1 LSH recall, and sibling-replica pairs fall ~0.43 so
+  * clusters must close transitively through the base), out-of-capacity
+  * replicas get every-3rd-token rewrites (shingle overlap 0 — distinct
+  * docs). This makes MinHash recall, verified-pair volume, and
+  * propagation round count measurable quantities at 30×/100×.
   */
 object ScaleGen {
 
   /** 1/HOT_MOD of fact rows get the hot key (key = 1). */
   val HOT_MOD = 5
 
+  /** Replica-i text mutation for `neardup` mode (see object doc). Keyed
+    * on the BASE doc_id — apply before the key offset.
+    */
+  def mutateText(i: Long): Column =
+    when(col("text").isNull, col("text"))
+      .when(lit(i) === 0, col("text"))
+      .when(lit(i) < lit(100) / (pmod(xxhash64(col("doc_id")), lit(100)) + 1),
+        expr(
+          s"""concat_ws(' ', transform(split(text, ' '),
+             |  (w, j) -> CASE
+             |    WHEN j = pmod(xxhash64(doc_id, ${i}L), size(split(text, ' ')))
+             |      OR j = pmod(xxhash64(doc_id, ${i}L, 7L), size(split(text, ' ')))
+             |    THEN concat('m${i}q', j) ELSE w END))""".stripMargin))
+      .otherwise(expr(
+        s"""concat_ws(' ', transform(split(text, ' '),
+           |  (w, j) -> CASE WHEN j % 3 = ${i % 3}L
+           |    THEN concat('z${i}q', j) ELSE w END))""".stripMargin))
+
   def main(args: Array[String]): Unit = {
     val Array(src, dst, nStr) = args.take(3)
     val n = nStr.toInt
-    val zipf = args.lift(3).contains("zipf")
+    val modes = args.drop(3).toSet
+    val zipf = modes.contains("zipf")
+    val neardup = modes.contains("neardup")
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", "32")
@@ -95,7 +127,12 @@ object ScaleGen {
       df.withColumn("event_id", off("event_id", k))
         .withColumn("user_id", off("user_id", k))
     }
-    rep("documents") { (df, k) => df.withColumn("doc_id", off("doc_id", k)) }
+    rep("documents") { (df, k) =>
+      val mutated =
+        if (neardup) df.withColumn("text", mutateText(k / OFF))
+        else df
+      mutated.withColumn("doc_id", off("doc_id", k))
+    }
     rep("embeddings") { (df, k) => df.withColumn("vec_id", off("vec_id", k)) }
     spark.stop()
   }

@@ -82,6 +82,48 @@ object EtlQueries {
     //      key), unlike a row_number window which must sort whole
     //      partitions; tombstones are dropped AFTER the merge so a
     //      delete beats the rows it shadows.
+    "q_seq_windows" -> QueryDef(
+      s"""WITH ${Interactions.duckCte}
+         |SELECT user_id, domain, pos, target, ctx1, ctx2, ctx3 FROM (
+         |  SELECT user_id, domain,
+         |    row_number() OVER w AS pos,
+         |    item_id AS target,
+         |    lag(item_id, 1) OVER w AS ctx1,
+         |    lag(item_id, 2) OVER w AS ctx2,
+         |    lag(item_id, 3) OVER w AS ctx3
+         |  FROM interactions
+         |  WINDOW w AS (PARTITION BY user_id, domain
+         |    ORDER BY ${Hashing.duckH60("user_id", "item_id", "domain", "'seq'")},
+         |             item_id)
+         |)
+         |WHERE ctx1 IS NOT NULL
+         |ORDER BY user_id, domain, pos""".stripMargin) { (spark, d) =>
+      // sliding-window training-example construction: per (user, domain)
+      // the seeded-order item sequence becomes (up-to-3-item context →
+      // next item) examples — the sequence-model twin of q_pack_sequences
+      // (an LLM pipeline packs tokens; a recommender pipeline windows
+      // interaction histories). lag is a running frame: ONE (user_id,
+      // domain) shuffle + in-partition sort, O(1) window state per row —
+      // no self-join, no explode, linear at any corpus size.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id", "domain")
+        .orderBy(Hashing.h60(col("user_id"), col("item_id"), col("domain"),
+          lit("seq")), col("item_id"))
+      // one select, not chained withColumn: all five expressions share
+      // the window spec, and a single projection guarantees ONE Window
+      // node (withColumn chains left four that CollapseWindow didn't
+      // merge — four per-partition passes; PlanSpec guards this)
+      Interactions(spark, d)
+        .select(col("user_id"), col("domain"),
+          row_number().over(w).cast("long").as("pos"),
+          col("item_id").as("target"),
+          lag(col("item_id"), 1).over(w).as("ctx1"),
+          lag(col("item_id"), 2).over(w).as("ctx2"),
+          lag(col("item_id"), 3).over(w).as("ctx3"))
+        .filter(col("ctx1").isNotNull)
+        .orderBy("user_id", "domain", "pos")
+    },
+
     "q_merge_upsert" -> QueryDef(
       """WITH log AS (
         |  SELECT o_orderkey AS k, o_totalprice AS price,

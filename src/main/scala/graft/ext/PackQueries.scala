@@ -103,6 +103,36 @@ object PackQueries {
         .orderBy("doc_id")
     },
 
+    // ---- mixture rebalancing (data mixing): downsample every language
+    //      slice to the smallest slice's size with a DETERMINISTIC
+    //      Bernoulli keep — keep iff h60(doc_id) % 1e6 < floor(min_n *
+    //      1e6 / n_lang), the integer threshold exact in both engines.
+    //      Scale shape: the per-slice counts are ONE tiny hash agg whose
+    //      3-row result broadcasts back as thresholds; the 100 TB corpus
+    //      side is a NARROW filter — no shuffle, no window, no sort.
+    //      (The exact-count alternative is q_sample_capped's
+    //      WindowGroupLimit; this is the zero-shuffle statistical form a
+    //      mixture-weights pass uses when ±√n slice error is fine.) ----
+    "q_mix_sample" -> QueryDef(
+      s"""WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT MIN(n) AS mn FROM n),
+         |thr AS (SELECT n.lang, CAST((m.mn * 1000000) // n.n AS BIGINT) AS t
+         |        FROM n, m)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN thr ON thr.lang = d.lang
+         |WHERE ${Hashing.duckH60("d.doc_id")} % 1000000 < thr.t
+         |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val thr = counts
+        .crossJoin(broadcast(counts.agg(min(col("n")).as("mn"))))
+        .select(col("lang"), expr("(mn * 1000000) DIV n").as("t"))
+      docs.join(broadcast(thr), "lang")
+        .filter(Hashing.h60(col("doc_id")) % 1000000L < col("t"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    },
+
     // ---- bin-level fill report: doc count, token fill, and utilization
     //      per packed row — the number a pipeline owner actually watches
     //      (padding waste). Same single-shuffle lineage + one hash agg ----

@@ -156,4 +156,24 @@ class PlanSpec extends SparkSpec {
     assert(!scoreWindow(p),
       "join formulation must not rank via a score-ordered window/sort")
   }
+
+  test("mixture rebalancer keeps the corpus side broadcast-narrow") {
+    // the per-slice thresholds must come in as a broadcast; a
+    // sort-merge join here would shuffle the 100 TB document side to
+    // co-locate it with a 5-row table
+    val p = plan("q_mix_sample")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the threshold join:\n$p")
+  }
+
+  test("sequence windower fuses all five window functions into one pass") {
+    // row_number + 3 lags + target share ONE window spec: a plan with
+    // multiple Window nodes would re-sort the partition per function
+    val p = plan("q_seq_windows")
+    val windows = """\(\d+\) Window""".r.findAllIn(p).size
+    assert(windows == 1, s"expected one fused Window node, got $windows:\n$p")
+    assert(shuffles(p) <= 3, // interactions distinct + window + output sort
+      s"sequence windower grew extra shuffles:\n$p")
+  }
 }
