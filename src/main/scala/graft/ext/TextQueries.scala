@@ -105,6 +105,51 @@ object TextQueries {
         .orderBy("doc_id")
     },
 
+    // ---- within-doc repetition scoring (the Gopher-class quality
+    //      filter dedup can't express): duplicate word-3-gram fraction
+    //      and the most-repeated gram's count, per document. Grams are
+    //      h60-hashed before any shuffle (8-byte keys); the explicit
+    //      repartition(doc_id) means BOTH aggregates reuse ONE exchange
+    //      (hashpartitioning(doc_id) satisfies the (doc_id, h) clustering
+    //      too) — and over a doc_id-bucketed table even that one
+    //      disappears. Everything after the scan is linear and narrow. ----
+    "q_text_repetition" -> QueryDef(
+      s"""WITH raw AS (
+         |  SELECT doc_id, ${Hashing.duckH60("sh")} AS h FROM (
+         |    SELECT doc_id,
+         |      unnest(list_transform(generate_series(1, greatest(len(w) - 2, 0)),
+         |             i -> w[i] || ' ' || w[i + 1] || ' ' || w[i + 2])) AS sh
+         |    FROM (SELECT doc_id, string_split(text, ' ') AS w FROM documents))
+         |), g AS (
+         |  SELECT doc_id, h, COUNT(*) AS c FROM raw GROUP BY doc_id, h
+         |), per AS (
+         |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_grams,
+         |         COUNT(*) AS n_distinct, CAST(MAX(c) AS BIGINT) AS max_rep
+         |  FROM g GROUP BY doc_id
+         |)
+         |SELECT doc_id, n_grams, n_distinct, max_rep,
+         |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_fraction
+         |FROM per ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      val grams = Tables.documents(spark, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        .filter(size(col("w")) >= 3)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(w) - 3), s -> concat_ws(' ', slice(w, s + 1, 3)))"))
+          .as("shtxt"))
+        .select(col("doc_id"), Hashing.h60(col("shtxt")).as("h"))
+        .repartition(col("doc_id"))
+      grams
+        .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
+          max(col("c")).as("max_rep"))
+        .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("max_rep"),
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6)
+            .as("rep_fraction"))
+        .orderBy("doc_id")
+    },
+
     // ---- token counting: whitespace tokens + regex word-run tokens ----
     "q_text_tokens" -> QueryDef(
       """SELECT doc_id,
