@@ -47,6 +47,10 @@ object PackQueries {
   /** Independent packing streams per length bucket. */
   val Packers = 4L
 
+  /** Chunk size / stride (tokens) for q_chunk_docs — 8-token overlap. */
+  val ChunkTok = 32L
+  val ChunkStride = 24L
+
   /** Shared stratified-running-sum CTE body, DuckDB spelling. */
   private def duckPackedCte: String =
     s"""tok AS (
@@ -101,6 +105,55 @@ object PackQueries {
         .select("doc_id", "n_tokens", "len_bucket", "packer", "bin_id",
           "cum_tokens")
         .orderBy("doc_id")
+    },
+
+    // ---- fixed-size token chunking with overlap: the step BEFORE
+    //      packing when documents exceed the context budget (and the
+    //      retrieval-index standard). Chunk size 32 tokens, stride 24
+    //      (8-token overlap); the last chunk takes the remainder. Chunk
+    //      count and starts are closed-form integer math (identical in
+    //      both engines); each chunk is identified by the h60 of its
+    //      token span, so reconstruction is hash-gated without dumping
+    //      text. Scale shape: scan → project → explode — zero shuffles,
+    //      perfectly linear; output rows ≈ n_tokens/stride per doc. ----
+    "q_chunk_docs" -> QueryDef(
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE text IS NOT NULL
+         |), k AS (
+         |  SELECT doc_id, w, len(w) AS n,
+         |         1 + greatest(CAST((len(w) - $ChunkTok + $ChunkStride - 1)
+         |                           // $ChunkStride AS BIGINT), 0) AS nk
+         |  FROM d
+         |), c AS (
+         |  SELECT doc_id, w, n,
+         |         unnest(generate_series(0, (nk - 1) * $ChunkStride,
+         |                                $ChunkStride)) AS s
+         |  FROM k
+         |)
+         |SELECT doc_id, CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+         |       CAST(s AS BIGINT) AS start_tok,
+         |       CAST(least($ChunkTok, n - s) AS BIGINT) AS n_tok,
+         |       ${Hashing.duckH60(s"array_to_string(w[s + 1 : s + $ChunkTok], ' ')")}
+         |         AS chunk_h
+         |FROM c
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, d) =>
+      Tables.documents(spark, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+        .withColumn("n", size(col("w")).cast("long"))
+        .withColumn("nk", lit(1L) + greatest(
+          expr(s"(n - $ChunkTok + $ChunkStride - 1) DIV $ChunkStride"), lit(0L)))
+        .select(col("doc_id"), col("w"), col("n"),
+          explode(expr(s"sequence(0L, (nk - 1) * $ChunkStride, $ChunkStride)"))
+            .as("s"))
+        .select(col("doc_id"),
+          expr(s"s DIV $ChunkStride").as("chunk_idx"),
+          col("s").as("start_tok"),
+          least(lit(ChunkTok), col("n") - col("s")).as("n_tok"),
+          Hashing.h60(expr(s"concat_ws(' ', slice(w, s + 1, $ChunkTok))"))
+            .as("chunk_h"))
+        .orderBy("doc_id", "chunk_idx")
     },
 
     // ---- mixture rebalancing (data mixing): downsample every language

@@ -56,6 +56,26 @@ class PackSpec extends SparkSpec {
     assert(bad == 0, "interior bins must be filled to the budget boundary")
   }
 
+  test("chunks tile every document: start 0, stride 24, remainder covered") {
+    val chunks = graft.SparkEntry.defs("q_chunk_docs").build(spark, sf())
+    val docs = graft.Tables.documents(spark, sf())
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), size(split(col("text"), " ", -1)).cast("long").as("n"))
+    val bad = chunks.groupBy("doc_id")
+      .agg(min("start_tok").as("first"),
+        max(col("start_tok") + col("n_tok")).as("covered"),
+        count(lit(1)).as("nk"),
+        max("start_tok").as("last_start"))
+      .join(docs, "doc_id")
+      .filter(col("first") =!= 0 ||
+        col("covered") =!= col("n") ||
+        // starts are an arithmetic progression: last = (nk-1) * stride
+        col("last_start") =!= (col("nk") - 1) * PackQueries.ChunkStride)
+      .count()
+    assert(bad == 0, "every doc must be tiled from 0 with stride 24 to its end")
+    assert(chunks.filter(col("n_tok") <= 0).count() == 0)
+  }
+
   test("packing plans one hash shuffle and a streaming running-sum frame") {
     spark.catalog.clearCache()
     val p = graft.SparkEntry.defs("q_pack_sequences").build(spark, sf())
