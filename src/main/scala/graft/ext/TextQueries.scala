@@ -107,12 +107,13 @@ object TextQueries {
 
     // ---- within-doc repetition scoring (the Gopher-class quality
     //      filter dedup can't express): duplicate word-3-gram fraction
-    //      and the most-repeated gram's count, per document. Grams are
-    //      h60-hashed before any shuffle (8-byte keys); the explicit
-    //      repartition(doc_id) means BOTH aggregates reuse ONE exchange
-    //      (hashpartitioning(doc_id) satisfies the (doc_id, h) clustering
-    //      too) — and over a doc_id-bucketed table even that one
-    //      disappears. Everything after the scan is linear and narrow. ----
+    //      and the most-repeated gram's count, per document. Repetition
+    //      is per-doc-LOCAL math, so the engine runs it as one fused
+    //      narrow mapPartitions (split → hash 3-grams → count in a
+    //      per-doc map, all in memory bounded by doc length): scan →
+    //      map → done, ZERO shuffles at any corpus size — the same
+    //      fusion playbook as the minhash/simhash signature passes
+    //      (SCALING.md r3). The oracle keeps the relational spelling. ----
     "q_text_repetition" -> QueryDef(
       s"""WITH raw AS (
          |  SELECT doc_id, ${Hashing.duckH60("sh")} AS h FROM (
@@ -130,23 +131,38 @@ object TextQueries {
          |SELECT doc_id, n_grams, n_distinct, max_rep,
          |  round(1.0 - CAST(n_distinct AS DOUBLE) / n_grams, 6) AS rep_fraction
          |FROM per ORDER BY doc_id""".stripMargin) { (spark, d) =>
-      val grams = Tables.documents(spark, d)
-        .filter(col("text").isNotNull)
-        .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
-        .filter(size(col("w")) >= 3)
-        .select(col("doc_id"), explode(expr(
-          "transform(sequence(0, size(w) - 3), s -> concat_ws(' ', slice(w, s + 1, 3)))"))
-          .as("shtxt"))
-        .select(col("doc_id"), Hashing.h60(col("shtxt")).as("h"))
-        .repartition(col("doc_id"))
-      grams
-        .groupBy("doc_id", "h").agg(count(lit(1)).as("c"))
-        .groupBy("doc_id")
-        .agg(sum(col("c")).as("n_grams"), count(lit(1)).as("n_distinct"),
-          max(col("c")).as("max_rep"))
-        .select(col("doc_id"), col("n_grams"), col("n_distinct"), col("max_rep"),
-          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6)
-            .as("rep_fraction"))
+      import spark.implicits._
+      Tables.documents(spark, d).select("doc_id", "text").as[(Long, String)]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (docId, text) =>
+            if (text == null) Iterator.empty else {
+              val w = text.split(" ", -1)
+              if (w.length < 3) Iterator.empty else {
+                val counts = new java.util.HashMap[java.lang.Long, Long]
+                var s = 0
+                while (s + 3 <= w.length) {
+                  val h = Hashing.h60Jvm(md, s"${w(s)} ${w(s + 1)} ${w(s + 2)}")
+                  counts.put(h, counts.getOrDefault(h, 0L) + 1L)
+                  s += 1
+                }
+                var total = 0L; var maxRep = 0L
+                val vi = counts.values().iterator()
+                while (vi.hasNext) {
+                  val c = vi.next(); total += c; if (c > maxRep) maxRep = c
+                }
+                Iterator.single((docId, total, counts.size.toLong, maxRep))
+              }
+            }
+          }
+        }
+        .toDF("doc_id", "n_grams", "n_distinct", "max_rep")
+        // the division/rounding stays a Spark round() column so its
+        // HALF_UP semantics match the already-gate-verified relational
+        // form (a JVM-side BigDecimal would re-derive round parity)
+        .withColumn("rep_fraction",
+          round(lit(1.0) - col("n_distinct").cast("double") / col("n_grams"), 6))
         .orderBy("doc_id")
     },
 
