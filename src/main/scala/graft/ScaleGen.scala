@@ -40,7 +40,11 @@ object ScaleGen {
   def mutateText(i: Long): Column =
     when(col("text").isNull, col("text"))
       .when(lit(i) === 0, col("text"))
-      .when(lit(i) < lit(100) / (pmod(xxhash64(col("doc_id")), lit(100)) + 1),
+      // INTEGER division: cap = 100 DIV (u+1) — u ≥ 50 ⇒ cap 1 ⇒ half
+      // the bases are singletons, the documented long tail. (Spark's `/`
+      // is floating-point; 100/99 = 1.01 would have put replica 1
+      // in-capacity for 99% of docs — no singletons at all.)
+      .when(lit(i) < expr("100 DIV (pmod(xxhash64(doc_id), 100) + 1)"),
         expr(
           s"""concat_ws(' ', transform(split(text, ' '),
              |  (w, j) -> CASE

@@ -63,15 +63,6 @@ object TextOps {
        |)""".stripMargin
   }
 
-  /** Distinct word k-gram shingles per doc, HASHED to h60 longs:
-    * (doc_id, sh BIGINT). The shuffle-cheap twin of [[wordShingles]] —
-    * downstream joins/aggregates shuffle 8-byte keys instead of k-gram
-    * strings (~8× smaller payload for 5-grams), which is what a 100 TB
-    * dedup verify pass must do. Dedup is BY HASH per doc (so an
-    * intra-doc h60 collision — ~2⁻⁶⁰ — still matches the oracle's
-    * DISTINCT over hashed values exactly). One fused narrow pass:
-    * split + shingle + hash + dedup all in-memory per document.
-    */
   /** Relational twin of [[wordShingleHashes]]: the same distinct h60'd
     * word k-shingles, expressed as split/transform/slice column
     * expressions instead of a typed mapPartitions. Value-identical
@@ -95,6 +86,15 @@ object TextOps {
       .select(col("doc_id"), Hashing.h60(col("shtxt")).as("sh"))
       .distinct()
 
+  /** Distinct word k-gram shingles per doc, HASHED to h60 longs:
+    * (doc_id, sh BIGINT). The shuffle-cheap twin of [[wordShingles]] —
+    * downstream joins/aggregates shuffle 8-byte keys instead of k-gram
+    * strings (~8× smaller payload for 5-grams), which is what a 100 TB
+    * dedup verify pass must do. Dedup is BY HASH per doc (so an
+    * intra-doc h60 collision — ~2⁻⁶⁰ — still matches the oracle's
+    * DISTINCT over hashed values exactly). One fused narrow pass:
+    * split + shingle + hash + dedup all in-memory per document.
+    */
   def wordShingleHashes(spark: SparkSession, sfDir: String, k: Int): DataFrame = {
     import spark.implicits._
     Tables.documents(spark, sfDir).select("doc_id", "text").as[(Long, String)]

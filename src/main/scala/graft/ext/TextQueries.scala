@@ -32,6 +32,20 @@ object TextQueries {
   /** Per-stratum cap for q_sample_capped. */
   private val CAP_K = 8
 
+  /** Eval-shingle count above which q_decontaminate refuses the
+    * broadcast and shuffle-joins instead (~8 B/key × 2×10⁷ ≈ 160 MB —
+    * the same ceiling class as Splits.CATALOG_BROADCAST_MAX; a real
+    * benchmark suite is far below it, the demo's 10%-of-corpus predicate
+    * is not guaranteed to be).
+    */
+  val EVAL_BROADCAST_MAX: Long = 20000000L
+
+  /** Memoized eval-shingle counts per scale dir (one count job ever per
+    * dir — the tables are immutable for a session).
+    */
+  private val evalShingleCount =
+    new scala.collection.concurrent.TrieMap[String, Long]
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- per-stratum cap sampling: keep at most K docs per
@@ -89,11 +103,13 @@ object TextQueries {
       val sh = TextOps.wordShingleHashes(spark, d, 5)
       val ev = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
         .withColumn("hit", lit(1L))
-        .persist()
-      // auto-gate: broadcast only a genuinely small eval set (~8 B/key ×
-      // 2e7 ≈ 160 MB ceiling); a large one shuffle-joins instead. The
-      // count reads the persisted set the join reuses, so it's one pass.
-      val evSmall = ev.count() <= 20L * 1000 * 1000
+      // auto-gate: broadcast only a genuinely small eval set. The count
+      // is memoized per scale dir (like VectorOps.corpusSize) instead of
+      // persist()ing ev: a persist inside a lazily-returned plan can
+      // never be unpersisted by this builder and would squat in executor
+      // storage for the rest of the session (the r4 cache-pressure class)
+      val evSmall = evalShingleCount.getOrElseUpdate(d, ev.count()) <=
+        EVAL_BROADCAST_MAX
       val joined = sh.filter(col("doc_id") % 10 =!= 0)
         .join(if (evSmall) broadcast(ev) else ev, Seq("sh"), "left")
       joined

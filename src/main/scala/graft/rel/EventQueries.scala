@@ -440,7 +440,7 @@ object EventQueries {
       stages: Seq[String]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val stageArr = stages.toArray
-    Tables.events(spark, d)
+    val hits = Tables.events(spark, d)
       .filter(col("event_type").isin(stages: _*))
       .select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("ts_us"))
@@ -461,6 +461,17 @@ object EventQueries {
       .toDF("stage_idx", "stage", "user_id", "gap_us")
       .groupBy("stage_idx", "stage")
       .agg(count(lit(1)).as("n_users"), sum(col("gap_us")).as("sum_gap_us"))
+    // a stage NO user reaches must still report (idx, stage, 0, 0): the
+    // oracle's per-stage UNION ALL branch is an ungrouped aggregate that
+    // always emits one row — a bare groupBy would silently drop the
+    // stage and break row parity the moment a funnel dries up
+    val allStages = stages.zipWithIndex
+      .map { case (st, i) => ((i + 1).toLong, st) }
+      .toDF("stage_idx", "stage")
+    allStages.join(hits, Seq("stage_idx", "stage"), "left")
+      .select(col("stage_idx"), col("stage"),
+        coalesce(col("n_users"), lit(0L)).as("n_users"),
+        coalesce(col("sum_gap_us"), lit(0L)).as("sum_gap_us"))
       .orderBy("stage_idx")
   }
 

@@ -27,7 +27,7 @@ class ScaleGenSpec extends SparkSpec {
 
   test("in-capacity replicas differ in at most 2 token positions, same length") {
     val diffs = docs.withColumn("m", ScaleGen.mutateText(1))
-      .withColumn("cap", lit(100) / (pmod(xxhash64(col("doc_id")), lit(100)) + 1))
+      .withColumn("cap", expr("100 DIV (pmod(xxhash64(doc_id), 100) + 1)"))
       .filter(lit(1) < col("cap")) // the near-dup branch
       .select(
         size(split(col("text"), " ", -1)).as("n0"),
@@ -46,7 +46,7 @@ class ScaleGenSpec extends SparkSpec {
   test("out-of-capacity replicas rewrite every 3rd token exactly") {
     val i = 99L // i >= cap for every u >= 1; docs with u = 0 stay near-dup
     val rows = docs.withColumn("m", ScaleGen.mutateText(i))
-      .withColumn("cap", lit(100) / (pmod(xxhash64(col("doc_id")), lit(100)) + 1))
+      .withColumn("cap", expr("100 DIV (pmod(xxhash64(doc_id), 100) + 1)"))
       .filter(lit(i) >= col("cap"))
       .select(expr(s"""size(filter(zip_with(split(text, ' ', -1), split(m, ' ', -1),
                  (a, b) -> a <> b), x -> x))""").as("nd"),

@@ -24,6 +24,19 @@ class FunnelSpec extends SparkSpec {
     assert(byStage(3L).getAs[Long]("sum_gap_us") == chain.getAs[Long]("sum_funnel_us"))
   }
 
+  test("a stage no user reaches still reports a zero row (oracle parity)") {
+    // the oracle's per-stage UNION ALL branch is an ungrouped aggregate
+    // that always emits one row — an unreached stage must not vanish
+    val rows = EventQueries
+      .funnelStages(spark, sf(), Seq("signup", "refund", "click"))
+      .collect()
+    assert(rows.map(_.getAs[String]("stage")).toSeq ==
+      Seq("signup", "refund", "click"))
+    val dead = rows.filter(_.getAs[Long]("n_users") == 0L)
+    assert(dead.map(_.getAs[String]("stage")).toSet == Set("refund", "click"))
+    assert(dead.forall(_.getAs[Long]("sum_gap_us") == 0L))
+  }
+
   test("4-stage funnel is monotone and stage names line up") {
     val rows = EventQueries
       .funnelStages(spark, sf(), EventQueries.FUNNEL_N_STAGES).collect()
