@@ -156,6 +156,90 @@ object PackQueries {
         .orderBy("doc_id", "chunk_idx")
     },
 
+    // ---- chunk → pack COMPOSITION: the full LLM-data shape. Docs over
+    //      the context budget are tiled into ≤32-token chunks (the
+    //      q_chunk_docs pass), and the CHUNKS are packed into 512-token
+    //      training rows (the q_pack_sequences pass) — so no training row
+    //      ever truncates more than a chunk tail, the property neither
+    //      step has alone. Two deliberate deltas from the standalone
+    //      steps: (1) the pack order key is h60(doc_id, chunk_idx) —
+    //      content-INdependent — so duplicate chunks (near-dup docs share
+    //      chunk hashes) scatter across bins instead of stacking into one
+    //      training row; (2) the chunk pass drops the per-chunk text hash
+    //      entirely — packing needs only (doc_id, chunk_idx, n_tok), so
+    //      the compose is CHEAPER than q_chunk_docs itself (no md5 over
+    //      token spans). Scale shape: narrow explode (zero shuffle) →
+    //      ONE hash shuffle on (len_bucket, packer) → streaming-frame
+    //      running sum. Chunking collapses the length spread to buckets
+    //      {0, 1} (tails vs full chunks), so stratum parallelism is the
+    //      Packers dial alone — a real deployment sizes Packers to
+    //      cores × shuffle partitions, not 4. ----
+    "q_pack_chunks" -> QueryDef(
+      s"""WITH d AS (
+         |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents
+         |  WHERE text IS NOT NULL
+         |), k AS (
+         |  SELECT doc_id, n,
+         |         1 + greatest(CAST((n - $ChunkTok + $ChunkStride - 1)
+         |                           // $ChunkStride AS BIGINT), 0) AS nk
+         |  FROM d
+         |), c AS (
+         |  SELECT doc_id, n,
+         |         unnest(generate_series(0, (nk - 1) * $ChunkStride,
+         |                                $ChunkStride)) AS s
+         |  FROM k
+         |), ch AS (
+         |  SELECT doc_id, CAST(s // $ChunkStride AS BIGINT) AS chunk_idx,
+         |         CAST(least($ChunkTok, n - s) AS BIGINT) AS n_tok
+         |  FROM c
+         |), strat AS (
+         |  SELECT doc_id, chunk_idx, n_tok,
+         |         ${Hashing.duckH60("doc_id", "chunk_idx")} AS ord,
+         |         n_tok // $BucketWidth AS len_bucket
+         |  FROM ch
+         |), strat2 AS (
+         |  SELECT *, ord % $Packers AS packer FROM strat
+         |), packedc AS (
+         |  SELECT doc_id, chunk_idx, n_tok, len_bucket, packer,
+         |         CAST(SUM(n_tok) OVER (
+         |           PARTITION BY len_bucket, packer
+         |           ORDER BY ord, doc_id, chunk_idx
+         |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         |           AS cum_tok
+         |  FROM strat2
+         |)
+         |SELECT doc_id, chunk_idx, n_tok, len_bucket, packer,
+         |       CAST((cum_tok - n_tok) // $Budget AS BIGINT) AS bin_id,
+         |       cum_tok
+         |FROM packedc
+         |ORDER BY doc_id, chunk_idx""".stripMargin) { (spark, d) =>
+      val ord = Hashing.h60(col("doc_id"), col("chunk_idx"))
+      val w = Window.partitionBy("len_bucket", "packer")
+        .orderBy(col("ord"), col("doc_id"), col("chunk_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      Tables.documents(spark, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"),
+          size(split(col("text"), " ", -1)).cast("long").as("n"))
+        .withColumn("nk", lit(1L) + greatest(
+          expr(s"(n - $ChunkTok + $ChunkStride - 1) DIV $ChunkStride"), lit(0L)))
+        .select(col("doc_id"),
+          explode(expr(s"sequence(0L, (nk - 1) * $ChunkStride, $ChunkStride)"))
+            .as("s"),
+          col("n"))
+        .select(col("doc_id"),
+          expr(s"s DIV $ChunkStride").as("chunk_idx"),
+          least(lit(ChunkTok), col("n") - col("s")).as("n_tok"))
+        .withColumn("ord", ord)
+        .withColumn("len_bucket", expr(s"n_tok DIV $BucketWidth"))
+        .withColumn("packer", col("ord") % Packers)
+        .withColumn("cum_tok", sum(col("n_tok")).over(w))
+        .select(col("doc_id"), col("chunk_idx"), col("n_tok"),
+          col("len_bucket"), col("packer"),
+          expr(s"(cum_tok - n_tok) DIV $Budget").as("bin_id"), col("cum_tok"))
+        .orderBy("doc_id", "chunk_idx")
+    },
+
     // ---- mixture rebalancing (data mixing): downsample every language
     //      slice to the smallest slice's size with a DETERMINISTIC
     //      Bernoulli keep — keep iff h60(doc_id) % 1e6 < floor(min_n *

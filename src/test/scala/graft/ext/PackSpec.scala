@@ -76,15 +76,35 @@ class PackSpec extends SparkSpec {
     assert(chunks.filter(col("n_tok") <= 0).count() == 0)
   }
 
+  test("chunk→pack composition: every chunk packed once, bins bounded by a chunk") {
+    val packed = graft.SparkEntry.defs("q_pack_chunks").build(spark, sf()).cache()
+    val chunks = graft.SparkEntry.defs("q_chunk_docs").build(spark, sf())
+    // same chunk universe as q_chunk_docs, each packed exactly once
+    assert(packed.count() == chunks.count())
+    assert(packed.select("doc_id", "chunk_idx").distinct().count() == packed.count())
+    // the composition's point: no input row exceeds a chunk, so bin
+    // overflow is bounded by ChunkTok (vs a whole doc when packing raw)
+    assert(packed.filter(col("n_tok") > PackQueries.ChunkTok).count() == 0)
+    val overflowed = packed.groupBy("len_bucket", "packer", "bin_id")
+      .agg(sum("n_tok").as("bin_tok"))
+      .filter(col("bin_tok") >= PackQueries.Budget + PackQueries.ChunkTok)
+      .count()
+    assert(overflowed == 0, "bin total must stay under budget + one chunk")
+    packed.unpersist()
+  }
+
   test("packing plans one hash shuffle and a streaming running-sum frame") {
     spark.catalog.clearCache()
-    val p = graft.SparkEntry.defs("q_pack_sequences").build(spark, sf())
-      .queryExecution.explainString(ExplainMode.fromString("formatted"))
-    // exchanges: ONE hash partition on (len_bucket, packer) + the final
-    // presentation sort's range exchange — nothing else
-    val ex = """\(\d+\) Exchange""".r.findAllIn(p).size
-    assert(ex <= 2, s"expected <=2 exchanges (stratum hash + output sort):\n$p")
-    assert(p.contains("unboundedpreceding") && p.contains("currentrow"),
-      s"running-sum must be an UnboundedPreceding..CurrentRow streaming frame:\n$p")
+    for (q <- Seq("q_pack_sequences", "q_pack_chunks")) {
+      val p = graft.SparkEntry.defs(q).build(spark, sf())
+        .queryExecution.explainString(ExplainMode.fromString("formatted"))
+      // exchanges: ONE hash partition on (len_bucket, packer) + the final
+      // presentation sort's range exchange — nothing else (in particular
+      // the chunk explode upstream of q_pack_chunks stays narrow)
+      val ex = """\(\d+\) Exchange""".r.findAllIn(p).size
+      assert(ex <= 2, s"$q: expected <=2 exchanges (stratum hash + output sort):\n$p")
+      assert(p.contains("unboundedpreceding") && p.contains("currentrow"),
+        s"$q: running-sum must be an UnboundedPreceding..CurrentRow streaming frame:\n$p")
+    }
   }
 }
