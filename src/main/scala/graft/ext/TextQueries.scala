@@ -32,6 +32,13 @@ object TextQueries {
   /** Per-stratum cap for q_sample_capped. */
   private val CAP_K = 8
 
+  /** Vocabulary size for q_vocab_oov (the synthetic corpus has 31
+    * distinct tokens, so 16 leaves roughly half the token TYPES out of
+    * vocabulary and exercises the tie-break at the boundary; a real
+    * tokenizer-prep pass uses 32k–100k).
+    */
+  val VOCAB_V = 16
+
   /** Eval-shingle count above which q_decontaminate refuses the
     * broadcast and shuffle-joins instead (~8 B/key × 2×10⁷ ≈ 160 MB —
     * the same ceiling class as Splits.CATALOG_BROADCAST_MAX; a real
@@ -118,6 +125,52 @@ object TextQueries {
           round(count(col("hit")).cast("double") / count(lit(1)), 6)
             .as("contamination"))
         .filter(col("n_shared") > 0)
+        .orderBy("doc_id")
+    },
+
+    // ---- vocabulary construction + per-doc OOV rate: the
+    //      tokenizer-prep step (build the top-V corpus vocabulary by
+    //      frequency, then measure each document's out-of-vocabulary
+    //      fraction — the signal that decides whether the tokenizer or
+    //      the corpus needs work). Vocab = top-V tokens by count, ties
+    //      broken by token string so the boundary is deterministic in
+    //      both engines. Scale shape: token counts are ONE hash agg with
+    //      map-side combine; top-V is a TakeOrderedAndProject (V rows,
+    //      never a global sort); the per-doc side explodes tokens and
+    //      BROADCAST-joins the V-row vocab (O(1) per token — a literal
+    //      array_contains would be O(V) per token and die at a real 100k
+    //      vocab), then aggregates by doc_id. explode preserves doc
+    //      locality, so partial aggregation emits ~1 row per doc per
+    //      mapper and the one shuffle carries 3 longs per document. ----
+    "q_vocab_oov" -> QueryDef(
+      s"""WITH tok AS (
+         |  SELECT doc_id, unnest(string_split(text, ' ')) AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), vocab AS (
+         |  SELECT t FROM (SELECT t, COUNT(*) AS c FROM tok GROUP BY t)
+         |  ORDER BY c DESC, t LIMIT $VOCAB_V
+         |), per AS (
+         |  SELECT tok.doc_id, COUNT(*) AS n_tok,
+         |         CAST(SUM(CASE WHEN vocab.t IS NULL THEN 1 ELSE 0 END)
+         |              AS BIGINT) AS n_oov
+         |  FROM tok LEFT JOIN vocab ON vocab.t = tok.t
+         |  GROUP BY tok.doc_id
+         |)
+         |SELECT doc_id, n_tok, n_oov,
+         |       round(CAST(n_oov AS DOUBLE) / n_tok, 6) AS oov_ratio
+         |FROM per ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      val tok = Tables.documents(spark, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), explode(split(col("text"), " ", -1)).as("t"))
+      val vocab = tok.groupBy("t").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("t")).limit(VOCAB_V)
+        .select(col("t"), lit(1L).as("hit"))
+      tok.join(broadcast(vocab), Seq("t"), "left")
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_oov"))
+        .withColumn("oov_ratio",
+          round(col("n_oov").cast("double") / col("n_tok"), 6))
         .orderBy("doc_id")
     },
 

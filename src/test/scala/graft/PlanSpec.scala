@@ -167,6 +167,19 @@ class PlanSpec extends SparkSpec {
       s"corpus side must not shuffle for the threshold join:\n$p")
   }
 
+  test("vocab builder takes top-V without a global sort; OOV join broadcasts") {
+    // vocab selection must be a TakeOrderedAndProject (V rows cross the
+    // wire), and the per-token membership probe must be a broadcast hash
+    // join — a sort-merge join would shuffle the exploded 100 TB token
+    // stream to co-locate it with a 16-row vocabulary
+    val p = plan("q_vocab_oov")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-V vocab must not be a global sort:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"vocab must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"token stream must not shuffle for the vocab probe:\n$p")
+  }
+
   test("sequence windower fuses all five window functions into one pass") {
     // row_number + 3 lags + target share ONE window spec: a plan with
     // multiple Window nodes would re-sort the partition per function
