@@ -32,6 +32,14 @@ object TextQueries {
   /** Per-stratum cap for q_sample_capped. */
   private val CAP_K = 8
 
+  /** Count-min sketch shape for q_heavy_hitters: depth (independent
+    * hash rows) × width (buckets per row). Demo-sized for a 31-token
+    * corpus so collisions actually occur (width 16 < vocabulary);
+    * production sizes width ≈ e/ε for additive error ε·N.
+    */
+  val CMS_D = 4
+  val CMS_W = 16
+
   /** Vocabulary size for q_vocab_oov (the synthetic corpus has 31
     * distinct tokens, so 16 leaves roughly half the token TYPES out of
     * vocabulary and exercises the tie-break at the boundary; a real
@@ -126,6 +134,68 @@ object TextQueries {
             .as("contamination"))
         .filter(col("n_shared") > 0)
         .orderBy("doc_id")
+    },
+
+    // ---- count-min sketch + heavy-hitter validation report: the
+    //      mergeable frequency sketch built from relational primitives
+    //      (h60 row-hashes mod width, one COUNT per cell) — because the
+    //      cell math is deterministic integer+md5, the sketch is
+    //      replayed EXACTLY in DuckDB, unlike opaque sketch builtins.
+    //      Scale shape: ONE map-side-combined hash agg collapses the
+    //      token stream to type-level counts (vocabulary-sized — the
+    //      agg this report needs anyway), and the cells are built from
+    //      the COUNTS: cell(d,b) = Σ counts of types hashing there,
+    //      identical to hashing every occurrence but with D·|types| md5
+    //      evaluations instead of D·|occurrences| (measured 50× faster
+    //      at 30×/100× — SCALING.md; a sketch-only ingest pass that
+    //      skips exact counts would use a cheap non-replayable hash
+    //      per occurrence, xxhash64, and partial-aggregate to ≤ D·W
+    //      rows per mapper — the mergeable-sketch property either way).
+    //      The report joins the D·W-cell sketch (broadcast) back to the
+    //      exact counts to expose each token's overestimate; production
+    //      keeps only the cells and answers point queries from them.
+    //      CMS guarantees est ≥ exact; the gate hash-checks the exact
+    //      overestimates. ----
+    "q_heavy_hitters" -> QueryDef(
+      s"""WITH tok AS (
+         |  SELECT unnest(string_split(text, ' ')) AS t
+         |  FROM documents WHERE text IS NOT NULL
+         |), seeds AS (
+         |  SELECT unnest(generate_series(0, ${CMS_D - 1})) AS d
+         |), exact AS (
+         |  SELECT t, COUNT(*) AS exact_n FROM tok GROUP BY t
+         |), cells AS (
+         |  SELECT d, ${Hashing.duckH60("d", "t")} % $CMS_W AS b,
+         |         CAST(SUM(exact_n) AS BIGINT) AS c
+         |  FROM exact CROSS JOIN seeds GROUP BY 1, 2
+         |), est AS (
+         |  SELECT e.t, e.exact_n, MIN(c.c) AS est_n
+         |  FROM exact e CROSS JOIN seeds s
+         |  JOIN cells c ON c.d = s.d
+         |    AND c.b = ${Hashing.duckH60("s.d", "e.t")} % $CMS_W
+         |  GROUP BY e.t, e.exact_n
+         |)
+         |SELECT t AS token, CAST(exact_n AS BIGINT) AS exact_n,
+         |       CAST(est_n AS BIGINT) AS est_n,
+         |       CAST(est_n - exact_n AS BIGINT) AS overest
+         |FROM est ORDER BY token""".stripMargin) { (spark, d) =>
+      val seeds = broadcast(
+        spark.range(CMS_D).toDF("d").withColumn("d", col("d").cast("int")))
+      val tok = Tables.documents(spark, d)
+        .filter(col("text").isNotNull)
+        .select(explode(split(col("text"), " ", -1)).as("t"))
+      val exact = tok.groupBy("t").agg(count(lit(1)).as("exact_n"))
+      val cells = exact.crossJoin(seeds)
+        .groupBy(col("d"), (Hashing.h60(col("d"), col("t")) % CMS_W).as("b"))
+        .agg(sum(col("exact_n")).as("c"))
+      exact.crossJoin(seeds)
+        .withColumn("b", Hashing.h60(col("d"), col("t")) % CMS_W)
+        .join(broadcast(cells), Seq("d", "b"))
+        .groupBy(col("t"), col("exact_n"))
+        .agg(min(col("c")).as("est_n"))
+        .select(col("t").as("token"), col("exact_n"), col("est_n"),
+          (col("est_n") - col("exact_n")).as("overest"))
+        .orderBy("token")
     },
 
     // ---- vocabulary construction + per-doc OOV rate: the

@@ -195,5 +195,56 @@ object ScoreQueries {
             / 100000000000000.0), 6).as("l2"),
           (expr("fixed_dot(fx, reverse(fx))") / 100000000000000.0).as("dot_rev"))
         .orderBy("vec_id")
+    },
+
+    // ---- int8 scalar quantization of embeddings (the storage/serving
+    //      prep step: 4× smaller vectors for ANN shards): per-vector
+    //      max-abs scale, symmetric round-to-nearest code in [-127,127],
+    //      reconstruction-error report. All math is INTEGER on the 1e7
+    //      fixed-point grid — code = ((e+s)·254 + s) DIV (2s) − 127
+    //      keeps the numerator non-negative so truncating DIV (Spark)
+    //      and floor // (DuckDB) agree, and err is the exact integer
+    //      |e·127 − code·s| (units: 1e7-grid × 127). Quantization is
+    //      per-vector LOCAL math, so the engine runs it as ONE narrow
+    //      higher-order-function pass (transform/zip_with/aggregate
+    //      inside the row — the repetition-scoring fusion playbook):
+    //      ZERO shuffles at any corpus size; the oracle keeps the
+    //      relational element-rows spelling. ----
+    "q_embed_quant" -> QueryDef(
+      """WITH elems AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS e
+        |  FROM embeddings
+        |), s AS (
+        |  SELECT vec_id, MAX(abs(e)) AS s FROM elems GROUP BY vec_id
+        |), q AS (
+        |  SELECT el.vec_id, el.i, el.e, s.s,
+        |         CASE WHEN s.s = 0 THEN 0
+        |              ELSE ((el.e + s.s) * 254 + s.s) // (2 * s.s) - 127
+        |         END AS code
+        |  FROM elems el JOIN s ON s.vec_id = el.vec_id
+        |)
+        |SELECT vec_id, MAX(s) AS scale,
+        |  CAST(SUM(code * i) AS BIGINT) AS code_sig,
+        |  CAST(SUM(code) AS BIGINT) AS code_sum,
+        |  CAST(MAX(abs(e * 127 - code * s)) AS BIGINT) AS max_err_q,
+        |  CAST(SUM(abs(e * 127 - code * s)) AS BIGINT) AS sum_err_q
+        |FROM q GROUP BY vec_id ORDER BY vec_id""".stripMargin) { (spark, d) =>
+      Tables.embeddings(spark, d)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+          .as("e"))
+        .withColumn("s", expr("aggregate(e, 0L, (a, x) -> greatest(a, abs(x)))"))
+        .withColumn("code", expr(
+          "transform(e, x -> CASE WHEN s = 0 THEN 0L ELSE ((x + s) * 254 + s) DIV (2 * s) - 127 END)"))
+        .select(col("vec_id"), col("s").as("scale"),
+          expr("aggregate(zip_with(code, sequence(1L, size(code)), (c, i) -> c * i), 0L, (a, x) -> a + x)")
+            .as("code_sig"),
+          expr("aggregate(code, 0L, (a, x) -> a + x)").as("code_sum"),
+          expr("aggregate(zip_with(e, code, (x, c) -> abs(x * 127 - c * s)), 0L, (a, x) -> greatest(a, x))")
+            .as("max_err_q"),
+          expr("aggregate(zip_with(e, code, (x, c) -> abs(x * 127 - c * s)), 0L, (a, x) -> a + x)")
+            .as("sum_err_q"))
+        .orderBy("vec_id")
     })
 }

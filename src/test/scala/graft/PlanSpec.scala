@@ -180,6 +180,23 @@ class PlanSpec extends SparkSpec {
       s"token stream must not shuffle for the vocab probe:\n$p")
   }
 
+  test("embedding quantizer is one narrow pass — no shuffle but the output sort") {
+    // quantization is per-vector-local HOF math; any Exchange beyond
+    // the presentation sort's range partition means the fusion broke
+    val p = plan("q_embed_quant")
+    assert(shuffles(p) <= 1, s"expected only the output-sort exchange:\n$p")
+  }
+
+  test("count-min cells aggregate map-side and broadcast to the report join") {
+    // the sketch side must collapse to D·W rows per mapper (partial
+    // HashAggregate before the exchange) and the D·W-cell sketch must
+    // broadcast — sort-merge joining the cells would shuffle the exact
+    // side against a 64-row relation
+    val p = plan("q_heavy_hitters")
+    assert(p.contains("BroadcastHashJoin"), s"cells must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"no SMJ against the 64-cell sketch:\n$p")
+  }
+
   test("sequence windower fuses all five window functions into one pass") {
     // row_number + 3 lags + target share ONE window spec: a plan with
     // multiple Window nodes would re-sort the partition per function
