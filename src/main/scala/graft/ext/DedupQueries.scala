@@ -258,6 +258,61 @@ object DedupQueries {
       minhashVerifiedPairs(spark, d).orderBy("doc_a", "doc_b")
     },
 
+    // ---- INCREMENTAL dedup: flag a new ingest batch against the
+    //      EXISTING corpus index — the shape a 100 TB pipeline actually
+    //      runs daily (the full-corpus pair query is the backfill; this
+    //      is the steady state). Batch = doc_id % 10 = 3; index = the
+    //      rest. The band join is strictly new×index — the index is
+    //      never re-paired against itself, so per-ingest cost is
+    //      ∝ batch size + matched candidates, not corpus². In
+    //      production the index side's band signatures are computed
+    //      once and STORED (bucketed by band — Bucketing.writeBucketed
+    //      is the layout); here they rebuild from the same narrow pass,
+    //      which leaves the plan shape identical. Exact-Jaccard verify
+    //      over hashed shingles, then each flagged new doc reports its
+    //      BEST index match (highest jac, ties to the smallest doc_id
+    //      — deterministic). ----
+    "q_dedup_incremental" -> QueryDef(
+      s"""WITH ${TextOps.duckWordShinglesCte(5)},
+         |mh AS (
+         |  SELECT doc_id, f.j, MIN(${Hashing.duckH60("sh", "f.j")}) AS mh
+         |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, ${NUM_HASH - 1})) AS j) f
+         |  GROUP BY doc_id, f.j
+         |), bands AS (
+         |  SELECT doc_id, j // $BAND_ROWS AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+         |  FROM mh GROUP BY doc_id, j // $BAND_ROWS
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b ON a.band = b.band AND a.sig = b.sig
+         |  WHERE a.doc_id % 10 = 3 AND b.doc_id % 10 <> 3
+         |), hsh AS (
+         |  SELECT DISTINCT doc_id, ${Hashing.duckH60("sh")} AS sh FROM shingles
+         |), ${duckJaccardVerify(MINHASH_JAC, "hsh")}
+         |SELECT doc_a AS doc_id, doc_b AS match_id, ni, jac FROM (
+         |  SELECT doc_a, doc_b, ni, jac,
+         |    row_number() OVER (PARTITION BY doc_a
+         |      ORDER BY jac DESC, doc_b) AS rn
+         |  FROM verified)
+         |WHERE rn = 1
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      val bands = minhashBands(spark, d, 5)
+      val cand = bands.filter(col("doc_id") % 10 === 3).as("a")
+        .join(bands.filter(col("doc_id") % 10 =!= 3).as("b"),
+          col("a.band") === col("b.band") && col("a.sig") === col("b.sig"))
+        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .distinct()
+      val sh = TextOps.wordShingleHashes(spark, d, 5)
+      jaccardVerify(cand, sh, MINHASH_JAC)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("doc_a")
+            .orderBy(col("jac").desc, col("doc_b"))))
+        .filter(col("rn") === 1)
+        .select(col("doc_a").as("doc_id"), col("doc_b").as("match_id"),
+          col("ni"), col("jac"))
+        .orderBy("doc_id")
+    },
+
     // ---- duplicate-cluster assembly: connected components over the
     //      verified MinHash pairs (the stage AFTER pair finding — a real
     //      dedup pipeline keeps ONE doc per transitive cluster, not one

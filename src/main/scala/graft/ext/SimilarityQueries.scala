@@ -180,6 +180,84 @@ object SimilarityQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Quantized top-k, corpus-size aware like [[bruteForceTopK]]: int8
+    * codes broadcast (~8× smaller than the fixed-point corpus) with an
+    * integer dot kernel and bounded per-query heap; the relational
+    * element-join formulation beyond the ceiling (row-identical —
+    * ExtSpec).
+    */
+  def quantTopK(spark: org.apache.spark.sql.SparkSession, d: String,
+      maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    if (VectorOps.corpusSize(spark, d) > maxBroadcast)
+      return quantTopKJoin(spark, d)
+    val bc = VectorOps.broadcastQuantCorpus(spark, d)
+    val ord = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+    Tables.embeddings(spark, d).select("vec_id")
+      .filter(expr(querySlice))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[Long]
+      .mapPartitions { it =>
+        val c = bc.value
+        it.flatMap { q =>
+          val (qe, qn) = c(q)
+          var top = Vector.empty[(Double, Long)]
+          if (qn > 0.0) c.foreach { case (id, (e, n)) =>
+            if (id != q && n > 0.0) {
+              var dot = 0L
+              var i = 0
+              while (i < qe.length) { dot += qe(i).toLong * e(i); i += 1 }
+              val qc = dot.toDouble / (qn * n)
+              if (top.lengthCompare(TOP_K) < 0 || ord.lt((qc, id), top.last))
+                top = ((top :+ ((qc, id))).sorted(ord)).take(TOP_K)
+            }
+          }
+          top.iterator.zipWithIndex.map { case ((qc, id), i) =>
+            (q, id, BigDecimal(qc).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, i + 1)
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "qcos", "rn")
+      .orderBy("query_id", "rn")
+  }
+
+  /** The relational spelling of [[quantTopK]] — element-row join over
+    * the quantized codes, the beyond-broadcast fallback. Materializes
+    * |Q|·|C|·d rows through the dimension join (109s warm at 30× — the
+    * same cliff the exact path hit in r2), so it exists for exactness
+    * past the broadcast ceiling, not as the default.
+    */
+  def quantTopKJoin(spark: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val el = VectorOps.elems(spark, d)
+    val s = el.groupBy("vec_id").agg(max(abs(col("e"))).as("s"))
+    val codes = el.join(s, "vec_id")
+      .select(col("vec_id"), col("i"),
+        when(col("s") === 0, lit(0L))
+          .otherwise(expr("((e + s) * 254 + s) DIV (2 * s) - 127")).as("c"))
+    val cn = codes.groupBy("vec_id")
+      .agg(sqrt(sum(col("c") * col("c")).cast("double")).as("nrm"))
+    val q = codes.filter(col("vec_id") % 20 === 0)
+      .select(col("vec_id").as("query_id"), col("i"), col("c").as("qc0"))
+    codes.join(broadcast(q), Seq("i"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .groupBy("query_id", "vec_id")
+      .agg(sum(col("qc0") * col("c")).as("dot"))
+      .join(broadcast(cn.select(col("vec_id").as("query_id"),
+        col("nrm").as("qn"))), "query_id")
+      .join(cn, "vec_id")
+      .filter(col("qn") > 0 && col("nrm") > 0)
+      .withColumn("qc", col("dot").cast("double") / (col("qn") * col("nrm")))
+      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+        .orderBy(col("qc").desc, col("vec_id"))))
+      .filter(col("rn") <= TOP_K)
+      .select(col("query_id"), col("vec_id"),
+        round(col("qc"), 6).as("qcos"), col("rn"))
+      .orderBy("query_id", "rn")
+  }
+
   /** Exact all-pairs near-dup, corpus-size aware like [[bruteForceTopK]]:
     * broadcast-matrix partition loop under the ceiling, distributed pair
     * join beyond it (LSH bucketing — q_sim_lsh's shape — is the real
@@ -316,6 +394,57 @@ object SimilarityQueries {
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
       bruteForceTopK(spark, d)
+    },
+
+    // ---- QUANTIZED top-k: the int8 serving path (the compose of
+    //      q_embed_quant's codes with q_sim_topk's ranking). Scores are
+    //      cosine over the int8 codes: dot products are small exact
+    //      INTEGERS (≤ 64·127² per pair), so the only float ops are the
+    //      two norm sqrts, one multiply and one divide — the identical
+    //      op order as the exact cosine path, bit-stable cross-engine.
+    //      At 100 TB this is why serving quantizes: the broadcast
+    //      corpus is ~8× smaller (byte codes vs fixed-point longs, so
+    //      ~8× more corpus fits an executor) and the dot kernel is
+    //      integer. Spark side mirrors bruteForceTopK: quantized
+    //      broadcast + bounded per-query heap (the relational element
+    //      join was 109s warm at 30× — the r2 q_sim_topk lesson
+    //      re-measured — and stays as the beyond-broadcast fallback,
+    //      spec-proven row-identical). ----
+    "q_sim_quant" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte},
+         |s AS (
+         |  SELECT vec_id, MAX(abs(e)) AS s FROM elems GROUP BY vec_id
+         |), codes AS (
+         |  SELECT el.vec_id, el.i,
+         |         CASE WHEN s.s = 0 THEN 0
+         |              ELSE ((el.e + s.s) * 254 + s.s) // (2 * s.s) - 127
+         |         END AS c
+         |  FROM elems el JOIN s ON s.vec_id = el.vec_id
+         |), cn AS (
+         |  SELECT vec_id, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+         |  FROM codes GROUP BY vec_id
+         |), dots AS (
+         |  SELECT q.vec_id AS query_id, v.vec_id,
+         |         CAST(SUM(q.c * v.c) AS BIGINT) AS dot
+         |  FROM codes q
+         |  JOIN codes v ON v.i = q.i AND v.vec_id <> q.vec_id
+         |  WHERE q.vec_id % 20 = 0
+         |  GROUP BY 1, 2
+         |), qcos AS (
+         |  SELECT d.query_id, d.vec_id,
+         |         CAST(d.dot AS DOUBLE) / (nq.nrm * nc.nrm) AS qc
+         |  FROM dots d
+         |  JOIN cn nq ON nq.vec_id = d.query_id AND nq.nrm > 0
+         |  JOIN cn nc ON nc.vec_id = d.vec_id AND nc.nrm > 0
+         |)
+         |SELECT query_id, vec_id, round(qc, 6) AS qcos, rn FROM (
+         |  SELECT query_id, vec_id, qc,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY qc DESC, vec_id) AS rn
+         |  FROM qcos)
+         |WHERE rn <= $TOP_K
+         |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
+      quantTopK(spark, d)
     },
 
     // ---- LSH-bucketed ANN: 8-bit hyperplane signature, 2 bands of 4 ----

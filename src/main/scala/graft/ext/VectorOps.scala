@@ -136,6 +136,29 @@ object VectorOps {
     }.toMap)
   }
 
+  /** int8-QUANTIZED broadcast corpus: per-vector max-abs-scaled codes
+    * (the exact integer math of q_embed_quant: code = ((e+s)·254+s) DIV
+    * (2s) − 127, truncating division on a non-negative numerator) plus
+    * the code-vector L2 norm. Same ceiling as [[broadcastCorpus]] but
+    * ~8× smaller payload (byte codes vs fixed-point longs) — the reason
+    * a serving tier quantizes: more corpus per executor, integer dot
+    * kernels.
+    */
+  def broadcastQuantCorpus(spark: SparkSession, sfDir: String)
+      : org.apache.spark.broadcast.Broadcast[Map[Long, (Array[Byte], Double)]] = {
+    import spark.implicits._
+    val rows = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("e")).as[(Long, Array[Long])].collect()
+    spark.sparkContext.broadcast(rows.map { case (id, e) =>
+      val s = e.foldLeft(0L)((a, x) => math.max(a, math.abs(x)))
+      val codes = e.map(x =>
+        (if (s == 0L) 0L else ((x + s) * 254 + s) / (2 * s) - 127).toByte)
+      id -> (codes, math.sqrt(codes.map(c => c.toLong * c).sum.toDouble))
+    }.toMap)
+  }
+
   /** Exact cosine of explicit (query_id, vec_id) pairs against the
     * broadcast corpus — one narrow pass, no |pairs|×dim row explosion
     * (the join formulation materialized 1.3 G rows at 20 k vectors).

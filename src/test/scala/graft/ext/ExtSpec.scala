@@ -100,6 +100,12 @@ class ExtSpec extends SparkSpec {
     val dB = dup(SimilarityQueries.embedNearDup(spark, sf()))
     val dD = dup(SimilarityQueries.embedNearDup(spark, sf(), maxBroadcast = 0))
     assert(dB.nonEmpty && dD.sameElements(dB))
+    def qtop(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Double]("qcos"), r.getAs[Int]("rn"))).sortBy(t => (t._1, t._4))
+    val qB = qtop(SimilarityQueries.quantTopK(spark, sf()))
+    val qD = qtop(SimilarityQueries.quantTopK(spark, sf(), maxBroadcast = 0))
+    assert(qB.nonEmpty && qD.sameElements(qB))
   }
 
   test("IVF ANN neighbors agree with brute-force cosine values") {
