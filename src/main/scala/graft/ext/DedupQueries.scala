@@ -100,6 +100,41 @@ object DedupQueries {
        |  SELECT DISTINCT doc_id, ${Hashing.duckH60("sh")} AS sh FROM shingles
        |), ${duckJaccardVerify(MINHASH_JAC, "hsh")}""".stripMargin
 
+  /** Transitive-closure CTEs over the `verified` pair relation (append
+    * after [[duckMinhashPairCtes]] under `WITH RECURSIVE`): `comp(doc_id,
+    * cluster_id)` labels every paired doc with its component's min
+    * doc_id. Shared by `q_dedup_cluster` and the two compositions that
+    * consume cluster membership (`q_dedup_keep_best`, `q_dup_profile`).
+    */
+  private val duckCompCtes: String =
+    """edges AS (
+      |  SELECT doc_a AS u, doc_b AS v FROM verified
+      |  UNION SELECT doc_b, doc_a FROM verified
+      |), reach(u, v) AS (
+      |  SELECT u, v FROM edges
+      |  UNION
+      |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
+      |), comp AS (
+      |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
+      |)""".stripMargin
+
+  /** Cluster membership `(doc_id, cluster_id)` from frontier label
+    * propagation over the verified MinHash pairs, memoized per
+    * (session, scale dir): three queries consume it (report, keep-best,
+    * per-source profile) and a real pipeline materializes the cluster
+    * table once per dedup run, not per downstream reader. The labels
+    * DataFrame is already `localCheckpoint`ed (lineage-free), so caching
+    * the reference is safe and re-planning is O(1).
+    */
+  def clusterMembers(spark: SparkSession, d: String): DataFrame =
+    compCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d",
+      DedupCluster.connectedComponents(
+        minhashVerifiedPairs(spark, d).select("doc_a", "doc_b"))
+        .select(col("id").as("doc_id"), col("label").as("cluster_id")))
+
+  private val compCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
+
   /** Spark mirror of [[duckMinhashPairCtes]]: verified MinHash duplicate
     * pairs `(doc_a, doc_b, ni, jac)`, unordered.
     */
@@ -321,28 +356,103 @@ object DedupQueries {
     //      reachability closure in DuckDB.
     "q_dedup_cluster" -> QueryDef(
       s"""WITH RECURSIVE $duckMinhashPairCtes,
-         |edges AS (
-         |  SELECT doc_a AS u, doc_b AS v FROM verified
-         |  UNION SELECT doc_b, doc_a FROM verified
-         |), reach(u, v) AS (
-         |  SELECT u, v FROM edges
-         |  UNION
-         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u WHERE e.v <> r.u
-         |), comp AS (
-         |  SELECT u AS doc_id, LEAST(u, MIN(v)) AS cluster_id FROM reach GROUP BY u
-         |)
+         |$duckCompCtes
          |SELECT cluster_id, COUNT(*) AS n_members,
          |       CAST(SUM(doc_id) AS BIGINT) AS member_checksum,
          |       CAST(MAX(doc_id) AS BIGINT) AS max_member
          |FROM comp GROUP BY cluster_id
          |ORDER BY cluster_id""".stripMargin) { (spark, d) =>
-      val pairs = minhashVerifiedPairs(spark, d).select("doc_a", "doc_b")
-      DedupCluster.connectedComponents(pairs)
-        .groupBy(col("label").as("cluster_id"))
+      clusterMembers(spark, d)
+        .groupBy("cluster_id")
         .agg(count(lit(1)).as("n_members"),
-          sum(col("id")).as("member_checksum"),
-          max(col("id")).as("max_member"))
+          sum(col("doc_id")).as("member_checksum"),
+          max(col("doc_id")).as("max_member"))
         .orderBy("cluster_id")
+    },
+
+    // ---- keep-best dedup decision: per dup cluster, KEEP the highest-
+    //      quality member (the production rule — min-doc_id keepers throw
+    //      away better copies). Composes cluster membership with the
+    //      q_text_quality score; the rounded quality double is hash-gate-
+    //      proven bit-identical cross-engine, so it is a deterministic
+    //      ORDER BY key (ties → smallest doc_id). 100 TB: the cluster
+    //      table is small relative to the corpus (dup members only), the
+    //      quality join shuffles on doc_id, and the argmax window
+    //      partitions by cluster_id — all bounded by cluster sizes. ----
+    "q_dedup_keep_best" -> QueryDef(
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+         |$duckCompCtes,
+         |${TextQueries.duckQualityCtes},
+         |ranked AS (
+         |  SELECT c.cluster_id, c.doc_id, q.quality,
+         |    row_number() OVER (PARTITION BY c.cluster_id
+         |      ORDER BY q.quality DESC, c.doc_id) AS rn,
+         |    COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+         |  FROM comp c JOIN quality q USING (doc_id)
+         |)
+         |SELECT cluster_id, doc_id AS keep_doc, quality AS keep_quality,
+         |       n_members, n_members - 1 AS n_dropped
+         |FROM ranked WHERE rn = 1
+         |ORDER BY cluster_id""".stripMargin) { (spark, d) =>
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("cluster_id")
+      clusterMembers(spark, d)
+        .join(TextQueries.qualityPerDoc(spark, d).select("doc_id", "quality"),
+          "doc_id")
+        .withColumn("rn",
+          row_number().over(w.orderBy(col("quality").desc, col("doc_id"))))
+        .withColumn("n_members", count(lit(1)).over(w))
+        .filter(col("rn") === 1)
+        .select(col("cluster_id"), col("doc_id").as("keep_doc"),
+          col("quality").as("keep_quality"), col("n_members"),
+          (col("n_members") - lit(1L)).as("n_dropped"))
+        .orderBy("cluster_id")
+    },
+
+    // ---- per-source duplication profile: the report that re-weights a
+    //      training mixture after dedup (a source whose docs are 30%
+    //      redundant contributes 30% fewer effective documents than its
+    //      raw count claims). n_redundant counts members beyond one
+    //      keeper per (source, cluster) — a cluster spanning sources
+    //      charges each source for its own extra members. 100 TB: comp
+    //      is the (small) cluster table, the doc join shuffles on
+    //      doc_id, and the output is one row per source — broadcast-
+    //      size, exactly what a mixture planner consumes. ----
+    "q_dup_profile" -> QueryDef(
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+         |$duckCompCtes,
+         |src AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+         |), dup AS (
+         |  SELECT d.source, COUNT(*) AS n_dup_docs,
+         |         COUNT(DISTINCT c.cluster_id) AS n_clusters
+         |  FROM comp c JOIN documents d USING (doc_id)
+         |  GROUP BY d.source
+         |)
+         |SELECT s.source, s.n_docs,
+         |  COALESCE(p.n_dup_docs, 0) AS n_dup_docs,
+         |  COALESCE(p.n_clusters, 0) AS n_clusters,
+         |  COALESCE(p.n_dup_docs, 0) - COALESCE(p.n_clusters, 0) AS n_redundant,
+         |  round(CAST(COALESCE(p.n_dup_docs, 0) - COALESCE(p.n_clusters, 0) AS DOUBLE)
+         |        / s.n_docs, 6) AS dup_ratio,
+         |  s.n_docs - (COALESCE(p.n_dup_docs, 0) - COALESCE(p.n_clusters, 0))
+         |    AS effective_docs
+         |FROM src s LEFT JOIN dup p USING (source)
+         |ORDER BY source""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d).select("doc_id", "source")
+      val src = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val dup = clusterMembers(spark, d)
+        .join(docs, "doc_id")
+        .groupBy("source")
+        .agg(count(lit(1)).as("nd"), countDistinct("cluster_id").as("nc"))
+      val red = coalesce(col("nd"), lit(0L)) - coalesce(col("nc"), lit(0L))
+      src.join(dup, Seq("source"), "left")
+        .select(col("source"), col("n_docs"),
+          coalesce(col("nd"), lit(0L)).as("n_dup_docs"),
+          coalesce(col("nc"), lit(0L)).as("n_clusters"),
+          red.as("n_redundant"),
+          round(red.cast("double") / col("n_docs"), 6).as("dup_ratio"),
+          (col("n_docs") - red).as("effective_docs"))
+        .orderBy("source")
     },
 
     // ---- SimHash over word bigrams, byte-block LSH, hamming <= 3 ----

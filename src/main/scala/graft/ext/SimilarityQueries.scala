@@ -258,6 +258,88 @@ object SimilarityQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Eval slice for semantic decontamination (~10% of vec_ids — a demo
+    * dial; real eval corpora are far smaller than training corpora).
+    */
+  private val evalSlice = "vec_id % 10 = 7"
+  private val DECON_COS = 0.4
+
+  /** Semantic decontamination: flag every TRAIN vector whose best cosine
+    * against the EVAL slice reaches [[DECON_COS]], reporting the best
+    * eval match (ties → smallest eval_id). The shingle-overlap
+    * `q_decontaminate` catches verbatim leakage; this catches
+    * paraphrased leakage the same way production pipelines pair the two.
+    *
+    * Scale shape: the EVAL side is collected and broadcast — count-gated
+    * (the q_decontaminate ADVICE lesson: broadcast only when the eval
+    * slice is genuinely small), falling back to the distributed
+    * pair-join + window argmax past `maxBroadcast`, spec-proven
+    * row-identical. The 100 TB train side never shuffles on the
+    * broadcast path: one narrow scan, per-vector loop over the eval set.
+    */
+  def semanticDecontam(spark: org.apache.spark.sql.SparkSession, d: String,
+      maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val embs = Tables.embeddings(spark, d)
+    if (embs.filter(expr(evalSlice)).count() > maxBroadcast) {
+      val ids = embs.select("vec_id")
+      val pairs = ids.filter(not(expr(evalSlice)))
+        .select(col("vec_id").as("query_id"))
+        .crossJoin(ids.filter(expr(evalSlice)))
+      return VectorOps.cosine(spark, d, pairs)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") === 1 && col("cos") >= DECON_COS)
+        .select(col("query_id").as("vec_id"), col("vec_id").as("eval_id"),
+          round(col("cos"), 6).as("cos"))
+        .orderBy("vec_id")
+    }
+    val fp = expr(
+      "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+    val evals = embs.filter(expr(evalSlice))
+      .select(col("vec_id"), fp.as("e")).as[(Long, Array[Long])].collect()
+      .collect { case (id, e) if e != null && e.nonEmpty =>
+        (id, e, math.sqrt(e.map(x => x * x).sum.toDouble))
+      }
+    val bc = spark.sparkContext.broadcast(evals)
+    embs.filter(not(expr(evalSlice)))
+      .select(col("vec_id"), fp.as("e")).as[(Long, Array[Long])]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        val ev = bc.value
+        it.flatMap { case (tid, te) =>
+          if (te == null || te.isEmpty) Iterator.empty
+          else {
+            val tn = math.sqrt(te.map(x => x * x).sum.toDouble)
+            if (tn == 0.0) Iterator.empty
+            else {
+              var bestCos = Double.NegativeInfinity
+              var bestId = Long.MaxValue
+              ev.foreach { case (eid, ee, en) =>
+                if (en > 0.0) {
+                  var dot = 0L
+                  var i = 0
+                  while (i < te.length) { dot += te(i) * ee(i); i += 1 }
+                  val c = dot.toDouble / (tn * en)
+                  if (c > bestCos || (c == bestCos && eid < bestId)) {
+                    bestCos = c; bestId = eid
+                  }
+                }
+              }
+              if (bestCos >= DECON_COS)
+                Iterator.single((tid, bestId,
+                  BigDecimal(bestCos).setScale(6,
+                    BigDecimal.RoundingMode.HALF_UP).toDouble))
+              else Iterator.empty
+            }
+          }
+        }
+      }
+      .toDF("vec_id", "eval_id", "cos")
+      .orderBy("vec_id")
+  }
+
   /** Exact all-pairs near-dup, corpus-size aware like [[bruteForceTopK]]:
     * broadcast-matrix partition loop under the ceiling, distributed pair
     * join beyond it (LSH bucketing — q_sim_lsh's shape — is the real
@@ -445,6 +527,28 @@ object SimilarityQueries {
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
       quantTopK(spark, d)
+    },
+
+    // ---- SEMANTIC decontamination: best-eval-match cosine flagging
+    //      (the paraphrase-leakage complement to q_decontaminate's
+    //      verbatim shingle overlap). Eval side broadcast, count-gated;
+    //      train side one narrow pass, never shuffled. ----
+    "q_decontaminate_semantic" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte},
+         |${VectorOps.duckNormsCte},
+         |pairs AS (
+         |  SELECT t.vec_id AS query_id, e.vec_id
+         |  FROM (SELECT vec_id FROM embeddings WHERE NOT ($evalSlice)) t
+         |  CROSS JOIN (SELECT vec_id FROM embeddings WHERE $evalSlice) e
+         |), ${VectorOps.duckCosineCte}
+         |SELECT query_id AS vec_id, eval_id, round(cos, 6) AS cos FROM (
+         |  SELECT query_id, vec_id AS eval_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cosines)
+         |WHERE rn = 1 AND cos >= $DECON_COS
+         |ORDER BY vec_id""".stripMargin) { (spark, d) =>
+      semanticDecontam(spark, d)
     },
 
     // ---- LSH-bucketed ANN: 8-bit hyperplane signature, 2 bands of 4 ----

@@ -29,6 +29,52 @@ object TextQueries {
   private val scrubPat = "\\b(customer|supplier|order)\\b"
   private val stopSql = stopwords.map(s => s"'$s'").mkString(", ")
 
+  /** Per-doc quality heuristics shared by `q_text_quality` and the
+    * dedup keep-best composition (`q_dedup_keep_best`): token count,
+    * average token length, stopword ratio, type-token ratio, and the
+    * weighted quality score. All ratios round(…, 6) so the doubles are
+    * bit-identical cross-engine (hash-gate proven) and therefore safe
+    * as deterministic ORDER BY keys downstream.
+    */
+  def qualityPerDoc(spark: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val nTok = col("n_tok").cast("double")
+    TextOps.tokens(spark, d)
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tok"),
+        countDistinct(col("tok")).as("n_uniq"),
+        sum(length(col("tok"))).as("sum_len"),
+        sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"))
+      .select(col("doc_id"), col("n_tok"),
+        round(col("sum_len").cast("double") / nTok, 6).as("avg_tok_len"),
+        round(col("n_stop").cast("double") / nTok, 6).as("stop_ratio"),
+        round(col("n_uniq").cast("double") / nTok, 6).as("type_token_ratio"),
+        round(least(nTok / 64.0, lit(1.0)) * 0.5
+          + (col("n_uniq").cast("double") / nTok) * 0.3
+          + (lit(1.0) - col("n_stop").cast("double") / nTok) * 0.2, 6).as("quality"))
+  }
+
+  /** DuckDB twin of [[qualityPerDoc]] as CTEs `tokens, per_doc, quality`. */
+  lazy val duckQualityCtes: String =
+    s"""${TextOps.duckTokensCte},
+       |per_doc AS (
+       |  SELECT doc_id,
+       |    COUNT(*) AS n_tok,
+       |    COUNT(DISTINCT tok) AS n_uniq,
+       |    CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
+       |    CAST(SUM(CASE WHEN tok IN ($stopSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
+       |  FROM tokens GROUP BY doc_id
+       |), quality AS (
+       |  SELECT doc_id, n_tok,
+       |    round(CAST(sum_len AS DOUBLE) / n_tok, 6) AS avg_tok_len,
+       |    round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
+       |    round(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS type_token_ratio,
+       |    round(least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
+       |          + (CAST(n_uniq AS DOUBLE) / n_tok) * 0.3
+       |          + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.2, 6) AS quality
+       |  FROM per_doc
+       |)""".stripMargin
+
   /** Per-stratum cap for q_sample_capped. */
   private val CAP_K = 8
 
@@ -327,39 +373,11 @@ object TextQueries {
 
     // ---- quality scoring: length/stopword/diversity heuristics ----
     "q_text_quality" -> QueryDef(
-      s"""WITH ${TextOps.duckTokensCte},
-         |per_doc AS (
-         |  SELECT doc_id,
-         |    COUNT(*) AS n_tok,
-         |    COUNT(DISTINCT tok) AS n_uniq,
-         |    CAST(SUM(length(tok)) AS BIGINT) AS sum_len,
-         |    CAST(SUM(CASE WHEN tok IN ($stopSql) THEN 1 ELSE 0 END) AS BIGINT) AS n_stop
-         |  FROM tokens GROUP BY doc_id
-         |)
-         |SELECT doc_id, n_tok,
-         |  round(CAST(sum_len AS DOUBLE) / n_tok, 6) AS avg_tok_len,
-         |  round(CAST(n_stop AS DOUBLE) / n_tok, 6) AS stop_ratio,
-         |  round(CAST(n_uniq AS DOUBLE) / n_tok, 6) AS type_token_ratio,
-         |  round(least(CAST(n_tok AS DOUBLE) / 64.0, 1.0) * 0.5
-         |        + (CAST(n_uniq AS DOUBLE) / n_tok) * 0.3
-         |        + (1.0 - CAST(n_stop AS DOUBLE) / n_tok) * 0.2, 6) AS quality
-         |FROM per_doc
+      s"""WITH $duckQualityCtes
+         |SELECT doc_id, n_tok, avg_tok_len, stop_ratio, type_token_ratio, quality
+         |FROM quality
          |ORDER BY doc_id""".stripMargin) { (spark, d) =>
-      val nTok = col("n_tok").cast("double")
-      TextOps.tokens(spark, d)
-        .groupBy("doc_id")
-        .agg(count(lit(1)).as("n_tok"),
-          countDistinct(col("tok")).as("n_uniq"),
-          sum(length(col("tok"))).as("sum_len"),
-          sum(when(col("tok").isin(stopwords: _*), 1).otherwise(0)).as("n_stop"))
-        .select(col("doc_id"), col("n_tok"),
-          round(col("sum_len").cast("double") / nTok, 6).as("avg_tok_len"),
-          round(col("n_stop").cast("double") / nTok, 6).as("stop_ratio"),
-          round(col("n_uniq").cast("double") / nTok, 6).as("type_token_ratio"),
-          round(least(nTok / 64.0, lit(1.0)) * 0.5
-            + (col("n_uniq").cast("double") / nTok) * 0.3
-            + (lit(1.0) - col("n_stop").cast("double") / nTok) * 0.2, 6).as("quality"))
-        .orderBy("doc_id")
+      qualityPerDoc(spark, d).orderBy("doc_id")
     },
 
     // ---- corpus-trained n-gram language ID ----

@@ -106,6 +106,12 @@ class ExtSpec extends SparkSpec {
     val qB = qtop(SimilarityQueries.quantTopK(spark, sf()))
     val qD = qtop(SimilarityQueries.quantTopK(spark, sf(), maxBroadcast = 0))
     assert(qB.nonEmpty && qD.sameElements(qB))
+    def dec(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Long]("eval_id"),
+        r.getAs[Double]("cos"))).sortBy(_._1)
+    val sB = dec(SimilarityQueries.semanticDecontam(spark, sf()))
+    val sD = dec(SimilarityQueries.semanticDecontam(spark, sf(), maxBroadcast = 0))
+    assert(sB.nonEmpty && sD.sameElements(sB))
   }
 
   test("IVF ANN neighbors agree with brute-force cosine values") {
