@@ -290,5 +290,39 @@ object PackQueries {
           sum(col("n_tokens")).as("bin_tokens"),
           round(sum(col("n_tokens")).cast("double") / Budget, 6).as("fill"))
         .orderBy("len_bucket", "packer", "bin_id")
+    },
+
+    // ---- TEMPERATURE-weighted mixture (α = 0.5): per-language keep
+    //      probability p_l = sqrt(min_n / n_l) — the standard p_l ∝
+    //      n_l^(α−1) multilingual rebalance, flattening the size
+    //      distribution without q_mix_sample's hard floor-to-min.
+    //      α = 0.5 keeps every float op exactly-rounded IEEE (sqrt,
+    //      one divide, one multiply, floor) so the integer threshold is
+    //      bit-identical cross-engine; the h60 keep rule is the same
+    //      deterministic coin as every sampler here. 100 TB: thresholds
+    //      are a per-language broadcast dimension; the corpus side is
+    //      one narrow filtered scan, zero shuffles. ----
+    "q_mix_temperature" -> QueryDef(
+      s"""WITH n AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+         |m AS (SELECT MIN(n) AS mn FROM n),
+         |thr AS (SELECT n.lang,
+         |          CAST(floor(1000000.0 * sqrt(CAST(m.mn AS DOUBLE))
+         |               / sqrt(CAST(n.n AS DOUBLE))) AS BIGINT) AS t
+         |        FROM n, m)
+         |SELECT d.doc_id, d.lang
+         |FROM documents d JOIN thr ON thr.lang = d.lang
+         |WHERE ${Hashing.duckH60("d.doc_id", "'mixT'")} % 1000000 < thr.t
+         |ORDER BY d.doc_id""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d)
+      val counts = docs.groupBy("lang").agg(count(lit(1)).as("n"))
+      val thr = counts
+        .crossJoin(broadcast(counts.agg(min(col("n")).as("mn"))))
+        .select(col("lang"),
+          floor(lit(1000000.0) * sqrt(col("mn").cast("double"))
+            / sqrt(col("n").cast("double"))).as("t"))
+      docs.join(broadcast(thr), "lang")
+        .filter(Hashing.h60(col("doc_id"), lit("mixT")) % 1000000L < col("t"))
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
     })
 }

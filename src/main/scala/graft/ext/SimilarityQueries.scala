@@ -529,6 +529,28 @@ object SimilarityQueries {
       quantTopK(spark, d)
     },
 
+    // ---- per-label embedding centroids: the distributed prototype/
+    //      centroid computation (class prototypes, IVF-style cell init,
+    //      drift monitoring). Element rows hash-aggregate on (label, i)
+    //      with map-side partial sums — the canonical one-shuffle
+    //      centroid plan; sums stay integer-exact in fixed point, the
+    //      single divide at the end is IEEE-exact. Output is labels × 64
+    //      rows — broadcast-size, whatever consumes it next. ----
+    "q_embed_centroids" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte}
+         |SELECT label, i, COUNT(*) AS n,
+         |       CAST(SUM(e) AS BIGINT) AS sum_e,
+         |       round(CAST(SUM(e) AS DOUBLE) / COUNT(*), 6) AS centroid
+         |FROM elems
+         |GROUP BY label, i
+         |ORDER BY label, i""".stripMargin) { (spark, d) =>
+      VectorOps.elems(spark, d)
+        .groupBy("label", "i")
+        .agg(count(lit(1)).as("n"), sum(col("e")).as("sum_e"),
+          round(sum(col("e")).cast("double") / count(lit(1)), 6).as("centroid"))
+        .orderBy("label", "i")
+    },
+
     // ---- SEMANTIC decontamination: best-eval-match cosine flagging
     //      (the paraphrase-leakage complement to q_decontaminate's
     //      verbatim shingle overlap). Eval side broadcast, count-gated;

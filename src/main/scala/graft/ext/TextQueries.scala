@@ -117,6 +117,79 @@ object TextQueries {
     //      PlanSpec): each partition keeps a K-bounded heap instead of
     //      sorting whole strata, so a billion-doc stratum costs O(n)
     //      scan + O(K) state, not an O(n log n) sort.
+    // ---- deterministic hash train/val/test split report: 80/10/10 by
+    //      h60(doc_id, 'split') — the assignment rule a 100 TB corpus
+    //      needs (pure function of the key: stable under reruns,
+    //      re-partitioning, and incremental ingest — no global sort, no
+    //      stored split table). Report = per (source, split): docs +
+    //      chars, the stratification audit a pipeline owner reads to
+    //      confirm no source is over-represented in eval. One narrow
+    //      pass + one hash agg. ----
+    "q_doc_split" -> QueryDef(
+      s"""SELECT source,
+         |  CASE WHEN h % 10 < 8 THEN 'train'
+         |       WHEN h % 10 = 8 THEN 'val' ELSE 'test' END AS split,
+         |  COUNT(*) AS n_docs,
+         |  CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+         |FROM (SELECT source, n_chars,
+         |        ${Hashing.duckH60("doc_id", "'split'")} AS h
+         |      FROM documents)
+         |GROUP BY 1, 2
+         |ORDER BY source, split""".stripMargin) { (spark, d) =>
+      Tables.documents(spark, d)
+        .select(col("source"), col("n_chars"),
+          (Hashing.h60(col("doc_id"), lit("split")) % 10).as("m"))
+        .select(col("source"), col("n_chars"),
+          when(col("m") < 8, "train").when(col("m") === 8, "val")
+            .otherwise("test").as("split"))
+        .groupBy("source", "split")
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .orderBy("source", "split")
+    },
+
+    // ---- corpus filter funnel: per source, how many docs survive each
+    //      cleaning stage (length → quality → exact-dedup keeper) — the
+    //      yield report every ingest run emits. Cumulative conditional
+    //      aggregation: ONE pass over per-doc flags, no per-stage
+    //      rescans; the keeper flag reuses the exact-dedup rule (first
+    //      doc_id per identical text hash). 100 TB: quality join
+    //      shuffles on doc_id, keeper window on the text hash — both
+    //      axes bounded; output is sources × 4 counters. ----
+    "q_corpus_funnel" -> QueryDef(
+      s"""WITH $duckQualityCtes,
+         |flags AS (
+         |  SELECT d.source, d.doc_id,
+         |    d.n_chars >= 200 AS len_ok,
+         |    q.quality >= 0.5 AS qual_ok,
+         |    row_number() OVER (PARTITION BY ${Hashing.duckH60("d.text")}
+         |      ORDER BY d.doc_id) = 1 AS keeper
+         |  FROM documents d JOIN quality q ON q.doc_id = d.doc_id
+         |)
+         |SELECT source,
+         |  COUNT(*) AS n_raw,
+         |  CAST(SUM(CASE WHEN len_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_len,
+         |  CAST(SUM(CASE WHEN len_ok AND qual_ok THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+         |  CAST(SUM(CASE WHEN len_ok AND qual_ok AND keeper THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+         |FROM flags
+         |GROUP BY source
+         |ORDER BY source""".stripMargin) { (spark, d) =>
+      val flags = Tables.documents(spark, d)
+        .join(qualityPerDoc(spark, d).select("doc_id", "quality"), "doc_id")
+        .select(col("source"),
+          (col("n_chars") >= 200).as("len_ok"),
+          (col("quality") >= 0.5).as("qual_ok"),
+          (row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(Hashing.h60(col("text")))
+            .orderBy(col("doc_id"))) === 1).as("keeper"))
+      flags.groupBy("source")
+        .agg(count(lit(1)).as("n_raw"),
+          sum(when(col("len_ok"), 1).otherwise(0)).as("n_len"),
+          sum(when(col("len_ok") && col("qual_ok"), 1).otherwise(0)).as("n_quality"),
+          sum(when(col("len_ok") && col("qual_ok") && col("keeper"), 1)
+            .otherwise(0)).as("n_kept"))
+        .orderBy("source")
+    },
+
     "q_sample_capped" -> QueryDef(
       s"""SELECT source, lang, doc_id, rk FROM (
          |  SELECT source, lang, doc_id,
