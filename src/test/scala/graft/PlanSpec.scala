@@ -167,6 +167,25 @@ class PlanSpec extends SparkSpec {
       s"corpus side must not shuffle for the threshold join:\n$p")
   }
 
+  test("temperature mixture broadcasts thresholds like the floor sampler") {
+    val p = plan("q_mix_temperature")
+    assert(p.contains("BroadcastHashJoin"), s"thresholds must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"),
+      s"corpus side must not shuffle for the threshold join:\n$p")
+  }
+
+  test("hash split report is one aggregate pass over a pruned scan") {
+    val p = plan("q_doc_split")
+    // split assignment is a pure hash of doc_id: no window, no join —
+    // one partial+final aggregate pair (1 shuffle) plus the tiny
+    // output's rangepartitioning for ORDER BY
+    assert(!p.contains("Window") && !p.contains("Join"),
+      s"split must be a stateless hash assignment:\n$p")
+    assert(shuffles(p) <= 2, s"expected agg+sort shuffles only:\n$p")
+    assert(p.contains("doc_id") && !p.contains("text#"),
+      s"scan must not read text for the split report:\n$p")
+  }
+
   test("vocab builder takes top-V without a global sort; OOV join broadcasts") {
     // vocab selection must be a TakeOrderedAndProject (V rows cross the
     // wire), and the per-token membership probe must be a broadcast hash
