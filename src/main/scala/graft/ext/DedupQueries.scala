@@ -408,6 +408,78 @@ object DedupQueries {
         .orderBy("cluster_id")
     },
 
+    // ---- E2E corpus materialization (the documents-pipeline capstone,
+    //      q_lifecycle's role for this table family): length+quality
+    //      gate → exact-dedup keeper (first doc_id per identical text
+    //      hash AMONG SURVIVORS) → near-dup cluster keep-best (best
+    //      surviving member per MinHash cluster; unlike
+    //      q_dedup_keep_best's whole-cluster argmax, the rank here is
+    //      over filter survivors — if the cluster's best copy was
+    //      quality-filtered, the best REMAINING copy is kept, which is
+    //      what a staged pipeline actually produces). Singletons label
+    //      themselves via the left join. Output: per-source kept
+    //      counts + char mass + doc_id checksum, hash-gating the whole
+    //      chain. 100 TB: each stage is one bounded window or join on
+    //      an 8-byte key; the cluster table is memoized (built once per
+    //      run); nothing rescans text after the quality pass. ----
+    "q_corpus_final" -> QueryDef(
+      s"""WITH RECURSIVE $duckMinhashPairCtes,
+         |$duckCompCtes,
+         |${TextQueries.duckQualityCtes},
+         |eligible AS (
+         |  SELECT d.doc_id, d.source, d.n_chars, d.text, q.quality
+         |  FROM documents d JOIN quality q USING (doc_id)
+         |  WHERE d.n_chars >= 200 AND q.quality >= 0.5
+         |), exact_kept AS (
+         |  SELECT doc_id, source, n_chars, quality FROM (
+         |    SELECT e.*, row_number() OVER (
+         |      PARTITION BY ${Hashing.duckH60("text")} ORDER BY doc_id) AS rn
+         |    FROM eligible e)
+         |  WHERE rn = 1
+         |), labeled AS (
+         |  SELECT k.doc_id, k.source, k.n_chars, k.quality,
+         |         COALESCE(c.cluster_id, k.doc_id) AS cid
+         |  FROM exact_kept k LEFT JOIN comp c USING (doc_id)
+         |), survivors AS (
+         |  SELECT doc_id, source, n_chars FROM (
+         |    SELECT l.*, row_number() OVER (PARTITION BY cid
+         |      ORDER BY quality DESC, doc_id) AS krn
+         |    FROM labeled l)
+         |  WHERE krn = 1
+         |)
+         |SELECT source, COUNT(*) AS n_kept,
+         |  CAST(SUM(n_chars) AS BIGINT) AS kept_chars,
+         |  CAST(SUM(doc_id) AS BIGINT) AS kept_checksum
+         |FROM survivors GROUP BY source
+         |ORDER BY source""".stripMargin) { (spark, d) =>
+      val w = org.apache.spark.sql.expressions.Window
+      // hash the text BEFORE the keeper shuffle: the window then moves
+      // (th, doc_id, source, n_chars, quality) — five scalars — instead
+      // of full document bodies (measured 20s → ~7s warm at 30×)
+      val eligible = Tables.documents(spark, d)
+        .join(TextQueries.qualityPerDoc(spark, d).select("doc_id", "quality"),
+          "doc_id")
+        .filter(col("n_chars") >= 200 && col("quality") >= 0.5)
+        .select(col("doc_id"), col("source"), col("n_chars"), col("quality"),
+          Hashing.h60(col("text")).as("th"))
+      val exactKept = eligible
+        .withColumn("rn", row_number().over(
+          w.partitionBy("th").orderBy(col("doc_id"))))
+        .filter(col("rn") === 1)
+        .select("doc_id", "source", "n_chars", "quality")
+      exactKept
+        .join(clusterMembers(spark, d), Seq("doc_id"), "left")
+        .withColumn("cid", coalesce(col("cluster_id"), col("doc_id")))
+        .withColumn("krn", row_number().over(
+          w.partitionBy("cid").orderBy(col("quality").desc, col("doc_id"))))
+        .filter(col("krn") === 1)
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("n_chars")).as("kept_chars"),
+          sum(col("doc_id")).as("kept_checksum"))
+        .orderBy("source")
+    },
+
     // ---- per-source duplication profile: the report that re-weights a
     //      training mixture after dedup (a source whose docs are 30%
     //      redundant contributes 30% fewer effective documents than its
