@@ -348,6 +348,82 @@ object DedupQueries {
         .orderBy("doc_id")
     },
 
+    // ---- repeated-SPAN duplication scoring (the span-level/exact-
+    //      substring dedup family, à la suffix-array substring dedup):
+    //      hash every 20-char window, count per (doc, window-hash)
+    //      occurrences, mark a window DUPLICATED when it appears in ≥ 2
+    //      distinct docs, and report each doc's duplicated-position
+    //      fraction — the signal span-dedup pipelines threshold on
+    //      (catches boilerplate/templating that whole-doc MinHash
+    //      misses). 100 TB shape: positions explode narrow (one row per
+    //      char), then TWO hash aggs — (doc, h) then h — and a join
+    //      back on the 8-byte h; no window function, no all-pairs
+    //      anything; df is computed on the (doc, h)-deduped relation so
+    //      a hot span costs its doc count, not its occurrence count. ----
+    "q_span_dup" -> QueryDef(
+      s"""WITH ${TextOps.duckCharShingleHashesCte(20)},
+         |per_doc_h AS (
+         |  SELECT doc_id, h, COUNT(*) AS c FROM char_hashes GROUP BY doc_id, h
+         |), df AS (
+         |  SELECT h, COUNT(*) AS nd FROM per_doc_h GROUP BY h
+         |), per_doc AS (
+         |  SELECT p.doc_id,
+         |    CAST(SUM(p.c) AS BIGINT) AS n_pos,
+         |    CAST(SUM(CASE WHEN f.nd >= 2 THEN p.c ELSE 0 END) AS BIGINT) AS n_dup
+         |  FROM per_doc_h p JOIN df f USING (h)
+         |  GROUP BY p.doc_id
+         |)
+         |SELECT doc_id, n_pos, n_dup,
+         |       round(CAST(n_dup AS DOUBLE) / n_pos, 6) AS dup_frac
+         |FROM per_doc
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val K = 20
+      // doc-local fused pass: one JVM md5 per position, per-doc counts
+      // built in memory — the relational char explosion re-planned its
+      // 150M rows + SQL-expression md5 THREE times (277s at 30×; this
+      // form: one narrow pass + one h-shuffle + one semi-join)
+      val perDocH = Tables.documents(spark, d).select("doc_id", "text")
+        .as[(Long, String)]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, text) =>
+            if (text == null || text.length < K) Iterator.empty
+            else {
+              val m = new java.util.HashMap[Long, Long]()
+              var p = 0
+              while (p + K <= text.length) {
+                m.merge(Hashing.h60Jvm(md, text.substring(p, p + K)),
+                  1L, _ + _)
+                p += 1
+              }
+              val b = Array.newBuilder[(Long, Long, Long)]
+              m.forEach((h, c) => b += ((id, h, c)))
+              b.result().iterator
+            }
+          }
+        }.toDF("doc_id", "h", "c")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      // cross-doc document frequency: the ONE unavoidable shuffle (on
+      // the 8-byte h); only hashes seen in >= 2 docs survive
+      val dupH = perDocH.groupBy("h").agg(count(lit(1)).as("nd"))
+        .filter(col("nd") >= 2).select("h")
+      val nDup = perDocH.join(dupH, "h")
+        .groupBy("doc_id").agg(sum(col("c")).as("n_dup"))
+      // total window count needs no explosion at all: len - K + 1
+      Tables.documents(spark, d)
+        .select(col("doc_id"),
+          (length(col("text")) - (K - 1)).cast("long").as("n_pos"))
+        .filter(col("n_pos") > 0)
+        .join(nDup, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_pos"),
+          coalesce(col("n_dup"), lit(0L)).as("n_dup"),
+          round(coalesce(col("n_dup"), lit(0L)).cast("double") / col("n_pos"),
+            6).as("dup_frac"))
+        .orderBy("doc_id")
+    },
+
     // ---- duplicate-cluster assembly: connected components over the
     //      verified MinHash pairs (the stage AFTER pair finding — a real
     //      dedup pipeline keeps ONE doc per transitive cluster, not one
