@@ -453,6 +453,55 @@ object TextQueries {
       qualityPerDoc(spark, d).orderBy("doc_id")
     },
 
+    // ---- token-bigram LM statistics: top-3 continuations per token
+    //      with conditional probability — the count table behind
+    //      KenLM-style quality scoring and contamination probes. The
+    //      bigram pairs are DOC-LOCAL: built narrowly from the split
+    //      array (adjacent element structs, zero shuffle), then ONE
+    //      map-side-combinable (tok, next) hash agg; the top-3 rank
+    //      filter is the bounded WindowGroupLimit shape over the (far
+    //      smaller) type-level table. The oracle spells the same pairs
+    //      as a positional self-join — positions are consecutive, so
+    //      the relations are identical. ----
+    "q_lm_bigram" -> QueryDef(
+      s"""WITH ${TextOps.duckTokensCte},
+         |big AS (
+         |  SELECT a.tok, b.tok AS next_tok, COUNT(*) AS c
+         |  FROM tokens a JOIN tokens b
+         |    ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  GROUP BY 1, 2
+         |), tot AS (
+         |  SELECT tok, CAST(SUM(c) AS BIGINT) AS n FROM big GROUP BY tok
+         |)
+         |SELECT tok, next_tok, c, round(CAST(c AS DOUBLE) / n, 6) AS p, rn
+         |FROM (
+         |  SELECT big.tok, next_tok, c, n,
+         |    row_number() OVER (PARTITION BY big.tok
+         |      ORDER BY c DESC, next_tok) AS rn
+         |  FROM big JOIN tot ON tot.tok = big.tok)
+         |WHERE rn <= 3
+         |ORDER BY tok, rn""".stripMargin) { (spark, d) =>
+      val big = Tables.documents(spark, d)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          """CASE WHEN size(w) >= 2
+            |THEN transform(sequence(1, size(w) - 1),
+            |  i -> struct(element_at(w, CAST(i AS INT)) AS tok,
+            |              element_at(w, CAST(i + 1 AS INT)) AS next_tok))
+            |ELSE array() END""".stripMargin)).as("pr"))
+        .select(col("pr.tok").as("tok"), col("pr.next_tok").as("next_tok"))
+        .groupBy("tok", "next_tok").agg(count(lit(1)).as("c"))
+      val tot = big.groupBy("tok").agg(sum(col("c")).as("n"))
+      big.join(tot, "tok")
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("tok")
+            .orderBy(col("c").desc, col("next_tok"))))
+        .filter(col("rn") <= 3)
+        .select(col("tok"), col("next_tok"), col("c"),
+          round(col("c").cast("double") / col("n"), 6).as("p"), col("rn"))
+        .orderBy("tok", "rn")
+    },
+
     // ---- corpus-trained n-gram language ID ----
     // The classifier is real (per-language token frequency profile,
     // fixed-point integer weights, argmax with deterministic tiebreak);
