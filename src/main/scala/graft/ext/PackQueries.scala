@@ -324,5 +324,53 @@ object PackQueries {
         .filter(Hashing.h60(col("doc_id"), lit("mixT")) % 1000000L < col("t"))
         .select("doc_id", "lang")
         .orderBy("doc_id")
+    },
+
+    // ---- data-recipe EPOCH assignment: given a target mixture (here:
+    //      uniform across sources), each doc gets a repeat factor
+    //      e_s = T / (|S| · n_s) epochs — whole part deterministic,
+    //      fractional part a per-doc h60 Bernoulli — so over-target
+    //      sources downsample (<1 epoch) and under-target sources
+    //      repeat (the UPSAMPLING half no plain sampler expresses).
+    //      All integer math on a 1e6 fixed-point grid: exact
+    //      cross-engine, and the realized mixture is within one doc of
+    //      target per source BY CONSTRUCTION. 100 TB: the epoch table
+    //      is |S| rows broadcast back; the corpus side is one narrow
+    //      pass computing its own repeat factor — zero shuffles before
+    //      the per-source report agg. ----
+    "q_mix_epochs" -> QueryDef(
+      s"""WITH n AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+         |tot AS (SELECT CAST(SUM(n) AS BIGINT) AS t, COUNT(*) AS s FROM n),
+         |ep AS (SELECT n.source, (tot.t * 1000000) // (tot.s * n.n) AS e6
+         |       FROM n, tot),
+         |rep AS (
+         |  SELECT d.source,
+         |    ep.e6 // 1000000
+         |      + CASE WHEN ${Hashing.duckH60("d.doc_id", "'ep'")} % 1000000
+         |                  < ep.e6 % 1000000 THEN 1 ELSE 0 END AS r
+         |  FROM documents d JOIN ep ON ep.source = d.source
+         |)
+         |SELECT source, COUNT(*) AS n_docs,
+         |  CAST(SUM(r) AS BIGINT) AS total_repeats,
+         |  round(CAST(SUM(r) AS DOUBLE) / COUNT(*), 6) AS realized_epochs
+         |FROM rep GROUP BY source
+         |ORDER BY source""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d)
+      val counts = docs.groupBy("source").agg(count(lit(1)).as("n"))
+      val ep = counts
+        .crossJoin(broadcast(counts.agg(
+          sum(col("n")).as("t"), count(lit(1)).as("s"))))
+        .select(col("source"), expr("(t * 1000000) DIV (s * n)").as("e6"))
+      docs.join(broadcast(ep), "source")
+        .select(col("source"),
+          expr("e6 DIV 1000000") // non-negative: truncating DIV = floor
+            .plus(when(Hashing.h60(col("doc_id"), lit("ep")) % 1000000L
+              < col("e6") % 1000000L, 1L).otherwise(0L)).as("r"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("r")).as("total_repeats"),
+          round(sum(col("r")).cast("double") / count(lit(1)), 6)
+            .as("realized_epochs"))
+        .orderBy("source")
     })
 }
