@@ -40,6 +40,9 @@ object IvfQueries {
     */
   val TRAIN_N: Int = K * 256
 
+  val KM_K = 8
+  private val KM_ITERS = 3
+
   /** IVF-Flat top-k parameterized by the inverted-list count — THE scale
     * dial: cell occupancy is n / k, and probe-candidate cost per query is
     * nprobe × occupancy, so k must grow with the corpus (the standard
@@ -124,7 +127,131 @@ object IvfQueries {
     // hash-verified against the identically-parameterized DuckDB replay
     "q_sim_ivf_wide" -> QueryDef(ivfSql(64, NPROBE)) { (spark, d) =>
       build(spark, d, 64, NPROBE)
+    },
+
+    // ---- full distributed k-means (3 Lloyd iterations over the WHOLE
+    //      corpus — IVF's trainer runs one refinement on a bounded
+    //      sample; this is the standalone clustering operator): per
+    //      iteration, assignment is a NARROW pass against the broadcast
+    //      centroid table (no join — tasks emit (cent, i, e) directly)
+    //      and the update is one map-side-combinable (cent, i) hash agg
+    //      whose k·64-row result is the ONLY thing the driver ever
+    //      holds. Distances/sums integer-exact on the fixed-point grid;
+    //      refined centroids round back INTO the grid (HALF_UP — the
+    //      proven q_sim_ivf parity), so all three iterations replay
+    //      bit-for-bit in DuckDB's unrolled CTEs. Empty cells drop out
+    //      identically in both engines. 100 TB: per iteration one
+    //      corpus scan + one k·64-row shuffle — the canonical
+    //      broadcast-centroid k-means a 1000-executor cluster runs. ----
+    "q_kmeans" -> QueryDef(kmeansSql(KM_K)) { (spark, d) =>
+      kmeans(spark, d, KM_K)
     })
+
+  private def kmeansSql(k: Int): String = {
+    val seedH = Hashing.duckH60("vec_id", "'km'")
+    def iter(t: Int): String =
+      s"""d$t AS (
+         |  SELECT e.vec_id, c.cent_id,
+         |         CAST(SUM((e.e - c.c) * (e.e - c.c)) AS BIGINT) AS d2
+         |  FROM elems e JOIN cent${t - 1} c ON e.i = c.i
+         |  GROUP BY e.vec_id, c.cent_id
+         |), assign$t AS (
+         |  SELECT vec_id, cent_id FROM (
+         |    SELECT vec_id, cent_id,
+         |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+         |    FROM d$t) WHERE rn = 1
+         |), cent$t AS (
+         |  SELECT a.cent_id, e.i,
+         |    CAST(round(CAST(SUM(e.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM assign$t a JOIN elems e ON e.vec_id = a.vec_id
+         |  GROUP BY a.cent_id, e.i
+         |)""".stripMargin
+    s"""WITH ${VectorOps.duckElemsCte},
+       |seed_ids AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY $seedH, vec_id) AS cent_id
+       |  FROM (SELECT vec_id FROM embeddings WHERE len(embedding) > 0
+       |        ORDER BY $seedH, vec_id LIMIT $k)
+       |), cent0 AS (
+       |  SELECT s.cent_id, e.i, e.e AS c
+       |  FROM seed_ids s JOIN elems e ON e.vec_id = s.vec_id
+       |), ${(1 to KM_ITERS).map(iter).mkString(",\n")},
+       |members AS (
+       |  SELECT cent_id, COUNT(*) AS n_members FROM assign$KM_ITERS GROUP BY cent_id
+       |)
+       |SELECT c.cent_id, c.i, c.c, m.n_members
+       |FROM cent$KM_ITERS c JOIN members m ON m.cent_id = c.cent_id
+       |ORDER BY c.cent_id, c.i""".stripMargin
+  }
+
+  private def kmeans(spark: org.apache.spark.sql.SparkSession, d: String,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val vecs = Tables.embeddings(spark, d)
+      .filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("e"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Long])]
+    val seeds = Tables.embeddings(spark, d)
+      .filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("e"))
+      .orderBy(Hashing.h60(col("vec_id"), lit("km")), col("vec_id"))
+      .limit(k)
+      .as[(Long, Array[Long])].collect()
+    if (seeds.isEmpty)
+      return spark.emptyDataset[(Int, Int, Long, Long)]
+        .toDF("cent_id", "i", "c", "n_members")
+    var cents: Seq[(Int, Array[Long])] =
+      seeds.sortBy(s => (Hashing.h60Jvm(
+        java.security.MessageDigest.getInstance("MD5"), s"${s._1}:km"), s._1))
+        .zipWithIndex.map { case ((_, e), ci) => (ci + 1, e) }.toSeq
+
+    def nearest(e: Array[Long], cs: Seq[(Int, Array[Long])]): Int = {
+      var bd = Long.MaxValue
+      var bc = Int.MaxValue
+      cs.foreach { case (ci, c) =>
+        var s = 0L
+        var i = 0
+        while (i < e.length) { val x = e(i) - c(i); s += x * x; i += 1 }
+        if (s < bd || (s == bd && ci < bc)) { bd = s; bc = ci }
+      }
+      bc
+    }
+
+    var lastStats: Array[(Int, Int, Long, Long)] = Array.empty
+    for (_ <- 1 to KM_ITERS) {
+      val bc = spark.sparkContext.broadcast(cents)
+      // one corpus pass: emit (cent, i, e) rows straight from the
+      // broadcast argmin — the (cent, i) agg partials combine map-side
+      lastStats = vecs.mapPartitions { it =>
+        val cs = bc.value
+        it.flatMap { case (_, e) =>
+          val ci = nearest(e, cs)
+          e.iterator.zipWithIndex.map { case (x, i0) => (ci, i0 + 1, x) }
+        }
+      }.toDF("cent_id", "i", "e")
+        .groupBy("cent_id", "i")
+        .agg(sum(col("e")).as("s"), count(lit(1)).as("n"))
+        .as[(Int, Int, Long, Long)].collect()
+      cents = lastStats.groupBy(_._1).toSeq.sortBy(_._1).map { case (ci, rows) =>
+        val dim = rows.map(_._2).max
+        val c = new Array[Long](dim)
+        rows.foreach { case (_, i, s, n) =>
+          c(i - 1) = BigDecimal(s.toDouble / n)
+            .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+        }
+        (ci, c)
+      }
+    }
+    lastStats.toSeq.toDF("cent_id", "i", "s", "n")
+      .select(col("cent_id"), col("i"),
+        expr("cast(round(cast(s as double) / n) as bigint)").as("c"),
+        col("n").as("n_members"))
+      .orderBy("cent_id", "i")
+  }
 
   private def build(spark: org.apache.spark.sql.SparkSession, d: String,
       k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
