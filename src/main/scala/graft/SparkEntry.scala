@@ -22,6 +22,7 @@ object SparkEntry {
     ext.Multimodal.defs,
     ext.MmdRbf.defs,
     ext.IvfQueries.defs,
+    ext.GraphQueries.defs,
     Lifecycle.defs)
 
   val defs: Map[String, QueryDef] = {

@@ -687,5 +687,143 @@ object TextQueries {
         .filter(col("rn") <= 3)
         .select("doc_id", "tok", "tfidf", "rn")
         .orderBy("doc_id", "rn")
+    },
+
+    // ---- DSIR-style importance scoring: rank out-of-domain docs by how
+    //      target-like their hashed-bigram distribution is (data
+    //      selection via importance resampling — the standard "pick
+    //      web pages that look like the target domain" curation step).
+    //      The paper's trick IS the scale story: bigrams hash into a
+    //      FIXED 8192-bucket feature space, so the profile/weight table
+    //      is O(8192) regardless of corpus size — genuinely
+    //      broadcastable at 100 TB where a raw bigram vocabulary is not.
+    //      All math is integer: per-bucket per-million rates via floor
+    //      division (non-negative, so Spark `div` = DuckDB `//`), weight
+    //      = rate_target − rate_background, doc score = Σ count·weight.
+    //      Two narrow bigram passes (profile build, scoring) + one
+    //      doc_id hash agg — no joins wider than the 8192-row broadcast.
+    "q_select_dsir" -> QueryDef(
+      s"""WITH ${TextOps.duckTokensCte},
+         |pairs AS (
+         |  SELECT a.doc_id, a.source,
+         |    ${Hashing.duckH60("a.tok || ' ' || b.tok")} % 8192 AS b
+         |  FROM tokens a JOIN tokens b
+         |    ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |), prof AS (
+         |  SELECT b,
+         |    CAST(SUM(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+         |    CAST(SUM(CASE WHEN source <> 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS cb
+         |  FROM pairs GROUP BY b
+         |), tot AS (
+         |  SELECT CAST(SUM(ct) AS BIGINT) AS tt, CAST(SUM(cb) AS BIGINT) AS tb
+         |  FROM prof
+         |), w AS (
+         |  SELECT b, (1000000 * ct) // tt - (1000000 * cb) // tb AS w
+         |  FROM prof CROSS JOIN tot
+         |), scored AS (
+         |  SELECT p.doc_id, COUNT(*) AS n_pairs, CAST(SUM(w.w) AS BIGINT) AS score
+         |  FROM pairs p JOIN w USING (b)
+         |  WHERE p.source <> 'src0'
+         |  GROUP BY p.doc_id
+         |)
+         |SELECT doc_id, n_pairs, score, score > 0 AS selected
+         |FROM scored ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      // ONE fused narrow pass (the q_span_dup playbook: hash doc-local
+      // text in the JVM, never re-run an expression-md5 explosion per
+      // consumer): per doc, adjacent-pair h60 % 8192 counted in a local
+      // map — the shuffle carries (doc, bucket, count), not occurrences.
+      // `split(" ", -1)` keeps trailing empties, matching Spark SQL
+      // split / DuckDB string_split.
+      val docCounts = Tables.documents(spark, d)
+        .select("doc_id", "source", "text").as[(Long, String, String)]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          it.flatMap { case (id, src, text) =>
+            val w = if (text == null) Array.empty[String]
+                    else text.split(" ", -1)
+            if (w.length < 2) Iterator.empty
+            else {
+              val m = new java.util.HashMap[Long, Long]()
+              var i = 0
+              while (i + 1 < w.length) {
+                m.merge(Hashing.h60Jvm(md, w(i) + " " + w(i + 1)) % 8192,
+                  1L, _ + _)
+                i += 1
+              }
+              val b = Array.newBuilder[(Long, String, Long, Long)]
+              m.forEach((bk, c) => b += ((id, src, bk, c)))
+              b.result().iterator
+            }
+          }
+        }.toDF("doc_id", "source", "b", "c")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val prof = docCounts.groupBy("b").agg(
+        sum(when(col("source") === "src0", col("c")).otherwise(0L)).as("ct"),
+        sum(when(col("source") =!= "src0", col("c")).otherwise(0L)).as("cb"))
+      val tot = prof.agg(sum(col("ct")).as("tt"), sum(col("cb")).as("tb"))
+      val w = prof.crossJoin(broadcast(tot))
+        .select(col("b"),
+          expr("(1000000 * ct) div tt - (1000000 * cb) div tb").as("w"))
+      docCounts.filter(col("source") =!= "src0")
+        .join(broadcast(w), "b")
+        .groupBy("doc_id")
+        .agg(sum(col("c")).as("n_pairs"),
+          sum(col("c") * col("w")).as("score"))
+        .select(col("doc_id"), col("n_pairs"), col("score"),
+          (col("score") > 0).as("selected"))
+        .orderBy("doc_id")
+    },
+
+    // ---- PMI collocation mining: the corpus-wide top-50 bigram
+    //      collocations by pointwise mutual information with a min-count
+    //      support filter — the phrase/tokenizer-merge analysis step
+    //      (what BPE merges and stop-phrase lists are read off of).
+    //      PMI needs log(c_xy·N / (c_x·c_y)) only for RANKING, and log is
+    //      monotone — so the ORDER BY key is the ratio itself, computed
+    //      exactly in integers via a documented two-step fixed point:
+    //      ((1e6·c_xy) div c_x · N) div c_y. Step one is ≤1e6 (c_xy ≤
+    //      c_x), step two ≤1e6·N — no BIGINT overflow at any corpus size,
+    //      and both engines floor identically on non-negative operands.
+    //      Plan: the type-level bigram table (ONE map-side-combinable
+    //      hash agg over doc-local pairs, persisted — it feeds four
+    //      consumers) + two marginal aggs + a 1-row total crossJoin;
+    //      global top-50 is a TakeOrderedAndProject, never a full sort.
+    "q_collocations" -> QueryDef(
+      s"""WITH ${TextOps.duckTokensCte},
+         |big AS (
+         |  SELECT a.tok, b.tok AS next_tok, COUNT(*) AS c
+         |  FROM tokens a JOIN tokens b
+         |    ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |  GROUP BY 1, 2
+         |), cx AS (SELECT tok, CAST(SUM(c) AS BIGINT) AS cx FROM big GROUP BY tok),
+         |cy AS (SELECT next_tok, CAST(SUM(c) AS BIGINT) AS cy FROM big GROUP BY next_tok),
+         |n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM big)
+         |SELECT tok, next_tok, c, cx, cy,
+         |  (((1000000 * c) // cx) * n) // cy AS pmi_fp
+         |FROM big JOIN cx USING (tok) JOIN cy USING (next_tok) CROSS JOIN n
+         |WHERE c >= 5
+         |ORDER BY pmi_fp DESC, tok, next_tok LIMIT 50""".stripMargin) { (spark, d) =>
+      val big = Tables.documents(spark, d)
+        .select(split(col("text"), " ").as("w"))
+        .select(explode(expr(
+          """CASE WHEN size(w) >= 2
+            |THEN transform(sequence(1, size(w) - 1),
+            |  i -> struct(element_at(w, CAST(i AS INT)) AS tok,
+            |              element_at(w, CAST(i + 1 AS INT)) AS next_tok))
+            |ELSE array() END""".stripMargin)).as("pr"))
+        .select(col("pr.tok").as("tok"), col("pr.next_tok").as("next_tok"))
+        .groupBy("tok", "next_tok").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val cx = big.groupBy("tok").agg(sum(col("c")).as("cx"))
+      val cy = big.groupBy("next_tok").agg(sum(col("c")).as("cy"))
+      val n = big.agg(sum(col("c")).as("n"))
+      big.join(cx, "tok").join(cy, "next_tok").crossJoin(broadcast(n))
+        .filter(col("c") >= 5)
+        .select(col("tok"), col("next_tok"), col("c"), col("cx"), col("cy"),
+          expr("(((1000000 * c) div cx) * n) div cy").as("pmi_fp"))
+        .orderBy(col("pmi_fp").desc, col("tok"), col("next_tok"))
+        .limit(50)
     })
 }

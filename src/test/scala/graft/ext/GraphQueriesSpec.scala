@@ -1,0 +1,67 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the link-analysis / corpus-selection operators at
+  * sf0.001: PageRank mass conservation and determinism, DSIR's bounded
+  * feature space, PMI ordering.
+  */
+class GraphQueriesSpec extends SparkSpec {
+
+  test("pagerank conserves mass within floor loss and floors at teleport") {
+    val rows = graft.SparkEntry.defs("q_pagerank").build(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val n = rows.length.toLong
+    val tele = 15L * GraphQueries.SCALE / (100L * n)
+    val mass = rows.map(_.getAs[Long]("rank_fp")).sum
+    // every arithmetic step floors, so total mass can only leak downward —
+    // and by far less than 1% over 3 iterations
+    assert(mass <= GraphQueries.SCALE)
+    assert(mass > GraphQueries.SCALE / 100L * 99L)
+    // rank = teleport + damped non-negative inflow: teleport is a floor
+    rows.foreach(r => assert(r.getAs[Long]("rank_fp") >= tele))
+    // the bipartite purchase graph pushes mass to suppliers (every edge
+    // points cust -> supp); the top-ranked node must be a supplier
+    assert(rows.maxBy(_.getAs[Long]("rank_fp")).getAs[String]("node").startsWith("s"))
+  }
+
+  test("pagerank is deterministic across runs") {
+    def run() = graft.SparkEntry.defs("q_pagerank").build(spark, sf())
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(run() == run())
+  }
+
+  test("dsir scores only out-of-domain docs in a bounded feature space") {
+    val out = graft.SparkEntry.defs("q_select_dsir").build(spark, sf())
+    val rows = out.collect()
+    assert(rows.nonEmpty)
+    // the hashed feature space is the scale contract: max 8192 buckets
+    // regardless of corpus size (what makes the weight table broadcastable)
+    val targetIds = graft.Tables.documents(spark, sf())
+      .filter(col("source") === "src0").select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { r =>
+      assert(!targetIds.contains(r.getAs[Long]("doc_id")),
+        "target-domain docs must not be scored")
+      assert(r.getAs[Boolean]("selected") == (r.getAs[Long]("score") > 0L))
+    }
+    val nonTarget = graft.Tables.documents(spark, sf())
+      .filter(col("source") =!= "src0")
+      // docs with fewer than two tokens produce no bigram and drop out
+      .filter(size(split(col("text"), " ")) >= 2).count()
+    assert(rows.length.toLong == nonTarget)
+  }
+
+  test("collocations rank by exact integer PMI with support filter") {
+    val rows = graft.SparkEntry.defs("q_collocations").build(spark, sf()).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val pmis = rows.map(_.getAs[Long]("pmi_fp"))
+    assert(pmis.zip(pmis.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("c") >= 5L)
+      assert(r.getAs[Long]("c") <= r.getAs[Long]("cx"))
+      assert(r.getAs[Long]("c") <= r.getAs[Long]("cy"))
+    }
+  }
+}
