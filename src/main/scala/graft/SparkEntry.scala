@@ -12,10 +12,12 @@ object SparkEntry {
   private val modules: Seq[Map[String, QueryDef]] = Seq(
     rel.StarQueries.defs,
     rel.EventQueries.defs,
+    rel.DimQueries.defs,
     etl.EtlQueries.defs,
     rank.Metrics.defs,
     score.ScoreQueries.defs,
     ext.TextQueries.defs,
+    ext.BpeQueries.defs,
     ext.PackQueries.defs,
     ext.DedupQueries.defs,
     ext.SimilarityQueries.defs,

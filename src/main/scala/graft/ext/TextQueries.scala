@@ -107,6 +107,83 @@ object TextQueries {
   private val evalShingleCount =
     new scala.collection.concurrent.TrieMap[String, Long]
 
+  /** Fixed query-term set for q_text_bm25 (mid-frequency corpus terms). */
+  private val bm25Terms = Seq("spark", "hash", "merge", "scan")
+  private val BmK1 = "1.2"
+  private val BmB = "0.75"
+  private val Bm25TopK = 50
+
+  /** DuckDB side of q_text_bm25. Every float op is explicitly cast and
+    * fixed-order so the Spark mirror is op-for-op identical.
+    */
+  private lazy val bm25Sql: String = {
+    val tfCols = bm25Terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(SUM(CASE WHEN tok = '$t' THEN 1 ELSE 0 END) AS BIGINT) AS tf$i"
+    }
+    val dfCols = bm25Terms.indices.map(i =>
+      s"CAST(SUM(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+    val terms = bm25Terms.indices.map { i =>
+      s"""CASE WHEN tf$i > 0 THEN
+         |  ln(1.0 + (CAST(nd AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5)
+         |           / (CAST(df$i AS DOUBLE) + 0.5))
+         |  * ((CAST(tf$i AS DOUBLE) * ($BmK1 + 1.0))
+         |     / (CAST(tf$i AS DOUBLE)
+         |        + $BmK1 * ((1.0 - $BmB)
+         |                   + $BmB * (CAST(dl AS DOUBLE)
+         |                             * CAST(nd AS DOUBLE)
+         |                             / CAST(a AS DOUBLE)))))
+         |ELSE 0.0 END""".stripMargin
+    }
+    s"""WITH ${TextOps.duckTokensCte},
+       |per_doc AS (
+       |  SELECT doc_id, COUNT(*) AS dl, ${tfCols.mkString(", ")}
+       |  FROM tokens GROUP BY doc_id
+       |), stats AS (
+       |  SELECT COUNT(*) AS nd, CAST(SUM(dl) AS BIGINT) AS a,
+       |    ${dfCols.mkString(", ")}
+       |  FROM per_doc
+       |), scored AS (
+       |  SELECT doc_id, dl,
+       |    round(${terms.mkString("\n + ")}, 6) AS bm25
+       |  FROM per_doc CROSS JOIN stats
+       |)
+       |SELECT doc_id, dl, bm25 FROM scored WHERE bm25 > 0
+       |ORDER BY bm25 DESC, doc_id LIMIT $Bm25TopK""".stripMargin
+  }
+
+  /** Spark side of q_text_bm25 — see bm25Sql for the parity contract. */
+  private def bm25(spark: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    val toks = TextOps.tokens(spark, d).select("doc_id", "tok")
+    val perDoc = toks.groupBy("doc_id").agg(
+      count(lit(1)).as("dl"),
+      bm25Terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("tok") === t, 1).otherwise(0)).cast("long").as(s"tf$i")
+      }: _*)
+    val stats = perDoc.agg(
+      count(lit(1)).as("nd"),
+      (sum(col("dl")).cast("long").as("a") +:
+        bm25Terms.indices.map(i =>
+          sum(when(col(s"tf$i") > 0, 1).otherwise(0)).cast("long").as(s"df$i"))): _*)
+    val k1 = BmK1.toDouble; val b = BmB.toDouble
+    val ndD = col("nd").cast("double"); val aD = col("a").cast("double")
+    val dlD = col("dl").cast("double")
+    val termCols = bm25Terms.indices.map { i =>
+      val tfD = col(s"tf$i").cast("double"); val dfD = col(s"df$i").cast("double")
+      when(col(s"tf$i") > 0,
+        log(lit(1.0) + (ndD - dfD + lit(0.5)) / (dfD + lit(0.5))) *
+          ((tfD * lit(k1 + 1.0)) /
+            (tfD + lit(k1) * (lit(1.0 - b) + lit(b) * (dlD * ndD / aD)))))
+        .otherwise(lit(0.0))
+    }
+    perDoc.crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("dl"),
+        round(termCols.reduce(_ + _), 6).as("bm25"))
+      .filter(col("bm25") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(Bm25TopK)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- per-stratum cap sampling: keep at most K docs per
@@ -688,6 +765,18 @@ object TextQueries {
         .select("doc_id", "tok", "tfidf", "rn")
         .orderBy("doc_id", "rn")
     },
+
+    // ---- BM25 keyword retrieval (Okapi, k1=1.2 b=0.75): score every doc
+    //      against a fixed query-term set and return the top 50 — the
+    //      lexical half of a RAG retrieval stack (the dense half is
+    //      q_sim_topk/q_sim_lsh). Shape: the SAME per-doc token aggregate
+    //      as q_text_tokens computes dl and the ≤4 conditional tf columns
+    //      in one pass (pivoted to FIXED columns so the final score is a
+    //      fixed-order IEEE sum — never a float groupBy-sum, whose
+    //      partition order is nondeterministic); df/N/avgdl reduce to ONE
+    //      broadcast row; top-50 is TakeOrderedAndProject. ln drift is
+    //      absorbed by round(...,6) (same contract as tf-idf/NDCG). ----
+    "q_text_bm25" -> QueryDef(bm25Sql) { (spark, d) => bm25(spark, d) },
 
     // ---- DSIR-style importance scoring: rank out-of-domain docs by how
     //      target-like their hashed-bigram distribution is (data

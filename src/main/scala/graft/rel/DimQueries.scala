@@ -1,0 +1,235 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Warehouse-dimension and physical-layout operators: SCD Type-2 interval
+  * construction, per-group closed-form regression, exact-rank IQR outlier
+  * detection, and Z-order (Morton) multi-dimensional clustering.
+  *
+  * These round out the relational surface the way a production lakehouse
+  * uses it: CDC upsert (q_merge_upsert) keeps the LATEST row; SCD2 here
+  * keeps the full validity history. Column profiling (q_profile_stats)
+  * describes distributions; the outlier query acts on them. Z-order is the
+  * layout op that makes 100 TB scans skippable on TWO keys at once.
+  *
+  * Parity rules (QueryDef): money goes through DECIMAL(18,3) so sums are
+  * exact and order-independent; the regression's six moments stay DECIMAL
+  * until one final mirrored IEEE expression; quartiles are exact-rank
+  * integers (no interpolation); the 1.5·IQR fence is integer-scaled ×4/×6
+  * so no floats appear at all; Morton codes are pure bit arithmetic.
+  */
+object DimQueries {
+
+  private val M = DecimalType(18, 3)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(M)
+
+  // ---- q_zorder: 10-bit × 10-bit Morton interleave ----
+  /** Bits per dimension (1024-cell grid per key). */
+  val ZBits = 10
+  /** Bucket = top 6 interleaved bits ⇒ 64 buckets of 128×128 cells. */
+  val ZBucketShift = 14
+
+  private def sparkZ(px: String, sx: String): String =
+    (0 until ZBits).map(i =>
+      s"(shiftleft(shiftright($px, $i) & 1, ${2 * i}) + " +
+        s"shiftleft(shiftright($sx, $i) & 1, ${2 * i + 1}))").mkString(" + ")
+
+  private def duckZ(px: String, sx: String): String =
+    (0 until ZBits).map(i =>
+      s"(((($px >> $i) & 1) << ${2 * i}) + " +
+        s"((($sx >> $i) & 1) << ${2 * i + 1}))").mkString(" + ")
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- SCD Type-2 dimension build (the history-keeping complement of
+    //      q_merge_upsert's keep-latest): collapse each user's event-type
+    //      stream to change rows, then close each version's validity
+    //      interval with the next change's timestamp. 100 TB: ONE shuffle
+    //      on user_id; the change-detect window and the interval windows
+    //      share the same (user_id, ts, event_id) sort order, and the
+    //      second pass runs over the already-partitioned (much smaller)
+    //      changes-only relation — DimSpec asserts the single Exchange ----
+    "q_scd2" -> QueryDef(
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |)
+        |SELECT user_id, event_type, ts AS valid_from,
+        |  COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    AS BIGINT) AS version,
+        |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |    IS NULL THEN 1 ELSE 0 END AS is_current
+        |FROM changes
+        |ORDER BY user_id, version""".stripMargin) { (spark, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val changes = Tables.events(spark, d)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select("user_id", "event_type", "ts", "event_id")
+      changes
+        .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(byUser),
+          lit("9999-12-31 00:00:00").cast("timestamp")))
+        .withColumn("version", row_number().over(byUser).cast("long"))
+        .withColumn("is_current",
+          when(lead(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))
+        .select(col("user_id"), col("event_type"), col("ts").as("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))
+        .orderBy("user_id", "version")
+    },
+
+    // ---- per-group closed-form OLS (extendedprice ~ quantity): the six
+    //      moments (n, Σx, Σy, Σxx, Σyy, Σxy) accumulate EXACTLY in
+    //      DECIMAL — order-independent, map-side combinable, one shuffle
+    //      of 6 numbers per group — then slope/intercept/r² are ONE
+    //      mirrored IEEE expression over the exact moments. This is the
+    //      distributed-regression shape (statistics, not rows, move) ----
+    "q_group_regr" -> QueryDef(
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |    COUNT(*) AS n,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,3))) AS sx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS sy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,3))
+        |      * CAST(l_quantity AS DECIMAL(18,3))) AS sxx,
+        |    SUM(CAST(l_extendedprice AS DECIMAL(18,3))
+        |      * CAST(l_extendedprice AS DECIMAL(18,3))) AS syy,
+        |    SUM(CAST(l_quantity AS DECIMAL(18,3))
+        |      * CAST(l_extendedprice AS DECIMAL(18,3))) AS sxy
+        |  FROM lineitem GROUP BY l_returnflag
+        |)
+        |SELECT l_returnflag, n,
+        |  round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |      / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)), 6) AS slope,
+        |  round((CAST(sy AS DOUBLE)
+        |         - ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |            / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)))
+        |           * CAST(sx AS DOUBLE)) / CAST(n AS DOUBLE), 6) AS intercept,
+        |  round(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |            - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE)))
+        |      / ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * (CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |            - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6) AS r2
+        |FROM m ORDER BY l_returnflag""".stripMargin) { (spark, d) =>
+      val qd = dec(col("l_quantity"))
+      val pd = dec(col("l_extendedprice"))
+      val m = Tables.lineitem(spark, d)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"), sum(qd).as("sx"), sum(pd).as("sy"),
+          sum(qd * qd).as("sxx"), sum(pd * pd).as("syy"), sum(qd * pd).as("sxy"))
+      val n = col("n").cast("double")
+      val sx = col("sx").cast("double")
+      val sy = col("sy").cast("double")
+      val sxx = col("sxx").cast("double")
+      val syy = col("syy").cast("double")
+      val sxy = col("sxy").cast("double")
+      val num = n * sxy - sx * sy
+      val den = n * sxx - sx * sx
+      m.select(col("l_returnflag"), col("n"),
+          round(num / den, 6).as("slope"),
+          round((sy - (num / den) * sx) / n, 6).as("intercept"),
+          round((num * num) / (den * (n * syy - sy * sy)), 6).as("r2"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- exact-rank IQR outlier fences per group: quartiles at ceil-rank
+    //      positions (no interpolation, pure integers), 1.5·IQR fence
+    //      integer-scaled (×4 / ×6) so the whole query is float-free.
+    //      100 TB: the per-group sort is the exact-quantile price — the
+    //      production dial is q_approx_quantiles' mergeable sketch; this
+    //      is the correctness anchor. Bounds (3 rows) broadcast back ----
+    "q_outliers" -> QueryDef(
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * 100 AS BIGINT),
+        |               l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), q AS (
+        |  SELECT l_returnflag, MAX(n) AS n,
+        |    MAX(CASE WHEN rn <= (n + 3) // 4 THEN cents END) AS q1_cents,
+        |    MAX(CASE WHEN rn <= (3 * n + 3) // 4 THEN cents END) AS q3_cents
+        |  FROM c GROUP BY l_returnflag
+        |)
+        |SELECT c.l_returnflag, MAX(q.n) AS n,
+        |  MAX(q.q1_cents) AS q1_cents, MAX(q.q3_cents) AS q3_cents,
+        |  CAST(SUM(CASE WHEN 4 * c.cents > 4 * q.q3_cents + 6 * (q.q3_cents - q.q1_cents)
+        |      OR 4 * c.cents < 4 * q.q1_cents - 6 * (q.q3_cents - q.q1_cents)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_out,
+        |  round(CAST(SUM(CASE WHEN 4 * c.cents > 4 * q.q3_cents + 6 * (q.q3_cents - q.q1_cents)
+        |      OR 4 * c.cents < 4 * q.q1_cents - 6 * (q.q3_cents - q.q1_cents)
+        |    THEN 1 ELSE 0 END) AS DOUBLE) / MAX(q.n), 6) AS out_ratio
+        |FROM c JOIN q ON q.l_returnflag = c.l_returnflag
+        |GROUP BY c.l_returnflag
+        |ORDER BY c.l_returnflag""".stripMargin) { (spark, d) =>
+      val cents = (dec(col("l_extendedprice")) * 100).cast("long")
+      val byFlag = Window.partitionBy("l_returnflag")
+      val c = Tables.lineitem(spark, d)
+        .select(col("l_returnflag"), cents.as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(
+          byFlag.orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      val q = c.groupBy("l_returnflag").agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") <= expr("(n + 3) DIV 4"), col("cents"))).as("q1_cents"),
+        max(when(col("rn") <= expr("(3 * n + 3) DIV 4"), col("cents"))).as("q3_cents"))
+      val iqr = col("q3_cents") - col("q1_cents")
+      val isOut = (lit(4) * col("cents") > lit(4) * col("q3_cents") + lit(6) * iqr) ||
+        (lit(4) * col("cents") < lit(4) * col("q1_cents") - lit(6) * iqr)
+      c.select("l_returnflag", "cents").join(broadcast(q), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          max(col("q1_cents")).as("q1_cents"), max(col("q3_cents")).as("q3_cents"),
+          sum(when(isOut, 1).otherwise(0)).cast("long").as("n_out"),
+          round(sum(when(isOut, 1).otherwise(0)).cast("double") / max(col("n")), 6)
+            .as("out_ratio"))
+        .orderBy("l_returnflag")
+    },
+
+    // ---- Z-order (Morton) clustering: interleave the low 10 bits of
+    //      partkey and suppkey so ONE sort key clusters BOTH dimensions;
+    //      a 100 TB table laid out by z-ranges serves part-keyed AND
+    //      supplier-keyed scans from narrow file ranges (per-bucket
+    //      min/max below are the skipping proof: each 1/64 bucket spans
+    //      ≤1/8 of EACH key's domain — DimSpec asserts it; a 1-D sort
+    //      spans the full second domain). Pure bit arithmetic, no UDF ----
+    "q_zorder" -> QueryDef(
+      s"""WITH keyed AS (
+         |  SELECT l_partkey % 1024 AS px, l_suppkey % 1024 AS sx FROM lineitem
+         |), z AS (
+         |  SELECT px, sx, ${duckZ("px", "sx")} AS zval FROM keyed
+         |)
+         |SELECT zval >> $ZBucketShift AS z_bucket,
+         |  COUNT(*) AS cnt,
+         |  MIN(px) AS min_p, MAX(px) AS max_p,
+         |  MIN(sx) AS min_s, MAX(sx) AS max_s
+         |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin) { (spark, d) =>
+      Tables.lineitem(spark, d)
+        .select((col("l_partkey") % 1024).as("px"), (col("l_suppkey") % 1024).as("sx"))
+        .withColumn("zval", expr(sparkZ("px", "sx")))
+        .groupBy(expr(s"shiftright(zval, $ZBucketShift)").as("z_bucket"))
+        .agg(count(lit(1)).as("cnt"),
+          min(col("px")).as("min_p"), max(col("px")).as("max_p"),
+          min(col("sx")).as("min_s"), max(col("sx")).as("max_s"))
+        .orderBy("z_bucket")
+    })
+}
