@@ -107,6 +107,23 @@ object BpeQueries {
        |FROM syms$Rounds GROUP BY s
        |ORDER BY cnt DESC, sym LIMIT $TopV""".stripMargin
 
+  private val applySql: String =
+    s"""WITH $duckChain,
+       |nsyms AS (
+       |  SELECT word, CAST(COUNT(*) AS BIGINT) AS n_syms
+       |  FROM syms$Rounds GROUP BY word
+       |)
+       |SELECT t.doc_id,
+       |  CAST(COUNT(*) AS BIGINT) AS n_tok,
+       |  CAST(SUM(n.n_syms) AS BIGINT) AS n_bpe,
+       |  CAST(SUM(length(t.tok)) AS BIGINT) AS n_chars,
+       |  round(CAST(SUM(length(t.tok)) AS DOUBLE) / SUM(n.n_syms), 6)
+       |    AS chars_per_sym
+       |FROM tokens t JOIN nsyms n ON n.word = t.tok
+       |WHERE t.tok <> ''
+       |GROUP BY t.doc_id
+       |ORDER BY t.doc_id""".stripMargin
+
   // -------------------------------------------------------------- Spark
 
   /** One merge round: returns (merged symbols, 1-row best-pair frame). */
@@ -182,5 +199,28 @@ object BpeQueries {
           countDistinct(col("word")).cast("long").as("n_words"))
         .orderBy(col("cnt").desc, col("sym"))
         .limit(TopV)
+    },
+
+    // ---- tokenizer APPLICATION (train → apply, the full story): count
+    //      each doc's tokens under the learned merges. The per-word
+    //      symbol count is vocabulary-sized → broadcast; the corpus pass
+    //      is one narrow join + one doc_id hash agg — counting tokens
+    //      with a learned tokenizer costs the same as q_text_tokens ----
+    "q_bpe_apply" -> QueryDef(applySql) { (spark, d) =>
+      val (_, syms) = chain(spark, d)
+      val nsyms = syms.groupBy("word")
+        .agg(count(lit(1)).cast("long").as("n_syms"))
+      TextOps.tokens(spark, d)
+        .filter(col("tok") =!= "")
+        .select(col("doc_id"), col("tok"))
+        .join(broadcast(nsyms), col("tok") === col("word"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_tok"),
+          sum(col("n_syms")).cast("long").as("n_bpe"),
+          sum(length(col("tok"))).cast("long").as("n_chars"))
+        .select(col("doc_id"), col("n_tok"), col("n_bpe"), col("n_chars"),
+          round(col("n_chars").cast("double") / col("n_bpe"), 6)
+            .as("chars_per_sym"))
+        .orderBy("doc_id")
     })
 }

@@ -76,8 +76,117 @@ object GraphQueries {
        |SELECT node, r AS rank_fp FROM r$ITERS
        |ORDER BY rank_fp DESC, node""".stripMargin
 
+  /** Hub cap for q_triangles' co-purchase projection: at most this many
+    * suppliers per customer enter the pairing (deterministic h60 order).
+    */
+  val TriCap = 64
+
+  private val trianglesSql: String = {
+    val ord = graft.Hashing.duckH60("c", "s")
+    s"""WITH cs AS (
+       |  SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), cap AS (
+       |  SELECT c, s FROM (
+       |    SELECT c, s, row_number() OVER (PARTITION BY c
+       |      ORDER BY $ord, s) AS rn
+       |    FROM cs)
+       |  WHERE rn <= $TriCap
+       |), e AS (
+       |  SELECT DISTINCT a.s AS u, b.s AS v
+       |  FROM cap a JOIN cap b ON a.c = b.c AND a.s < b.s
+       |), deg AS (
+       |  SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM (
+       |    SELECT u AS n FROM e UNION ALL SELECT v FROM e)
+       |  GROUP BY n
+       |), o AS (
+       |  SELECT CASE WHEN du.d * 100000000 + e.u < dv.d * 100000000 + e.v
+       |      THEN e.u ELSE e.v END AS a,
+       |    CASE WHEN du.d * 100000000 + e.u < dv.d * 100000000 + e.v
+       |      THEN e.v ELSE e.u END AS b,
+       |    CASE WHEN du.d * 100000000 + e.u < dv.d * 100000000 + e.v
+       |      THEN dv.d * 100000000 + e.v ELSE du.d * 100000000 + e.u END AS rb
+       |  FROM e JOIN deg du ON du.n = e.u JOIN deg dv ON dv.n = e.v
+       |), wedge AS (
+       |  SELECT e1.b AS x, e2.b AS y FROM o e1 JOIN o e2
+       |    ON e2.a = e1.a AND e1.rb < e2.rb
+       |), tri AS (
+       |  SELECT CAST(COUNT(*) AS BIGINT) AS n_tri
+       |  FROM wedge JOIN o e3 ON e3.a = wedge.x AND e3.b = wedge.y
+       |), st AS (
+       |  SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+       |    CAST((SELECT COUNT(*) FROM e) AS BIGINT) AS n_edges,
+       |    CAST((SELECT COUNT(*) FROM wedge) AS BIGINT) AS n_wedges,
+       |    (SELECT n_tri FROM tri) AS n_triangles
+       |)
+       |SELECT n_nodes, n_edges, n_wedges, n_triangles,
+       |  round(CAST(n_triangles AS DOUBLE) / n_wedges, 6) AS closure_ratio
+       |FROM st""".stripMargin
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    "q_pagerank" -> QueryDef(pagerankSql) { (spark, d) => pagerank(spark, d) })
+    "q_pagerank" -> QueryDef(pagerankSql) { (spark, d) => pagerank(spark, d) },
+
+    // ---- triangle counting with degree-ordered orientation over the
+    //      supplier co-purchase projection. The two 100 TB guards ARE
+    //      the operator: (1) the projection's per-hub quadratic blowup
+    //      is capped at TriCap suppliers per customer in deterministic
+    //      h60 order (WindowGroupLimit shape — O(cap) state, no stratum
+    //      sort; the documented approximation dial, exact when no hub
+    //      exceeds the cap); (2) every edge orients from its
+    //      lower-(degree, id) endpoint, so wedge enumeration is bounded
+    //      by O(m·α) (arboricity), not the hub degree — the standard
+    //      distributed-triangle trick. The rank packs (deg, id) into one
+    //      BIGINT so the wedge join carries a single 8-byte key ----
+    "q_triangles" -> QueryDef(trianglesSql) { (spark, d) => triangles(spark, d) })
+
+  private def triangles(spark: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val R = 100000000L
+    val cs = Tables.orders(spark, d)
+      .join(Tables.lineitem(spark, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct()
+    val cap = cs
+      .withColumn("rn", row_number().over(Window.partitionBy("c")
+        .orderBy(graft.Hashing.h60(col("c"), col("s")), col("s"))))
+      .filter(col("rn") <= TriCap)
+      .select("c", "s")
+    val a = cap.select(col("c"), col("s").as("u"))
+    val b = cap.select(col("c").as("c2"), col("s").as("v"))
+    val e = a.join(b, col("c") === col("c2") && col("u") < col("v"))
+      .select("u", "v").distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("u").as("n")).unionAll(e.select(col("v")))
+      .groupBy("n").agg(count(lit(1)).cast("long").as("d"))
+    val withDeg = e
+      .join(deg.select(col("n").as("u"), (col("d") * R + col("n")).as("ru")), "u")
+      .join(deg.select(col("n").as("v"), (col("d") * R + col("n")).as("rv")), "v")
+    val o = withDeg.select(
+        when(col("ru") < col("rv"), col("u")).otherwise(col("v")).as("a"),
+        when(col("ru") < col("rv"), col("v")).otherwise(col("u")).as("b"),
+        when(col("ru") < col("rv"), col("rv")).otherwise(col("ru")).as("rb"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val e1 = o.select(col("a").as("a1"), col("b").as("x"), col("rb").as("r1"))
+    val e2 = o.select(col("a").as("a2"), col("b").as("y"), col("rb").as("r2"))
+    val wedge = e1.join(e2, col("a2") === col("a1") && col("r1") < col("r2"))
+      .select("x", "y")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val nTri = wedge
+      .join(o, o("a") === wedge("x") && o("b") === wedge("y"), "left_semi")
+      .count()
+    val nNodes = deg.count(); val nEdges = e.count(); val nWedges = wedge.count()
+    e.unpersist(false); o.unpersist(false); wedge.unpersist(false)
+    import spark.implicits._
+    // the semi-join is exact here: o's (a,b) edges are unique, so each
+    // wedge row has at most one closing edge — semi count = inner count
+    Seq((nNodes, nEdges, nWedges, nTri)).toDF(
+        "n_nodes", "n_edges", "n_wedges", "n_triangles")
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"),
+        round(col("n_triangles").cast("double") / col("n_wedges"), 6)
+          .as("closure_ratio"))
+  }
 
   private def pagerank(spark: SparkSession, d: String): DataFrame = {
     val edges = Tables.orders(spark, d)

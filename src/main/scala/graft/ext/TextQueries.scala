@@ -579,6 +579,72 @@ object TextQueries {
         .orderBy("tok", "rn")
     },
 
+    // ---- bigram-LM perplexity scoring (the CCNet-style quality filter:
+    //      score every doc by how surprising it is under a corpus-trained
+    //      LM; high-ppl docs are noise candidates, low-ppl are
+    //      boilerplate candidates). Determinism: each distinct bigram's
+    //      −ln p (add-1 smoothed) is fixed-pointed ONCE into integer
+    //      micro-nats, so the per-doc accumulation is an exact BIGINT sum
+    //      — never a float sum across partitions; exp() runs once per doc
+    //      on identical inputs (round-6 absorbs ulp drift, the MmdRbf
+    //      contract). 100 TB: the weight table is bounded by the distinct
+    //      -bigram vocabulary → broadcast; the corpus sees one narrow
+    //      pair explode + one doc_id hash agg ----
+    "q_lm_perplexity" -> QueryDef(
+      s"""WITH ${TextOps.duckTokensCte},
+         |dp AS (
+         |  SELECT a.doc_id, a.tok AS l, b.tok AS r
+         |  FROM tokens a JOIN tokens b
+         |    ON b.doc_id = a.doc_id AND b.i = a.i + 1
+         |), big AS (
+         |  SELECT l, r, CAST(COUNT(*) AS BIGINT) AS c2 FROM dp GROUP BY l, r
+         |), tot AS (
+         |  SELECT l, CAST(SUM(c2) AS BIGINT) AS n FROM big GROUP BY l
+         |), vv AS (
+         |  SELECT CAST(COUNT(DISTINCT tok) AS BIGINT) AS v FROM tokens
+         |), w AS (
+         |  SELECT big.l, big.r,
+         |    CAST(round(ln((CAST(tot.n AS DOUBLE) + CAST(vv.v AS DOUBLE))
+         |                  / (CAST(big.c2 AS DOUBLE) + 1.0)) * 1000000.0)
+         |      AS BIGINT) AS nll_u
+         |  FROM big JOIN tot ON tot.l = big.l CROSS JOIN vv
+         |)
+         |SELECT dp.doc_id,
+         |  CAST(COUNT(*) AS BIGINT) AS n_pairs,
+         |  CAST(SUM(w.nll_u) AS BIGINT) AS nll_micro,
+         |  round(exp(CAST(SUM(w.nll_u) AS DOUBLE)
+         |            / (CAST(COUNT(*) AS DOUBLE) * 1000000.0)), 6) AS ppl
+         |FROM dp JOIN w ON w.l = dp.l AND w.r = dp.r
+         |GROUP BY dp.doc_id
+         |ORDER BY dp.doc_id""".stripMargin) { (spark, d) =>
+      val dp = Tables.documents(spark, d)
+        .select(col("doc_id"), split(col("text"), " ").as("wd"))
+        .select(col("doc_id"), explode(expr(
+          """CASE WHEN size(wd) >= 2
+            |THEN transform(sequence(1, size(wd) - 1),
+            |  i -> struct(element_at(wd, CAST(i AS INT)) AS l,
+            |              element_at(wd, CAST(i + 1 AS INT)) AS r))
+            |ELSE array() END""".stripMargin)).as("pr"))
+        .select(col("doc_id"), col("pr.l").as("l"), col("pr.r").as("r"))
+      val big = dp.groupBy("l", "r").agg(count(lit(1)).cast("long").as("c2"))
+      val tot = big.groupBy("l").agg(sum(col("c2")).cast("long").as("n"))
+      val v = TextOps.tokens(spark, d)
+        .select("tok").distinct().count()
+      val w = big.join(tot, "l")
+        .select(col("l"), col("r"),
+          round(log((col("n").cast("double") + lit(v.toDouble))
+            / (col("c2").cast("double") + lit(1.0))) * lit(1000000.0))
+            .cast("long").as("nll_u"))
+      dp.join(broadcast(w), Seq("l", "r"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).cast("long").as("n_pairs"),
+          sum(col("nll_u")).cast("long").as("nll_micro"))
+        .select(col("doc_id"), col("n_pairs"), col("nll_micro"),
+          round(exp(col("nll_micro").cast("double")
+            / (col("n_pairs").cast("double") * lit(1000000.0))), 6).as("ppl"))
+        .orderBy("doc_id")
+    },
+
     // ---- corpus-trained n-gram language ID ----
     // The classifier is real (per-language token frequency profile,
     // fixed-point integer weights, argmax with deterministic tiebreak);

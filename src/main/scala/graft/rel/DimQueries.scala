@@ -205,6 +205,37 @@ object DimQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- pivot (long→wide): quarterly revenue matrix per returnflag via
+    //      Spark's native relational pivot. With explicit pivot values
+    //      the plan is ONE hash aggregate with conditional partials —
+    //      map-side combinable, no extra shuffle vs a plain groupBy, and
+    //      no second pass to discover the column set (the implicit-values
+    //      form needs a distinct scan first — that is the form to avoid
+    //      at 100 TB). DECIMAL sums keep each cell exact ----
+    "q_pivot" -> QueryDef(
+      """SELECT l_returnflag,
+        |  CAST(round(SUM(CASE WHEN quarter(l_shipdate) = 1
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,3)) END), 2) AS DOUBLE) AS q1_rev,
+        |  CAST(round(SUM(CASE WHEN quarter(l_shipdate) = 2
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,3)) END), 2) AS DOUBLE) AS q2_rev,
+        |  CAST(round(SUM(CASE WHEN quarter(l_shipdate) = 3
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,3)) END), 2) AS DOUBLE) AS q3_rev,
+        |  CAST(round(SUM(CASE WHEN quarter(l_shipdate) = 4
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,3)) END), 2) AS DOUBLE) AS q4_rev
+        |FROM lineitem
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin) { (spark, d) =>
+      Tables.lineitem(spark, d)
+        .select(col("l_returnflag"), quarter(col("l_shipdate")).as("q"),
+          dec(col("l_extendedprice")).as("p"))
+        .groupBy("l_returnflag")
+        .pivot("q", Seq(1, 2, 3, 4))
+        .agg(round(sum(col("p")), 2).cast("double"))
+        .withColumnsRenamed(Map(
+          "1" -> "q1_rev", "2" -> "q2_rev", "3" -> "q3_rev", "4" -> "q4_rev"))
+        .orderBy("l_returnflag")
+    },
+
     // ---- Z-order (Morton) clustering: interleave the low 10 bits of
     //      partkey and suppkey so ONE sort key clusters BOTH dimensions;
     //      a 100 TB table laid out by z-ranges serves part-keyed AND

@@ -46,6 +46,42 @@ class BpeSpec extends SparkSpec {
       case Array(a, b) => a.getLong(1) >= b.getLong(1); case _ => true })
   }
 
+  test("q_bpe_apply: symbol counts shrink vs chars and cover every doc") {
+    val r = SparkEntry.defs("q_bpe_apply").build(spark, sf()).collect()
+    val nDocs = spark.read.parquet(s"${sf()}/documents.parquet").count()
+    assert(r.length.toLong == nDocs, "every doc must be counted")
+    r.foreach { row =>
+      val (nTok, nBpe, nChars) = (row.getLong(1), row.getLong(2), row.getLong(3))
+      // merges only ever shrink: tokens <= BPE symbols <= chars
+      assert(nTok <= nBpe && nBpe <= nChars, s"$nTok <= $nBpe <= $nChars")
+      assert(row.getDouble(4) >= 1.0, "chars per symbol >= 1 by construction")
+    }
+    // the two learned merges must actually compress somewhere
+    assert(r.exists(row => row.getLong(2) < row.getLong(3)))
+  }
+
+  test("q_lm_perplexity: fixed-point nll matches a driver-side recompute") {
+    val r = SparkEntry.defs("q_lm_perplexity").build(spark, sf()).collect()
+    assert(r.nonEmpty)
+    val docs = spark.read.parquet(s"${sf()}/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(row => row.getLong(0) -> row.getString(1).split(" ", -1).toSeq)
+    val pairs = docs.flatMap { case (_, ts) => ts.sliding(2).collect {
+      case Seq(a, b) => (a, b) } }
+    val big = pairs.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val tot = big.groupBy(_._1._1).map { case (k, v) => k -> v.values.sum }
+    val v = docs.flatMap(_._2).distinct.length.toDouble
+    val top = r.head
+    val toks = docs.toMap.apply(top.getLong(0))
+    val nll = toks.sliding(2).collect { case Seq(a, b) =>
+      // HALF_UP like Spark/DuckDB round(), not rint's half-even
+      math.floor(math.log((tot(a).toDouble + v) / (big((a, b)).toDouble + 1.0))
+        * 1000000.0 + 0.5).toLong
+    }.sum
+    assert(top.getLong(2) == nll, s"engine ${top.getLong(2)} vs direct $nll")
+    assert(r.forall(_.getDouble(3) >= 1.0), "perplexity >= 1")
+  }
+
   test("q_text_bm25: scores match a driver-side Okapi computation") {
     val r = SparkEntry.defs("q_text_bm25").build(spark, sf()).collect()
     assert(r.nonEmpty && r.length <= 50)

@@ -64,4 +64,37 @@ class GraphQueriesSpec extends SparkSpec {
       assert(r.getAs[Long]("c") <= r.getAs[Long]("cy"))
     }
   }
+
+  test("triangles match a brute-force count of the capped projection") {
+    val r = graft.SparkEntry.defs("q_triangles").build(spark, sf()).collect().head
+    val (nNodes, nEdges, nTri) = (r.getLong(0), r.getLong(1), r.getLong(3))
+    // rebuild the capped projection driver-side and count triangles
+    // naively over the adjacency sets (graph is small at sf0.001)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val cs = graft.Tables.orders(spark, sf())
+      .join(graft.Tables.lineitem(spark, sf()),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey"), col("l_suppkey")).distinct()
+      .collect().map(row => (row.getLong(0), row.getLong(1)))
+    val capped = cs.groupBy(_._1).values.flatMap { sups =>
+      sups.sortBy { case (c, s) =>
+        (graft.Hashing.h60Jvm(md, s"$c:$s"), s)
+      }.take(GraphQueries.TriCap)
+    }
+    val edges = capped.groupBy(_._1).values.flatMap { sups =>
+      val ss = sups.map(_._2).toSeq.sorted
+      for (i <- ss.indices; j <- i + 1 until ss.size) yield (ss(i), ss(j))
+    }.toSet
+    val nodes = edges.flatMap(e => Seq(e._1, e._2))
+    val adj = nodes.map(n => n ->
+      edges.collect { case (a, b) if a == n => b
+                      case (a, b) if b == n => a }).toMap
+    var tri = 0L
+    val sortedNodes = nodes.toSeq.sorted
+    for (u <- sortedNodes; v <- adj(u) if v > u; w <- adj(v) if w > v)
+      if (adj(u).contains(w)) tri += 1
+    assert(nNodes == nodes.size.toLong, s"nodes $nNodes vs ${nodes.size}")
+    assert(nEdges == edges.size.toLong, s"edges $nEdges vs ${edges.size}")
+    assert(nTri == tri, s"triangles $nTri vs brute-force $tri")
+  }
 }

@@ -83,6 +83,21 @@ class DimSpec extends SparkSpec {
     assert(r.head.getLong(4) == out)
   }
 
+  test("q_pivot: quarterly cells re-add to the flag totals") {
+    val r = SparkEntry.defs("q_pivot").build(spark, sf()).collect()
+    assert(r.length == 3)
+    val totals = spark.read.parquet(s"${sf()}/lineitem.parquet")
+      .groupBy("l_returnflag")
+      .agg(sum(col("l_extendedprice").cast("decimal(18,3)")).as("t"))
+      .collect().map(row => row.getString(0) ->
+        row.getDecimal(1).doubleValue()).toMap
+    r.foreach { row =>
+      val cells = (1 to 4).map(i => if (row.isNullAt(i)) 0.0 else row.getDouble(i))
+      assert(math.abs(cells.sum - totals(row.getString(0))) < 0.05,
+        s"${row.getString(0)}: ${cells.sum} vs ${totals(row.getString(0))}")
+    }
+  }
+
   test("q_zorder: every bucket bounds BOTH key dimensions (skipping proof)") {
     val r = SparkEntry.defs("q_zorder").build(spark, sf()).collect()
     assert(r.nonEmpty)
