@@ -7,6 +7,7 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       // the test layout is one FILE per table, so scan parallelism comes
       // entirely from row-group split points; the 128 MB default made
       // every first stage of a 30× run 1-4 tasks on 32 cores

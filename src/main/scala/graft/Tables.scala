@@ -14,8 +14,24 @@ object Tables {
     "region", "nation", "customer", "supplier", "part",
     "orders", "lineitem", "events", "documents", "embeddings")
 
+  /** The driver has shipped time columns under multiple parquet encodings
+    * across rounds (TIMESTAMP(NANOS), timestamp[us] NTZ). Downstream
+    * operators are written against one canonical type — TimestampType
+    * (µs since epoch) — so every loader funnels through this normalizer.
+    * The NTZ→TZ cast reinterprets wall-clock in the session timezone;
+    * entry points pin spark.sql.session.timeZone=UTC, making it
+    * value-preserving and bit-identical to DuckDB's naive read.
+    */
+  private def canonTimestamps(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
+    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+      (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
+    }
+  }
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    spark.read.parquet(s"$sfDir/$name.parquet")
+    canonTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")
@@ -24,16 +40,22 @@ object Tables {
   def part(spark: SparkSession, d: String): DataFrame = load(spark, d, "part")
   def orders(spark: SparkSession, d: String): DataFrame = load(spark, d, "orders")
   def lineitem(spark: SparkSession, d: String): DataFrame = load(spark, d, "lineitem")
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as nanos-since-epoch longs and
-    * floor-convert to a micros TimestampType — DuckDB performs the same
-    * floor truncation when casting ns→µs, so oracle parity holds.
+  /** `events.ts` has shipped as parquet TIMESTAMP(NANOS) (which Spark 4
+    * rejects — [PARQUET_TYPE_ILLEGAL] — so it's read as nanos longs via
+    * the legacy conf and floor-converted, matching DuckDB's ns→µs cast)
+    * and, since round 7's regeneration, as timestamp[us] NTZ (handled by
+    * the loader's canonicalizer). Sniff the stored type and normalize to
+    * TimestampType either way so every downstream plan sees one schema.
     */
   def events(spark: SparkSession, d: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    load(spark, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = load(spark, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw // canonTimestamps already normalized NTZ → TimestampType
+    }
   }
   def documents(spark: SparkSession, d: String): DataFrame = load(spark, d, "documents")
   def embeddings(spark: SparkSession, d: String): DataFrame = load(spark, d, "embeddings")

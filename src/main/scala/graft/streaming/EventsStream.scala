@@ -21,23 +21,37 @@ import org.apache.spark.sql.types._
   */
 object EventsStream {
 
-  /** Event schema as stored (ts = nanos-since-epoch int64 in parquet). */
-  val rawSchema: StructType = StructType(Seq(
-    StructField("event_id", LongType), StructField("ts", LongType),
+  /** Event schema template; `ts` is patched to the STORED type at read
+    * time — the driver has shipped it as nanos-since-epoch int64 and as
+    * timestamp[us] NTZ across rounds, and a streaming source's
+    * user-supplied schema is trusted blindly (declaring LongType over a
+    * micros column silently reads micros-as-long → every timestamp
+    * 1000× compressed — the round-6 q_events_stream/q_stream_join
+    * failure). So sniff the batch footer first, never assume.
+    */
+  def rawSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", tsType),
     StructField("user_id", LongType), StructField("event_type", StringType),
     StructField("value", DoubleType), StructField("props", StringType)))
 
   /** Streaming scan of the events directory — the streaming twin of
-    * Tables.events (same nanos→micros conversion).
+    * Tables.events (same normalization to a µs TimestampType).
     */
   def readEventsStream(spark: SparkSession, sfDir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // one batch footer read resolves the stored ts encoding (cheap:
+    // schema only, no data scan)
+    val storedTs = spark.read.parquet(s"$sfDir/events.parquet").schema("ts").dataType
     // the driver ships events as a single parquet FILE; the streaming
     // file source wants a directory, so scan sfDir with a glob filter
-    spark.readStream.schema(rawSchema)
+    val raw = spark.readStream.schema(rawSchema(storedTs))
       .option("pathGlobFilter", "events.parquet")
       .parquet(sfDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    storedTs match {
+      case LongType => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case _ => raw
+    }
   }
 
   /** Execute a streaming aggregation over the bounded events source with
