@@ -13,6 +13,8 @@ object SparkEntry {
     rel.StarQueries.defs,
     rel.EventQueries.defs,
     rel.DimQueries.defs,
+    rel.SeriesQueries.defs,
+    ext.LinkQueries.defs,
     etl.EtlQueries.defs,
     rank.Metrics.defs,
     score.ScoreQueries.defs,
