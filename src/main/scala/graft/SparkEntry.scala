@@ -14,6 +14,7 @@ object SparkEntry {
     rel.EventQueries.defs,
     rel.DimQueries.defs,
     rel.SeriesQueries.defs,
+    rel.TemporalQueries.defs,
     ext.LinkQueries.defs,
     etl.EtlQueries.defs,
     rank.Metrics.defs,

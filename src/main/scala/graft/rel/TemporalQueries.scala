@@ -1,0 +1,144 @@
+package graft.rel
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Temporal window machinery beyond ROWS frames: time-RANGE trailing
+  * aggregates, cumulative distinct users via mergeable HLL sketches,
+  * and stream-static dimension enrichment.
+  *
+  * q_trailing_24h is the feature-engineering staple ("activity in the
+  * trailing 24h at each event") — a RANGE frame over event time, which
+  * unlike a ROWS frame is defined by VALUE distance, so sparse/bursty
+  * series aggregate correctly. q_uniques_cumulative is the
+  * growth-dashboard primitive done the 100 TB way: per-day sketches are
+  * built in ONE map-side-combinable pass over the raw data, and the
+  * cumulative union runs over the |days|-row sketch relation — the
+  * triangular join touches kilobyte sketches, never raw rows; the
+  * exact twin (first-seen-day cumulative sum) both gates the sketch
+  * within its 2.5σ bound and IS the oracle-hashed answer.
+  */
+object TemporalQueries {
+
+  private val M = DecimalType(18, 3)
+
+  /** Trailing RANGE width: 24 hours in microseconds. */
+  val TrailUs: Long = 24L * 3600L * 1000000L
+
+  /** HLL lgK (4096 registers): rsd = 1.04/√2^12 ≈ 1.63%. */
+  val HllLgK = 12
+  /** Gate = 2.5σ, derived from lgK (same coupling rule as
+    * q_approx_counts — the bound moves with the sketch precision).
+    */
+  val HllBound: Double = 2.5 * 1.04 / math.sqrt((1 << HllLgK).toDouble)
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- q_trailing_24h: per event, the user's event count and exact
+    //      DECIMAL value sum over the PRECEDING 24h (inclusive) — a
+    //      RANGE frame ordered by event time. 100 TB: ONE user_id
+    //      shuffle; frame state is the trailing multiset (bounded by
+    //      per-user 24h volume), never the partition. ROWS vs RANGE
+    //      matters: bursty users have many rows per instant and sparse
+    //      users have none — only the value-distance frame is correct ----
+    "q_trailing_24h" -> QueryDef(
+      """SELECT event_id, user_id,
+        |  COUNT(*) OVER w AS n_24h,
+        |  CAST(round(SUM(CAST(value AS DECIMAL(18,3))) OVER w, 2) AS DOUBLE)
+        |    AS sum_24h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts
+        |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin) { (spark, d) =>
+      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+        .rangeBetween(-TrailUs, Window.currentRow)
+      Tables.events(spark, d)
+        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
+        .select(col("event_id"), col("user_id"),
+          count(lit(1)).over(w).as("n_24h"),
+          round(sum(col("value").cast(M)).over(w), 2).cast("double").as("sum_24h"))
+        .orderBy("event_id")
+    },
+
+    // ---- q_uniques_cumulative: distinct users seen up to each day —
+    //      exact via first-seen-day cumulative sum (each user aggregates
+    //      to ONE (user → first day) row; the day-level cumsum window
+    //      runs over |days| rows), approx via per-day HLL sketch build
+    //      (map-side combinable agg over raw events) + triangular union
+    //      over the |days|-row sketch relation. The sketch estimate is
+    //      deterministic for fixed data (register max is
+    //      order-independent), so the 2.5σ bound boolean is stable and
+    //      the oracle asserts it TRUE — same gate rule as
+    //      q_approx_counts. At 100 TB the exact path's per-user argmin
+    //      is the expensive-but-linear anchor; the sketch path is the
+    //      O(days²·kB) dashboard dial ----
+    "q_uniques_cumulative" -> QueryDef(
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day FROM events
+        |  GROUP BY user_id
+        |), days AS (
+        |  SELECT DISTINCT CAST(ts AS DATE) AS day FROM events
+        |)
+        |SELECT d.day,
+        |  CAST((SELECT COUNT(*) FROM f WHERE f.first_day <= d.day) AS BIGINT)
+        |    AS n_exact,
+        |  TRUE AS within_bound
+        |FROM days d ORDER BY d.day""".stripMargin) { (spark, d) =>
+      val ev = Tables.events(spark, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val firstDay = ev.groupBy("user_id").agg(min("day").as("first_day"))
+      val newPerDay = firstDay.groupBy(col("first_day").as("day"))
+        .agg(count(lit(1)).as("new_users"))
+      val cum = Window.orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val exact = ev.select("day").distinct()
+        .join(newPerDay, Seq("day"), "left")
+        .select(col("day"), coalesce(col("new_users"), lit(0L)).as("new_users"))
+        .withColumn("n_exact", sum("new_users").over(cum))
+        .select("day", "n_exact")
+      val daySketch = ev.groupBy("day")
+        .agg(expr(s"hll_sketch_agg(user_id, $HllLgK)").as("sk"))
+      val cumSketch = daySketch.as("d").join(daySketch.as("s"),
+          col("s.day") <= col("d.day"))
+        .groupBy(col("d.day").as("day"))
+        .agg(expr(s"hll_sketch_estimate(hll_union_agg(s.sk, true))").as("n_est"))
+      exact.join(cumSketch, "day")
+        .select(col("day"), col("n_exact"),
+          (abs(col("n_est").cast("double") - col("n_exact")) / col("n_exact")
+            < HllBound).as("within_bound"))
+        .orderBy("day")
+    },
+
+    // ---- q_stream_enrich: stream-static dimension join — the ingest
+    //      enrichment shape (events arrive as a stream, the user
+    //      dimension is a batch table). STATELESS: no watermark, no
+    //      state store — each micro-batch broadcast-joins the static
+    //      side, so an unbounded stream enriches at scan speed; the
+    //      static dim is re-resolved per batch. Oracle replays the same
+    //      join in batch SQL ----
+    "q_stream_enrich" -> QueryDef(
+      """WITH dim AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS first_day,
+        |    COUNT(*) AS n_user_events
+        |  FROM events GROUP BY user_id
+        |)
+        |SELECT e.event_id, e.user_id, e.event_type,
+        |  dim.first_day, dim.n_user_events
+        |FROM events e JOIN dim ON dim.user_id = e.user_id
+        |ORDER BY e.event_id""".stripMargin) { (spark, d) =>
+      val dim = Tables.events(spark, d)
+        .groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("first_day"),
+          count(lit(1)).as("n_user_events"))
+      val enriched = graft.streaming.EventsStream.readEventsStream(spark, d)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+        .join(broadcast(dim), "user_id")
+        .select(col("event_id"), col("user_id"), col("event_type"),
+          col("first_day"), col("n_user_events"))
+      graft.streaming.EventsStream.runBounded(enriched, "q_stream_enrich_sink",
+          mode = org.apache.spark.sql.streaming.OutputMode.Append())
+        .orderBy("event_id")
+    })
+}

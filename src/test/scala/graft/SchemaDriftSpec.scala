@@ -35,7 +35,8 @@ class SchemaDriftSpec extends SparkSpec {
     val failures = SparkEntry.defs.toSeq.sortBy(_._1).flatMap { case (name, d) =>
       // streaming queries EXECUTE in build (runBounded starts a query);
       // they are covered by the value-equality test below instead
-      if (Set("q_events_stream", "q_stream_dedup", "q_stream_join")(name)) None
+      if (Set("q_events_stream", "q_stream_dedup", "q_stream_join",
+        "q_stream_enrich")(name)) None
       else
         try { d.build(spark, sf()).queryExecution.analyzed; None }
         catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }

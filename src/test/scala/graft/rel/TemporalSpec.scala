@@ -1,0 +1,61 @@
+package graft.rel
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.execution.ExplainMode
+import org.apache.spark.sql.functions._
+
+/** Temporal operators (TemporalQueries): RANGE-frame semantics, sketch
+  * bounds, and stream-static enrichment. Oracle parity is gated by
+  * Verify/check.py; these assert the semantic/plan properties.
+  */
+class TemporalSpec extends SparkSpec {
+
+  test("q_trailing_24h: RANGE frame counts its own row and only 24h back") {
+    val out = SparkEntry.defs("q_trailing_24h").build(spark, sf()).cache()
+    assert(out.filter(col("n_24h") < 1).count() == 0,
+      "every event's trailing frame includes itself")
+    // brute-force check on one user: frame = value-distance, not rows
+    val ev = graft.Tables.events(spark, sf())
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+    val u = ev.groupBy("user_id").count().orderBy(desc("count")).head().getLong(0)
+    val rows = ev.filter(col("user_id") === u).collect()
+      .map(r => (r.getLong(1), r.getLong(2)))
+    val brute = rows.map { case (id, t) =>
+      (id, rows.count { case (_, t2) => t2 <= t && t2 >= t - TemporalQueries.TrailUs }.toLong)
+    }.toMap
+    val got = out.join(ev.filter(col("user_id") === u), "event_id")
+      .select("event_id", "n_24h").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == brute, "RANGE frame must match the brute-force 24h count")
+    out.unpersist()
+  }
+
+  test("q_uniques_cumulative: monotone, ends at total uniques, bound holds") {
+    val out = SparkEntry.defs("q_uniques_cumulative").build(spark, sf()).cache()
+    val rows = out.orderBy("day").collect()
+    assert(rows.sliding(2).forall(p => p.length < 2 ||
+      p(0).getLong(1) <= p(1).getLong(1)), "cumulative uniques must be monotone")
+    val total = graft.Tables.events(spark, sf())
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(rows.last.getLong(1) == total, "final day must equal total distinct users")
+    assert(rows.forall(_.getBoolean(2)), "HLL estimate must stay within 2.5 sigma")
+    out.unpersist()
+  }
+
+  test("q_trailing_24h plans one user shuffle and a RANGE window") {
+    spark.catalog.clearCache()
+    val p = SparkEntry.defs("q_trailing_24h").build(spark, sf())
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(p.contains("RangeFrame"), s"window must be a RANGE frame:\n$p")
+    // user_id hash exchange + output-order range exchange only
+    assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, p)
+  }
+
+  test("q_stream_enrich joins every event exactly once, no nulls") {
+    val out = SparkEntry.defs("q_stream_enrich").build(spark, sf())
+    val n = graft.Tables.events(spark, sf()).count()
+    assert(out.count() == n, "stateless enrich must preserve cardinality")
+    assert(out.filter(col("first_day").isNull || col("n_user_events").isNull)
+      .count() == 0)
+  }
+}
