@@ -111,6 +111,52 @@ object TemporalQueries {
         .orderBy("day")
     },
 
+    // ---- q_retention: cohort retention triangle — users cohorted by
+    //      first-seen day; retention(cohort, k) = |cohort active on
+    //      cohort+k| / |cohort|. The whole triangle derives from TWO
+    //      user-keyed aggregates: (user → first_day) and the distinct
+    //      (user, day) activity relation, joined on user_id (ONE
+    //      shuffle, both sides pre-keyed) then rolled up to
+    //      (cohort, offset) — never a days×days self-join of the raw
+    //      events. Offsets capped at 7 to keep the report
+    //      dashboard-sized; the ratio divides two exact BIGINTs in one
+    //      mirrored IEEE op ----
+    "q_retention" -> QueryDef(
+      """WITH f AS (
+        |  SELECT user_id, min(CAST(ts AS DATE)) AS cohort FROM events
+        |  GROUP BY user_id
+        |), act AS (
+        |  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+        |), sz AS (
+        |  SELECT cohort, COUNT(*) AS cohort_n FROM f GROUP BY cohort
+        |)
+        |SELECT a.cohort, a.k, MAX(sz.cohort_n) AS cohort_n,
+        |  CAST(COUNT(*) AS BIGINT) AS n_active,
+        |  round(CAST(COUNT(*) AS DOUBLE) / MAX(sz.cohort_n), 6) AS retention
+        |FROM (
+        |  SELECT f.cohort, date_diff('day', f.cohort, act.day) AS k
+        |  FROM f JOIN act ON act.user_id = f.user_id
+        |  WHERE date_diff('day', f.cohort, act.day) <= 7) a
+        |JOIN sz ON sz.cohort = a.cohort
+        |GROUP BY a.cohort, a.k
+        |ORDER BY a.cohort, a.k""".stripMargin) { (spark, d) =>
+      val ev = Tables.events(spark, d)
+        .select(col("user_id"), to_date(col("ts")).as("day"))
+      val f = ev.groupBy("user_id").agg(min("day").as("cohort"))
+      val act = ev.distinct()
+      val sz = f.groupBy("cohort").agg(count(lit(1)).as("cohort_n"))
+      f.join(act, "user_id")
+        .select(col("cohort"), datediff(col("day"), col("cohort")).as("k"))
+        .filter(col("k") <= 7)
+        .groupBy("cohort", "k")
+        .agg(count(lit(1)).cast("long").as("n_active"))
+        .join(broadcast(sz), "cohort")
+        .select(col("cohort"), col("k"), col("cohort_n"), col("n_active"),
+          round(col("n_active").cast("double") / col("cohort_n"), 6)
+            .as("retention"))
+        .orderBy("cohort", "k")
+    },
+
     // ---- q_stream_enrich: stream-static dimension join — the ingest
     //      enrichment shape (events arrive as a stream, the user
     //      dimension is a batch table). STATELESS: no watermark, no

@@ -51,6 +51,18 @@ class TemporalSpec extends SparkSpec {
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, p)
   }
 
+  test("q_retention: day-0 retention is 1.0 and ratios never exceed it") {
+    val out = SparkEntry.defs("q_retention").build(spark, sf()).cache()
+    assert(out.filter(col("k") === 0 && col("retention") =!= 1.0).count() == 0,
+      "every cohort member is active on its first day")
+    assert(out.filter(col("retention") > 1.0 || col("retention") <= 0.0).count() == 0)
+    val total = graft.Tables.events(spark, sf())
+      .select(countDistinct("user_id")).head().getLong(0)
+    assert(out.filter(col("k") === 0).agg(sum("cohort_n")).head().getLong(0) == total,
+      "cohort sizes at k=0 must partition the user base")
+    out.unpersist()
+  }
+
   test("q_stream_enrich joins every event exactly once, no nulls") {
     val out = SparkEntry.defs("q_stream_enrich").build(spark, sf())
     val n = graft.Tables.events(spark, sf()).count()
