@@ -178,15 +178,20 @@ object GraphQueries {
     // scale. Adjacency arrays are bounded by the orientation's max
     // out-degree (O(√m) on non-degenerate graphs; ≤ |V| worst case).
     val adj = o.groupBy("a")
-      .agg(collect_list("b").as("nbrs"), count(lit(1)).as("dout"))
+      .agg(sort_array(collect_list("b")).as("nbrs"), count(lit(1)).as("dout"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     val nWedges = adj.agg(sum(expr("(dout * (dout - 1)) div 2"))).head().getLong(0)
+    // sorted_intersect_size: native two-pointer merge (zero allocation,
+    // whole-stage codegen) — size(array_intersect(...)) built a per-row
+    // hash set + result array just to take its length (5.2s → 1.5s for
+    // this stage at sf0.1, SCALING.md round-7)
+    graft.functions.SortedIntersectSize.ensureRegistered(spark)
     val nTri = o
       .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
       .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"), "left")
-      .select(size(array_intersect(col("na"),
-        coalesce(col("nb"), expr("CAST(array() AS ARRAY<BIGINT>)")))).as("k"))
-      .agg(sum(col("k").cast("long"))).head().getLong(0)
+      .select(expr("sorted_intersect_size(na, " +
+        "coalesce(nb, CAST(array() AS ARRAY<BIGINT>)))").as("k"))
+      .agg(sum(col("k"))).head().getLong(0)
     val nNodes = deg.count(); val nEdges = e.count()
     e.unpersist(false); o.unpersist(false); adj.unpersist(false)
     import spark.implicits._

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.FixedDot
+import graft.functions.{FixedDot, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point (SparkSessionExtensions): registers the
@@ -17,6 +17,9 @@ import org.apache.spark.sql.SparkSessionExtensions
   * operator leans on them).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((FixedDot.identifier, FixedDot.info, FixedDot.builder))
+    ext.injectFunction((SortedIntersectSize.identifier,
+      SortedIntersectSize.info, SortedIntersectSize.builder))
+  }
 }
