@@ -157,6 +157,103 @@ object TemporalQueries {
         .orderBy("cohort", "k")
     },
 
+    // ---- q_concurrency: peak concurrent sessions per day — interval
+    //      algebra via sweep line. The naive form is a GLOBAL running
+    //      sum over all +1/−1 boundary events (one totally-ordered
+    //      window = the classic scale-killer). The scalable
+    //      decomposition: (a) day-LOCAL running sums (partitioned
+    //      window, ordered by (t, delta DESC) so inclusive-interval ties
+    //      resolve +1-first), plus (b) a per-day CARRY = sessions
+    //      spanning midnight into the day, built by a bounded
+    //      per-session day-spine explode (span ≤ session length, never
+    //      a calendar cross join). peak(day) = max(running) + carry;
+    //      days covered only by a spanning session fall back to the
+    //      carry alone. All counts exact BIGINTs ----
+    "q_concurrency" -> QueryDef(
+      """WITH ordered AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), marks AS (
+        |  SELECT user_id, ts, rn,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM ordered
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marks
+        |), sess AS (
+        |  SELECT user_id, sid, min(ts) AS s, max(ts) AS e
+        |  FROM numbered GROUP BY user_id, sid
+        |), deltas AS (
+        |  SELECT CAST(s AS DATE) AS day, s AS t, 1 AS delta FROM sess
+        |  UNION ALL
+        |  SELECT CAST(e AS DATE) AS day, e AS t, -1 AS delta FROM sess
+        |), run AS (
+        |  SELECT day, delta,
+        |    SUM(delta) OVER (PARTITION BY day ORDER BY t, delta DESC
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS rs
+        |  FROM deltas
+        |), mrs AS (
+        |  SELECT day, CAST(MAX(rs) AS BIGINT) AS peak_local,
+        |    CAST(COUNT(*) FILTER (WHERE delta = 1) AS BIGINT) AS n_started
+        |  FROM run GROUP BY day
+        |), carryd AS (
+        |  SELECT day, CAST(COUNT(*) AS BIGINT) AS carry FROM (
+        |    SELECT CAST(unnest(generate_series(CAST(s AS DATE) + 1,
+        |      CAST(e AS DATE), INTERVAL 1 DAY)) AS DATE) AS day
+        |    FROM sess WHERE CAST(e AS DATE) > CAST(s AS DATE))
+        |  GROUP BY day
+        |), days AS (
+        |  SELECT day FROM mrs UNION SELECT day FROM carryd
+        |)
+        |SELECT d.day,
+        |  COALESCE(m.n_started, 0) AS n_started,
+        |  COALESCE(c.carry, 0) AS carry_in,
+        |  COALESCE(m.peak_local, 0) + COALESCE(c.carry, 0) AS peak_concurrency
+        |FROM days d
+        |LEFT JOIN mrs m ON m.day = d.day
+        |LEFT JOIN carryd c ON c.day = d.day
+        |ORDER BY d.day""".stripMargin) { (spark, d) =>
+      val gapUs = 1800L * 1000000L
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val sess = Tables.events(spark, d)
+        .select(col("user_id"), col("ts"), col("event_id"))
+        .withColumn("new_sess",
+          when(lag(col("ts"), 1).over(byUser).isNull ||
+            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs,
+            1).otherwise(0))
+        .withColumn("sid", sum("new_sess").over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy("user_id", "sid")
+        .agg(min("ts").as("s"), max("ts").as("e"))
+      val deltas = sess.select(to_date(col("s")).as("day"), col("s").as("t"),
+          lit(1).as("delta"))
+        .unionAll(sess.select(to_date(col("e")).as("day"), col("e").as("t"),
+          lit(-1).as("delta")))
+      val sweep = Window.partitionBy("day").orderBy(col("t"), col("delta").desc)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mrs = deltas.withColumn("rs", sum("delta").over(sweep))
+        .groupBy("day")
+        .agg(max("rs").cast("long").as("peak_local"),
+          count(when(col("delta") === 1, 1)).as("n_started"))
+      val carryd = sess.filter(to_date(col("e")) > to_date(col("s")))
+        .select(explode(sequence(date_add(to_date(col("s")), 1),
+          to_date(col("e")))).as("day"))
+        .groupBy("day").agg(count(lit(1)).as("carry"))
+      mrs.join(carryd, Seq("day"), "full_outer")
+        .select(col("day"),
+          coalesce(col("n_started"), lit(0L)).as("n_started"),
+          coalesce(col("carry"), lit(0L)).as("carry_in"),
+          (coalesce(col("peak_local"), lit(0L)) + coalesce(col("carry"), lit(0L)))
+            .as("peak_concurrency"))
+        .orderBy("day")
+    },
+
     // ---- q_stream_enrich: stream-static dimension join — the ingest
     //      enrichment shape (events arrive as a stream, the user
     //      dimension is a batch table). STATELESS: no watermark, no

@@ -63,6 +63,48 @@ class TemporalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q_concurrency: per-day peaks match a brute-force sweep; session " +
+    "count agrees with q_events_sessionize") {
+    val out = SparkEntry.defs("q_concurrency").build(spark, sf()).cache()
+    // total sessions started == the sessionize query's total
+    val nSess = SparkEntry.defs("q_events_sessionize").build(spark, sf())
+      .agg(sum("n_sessions")).head().getLong(0)
+    assert(out.agg(sum("n_started")).head().getLong(0) == nSess)
+    // brute force: evaluate active-session count at every boundary instant
+    val gapUs = 1800L * 1000000L
+    val evs = graft.Tables.events(spark, sf())
+      .select(col("user_id"), unix_micros(col("ts")).as("us")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).values.flatMap { rows =>
+        val ts = rows.map(_._2).sorted
+        val bounds = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+        var s = ts.head; var prev = ts.head
+        for (t <- ts.tail) {
+          if (t - prev > gapUs) { bounds += ((s, prev)); s = t }
+          prev = t
+        }
+        bounds += ((s, prev)); bounds
+      }.toSeq
+    val usPerDay = 86400L * 1000000L
+    def day(us: Long): Long = Math.floorDiv(us, usPerDay)
+    val brute = evs.flatMap { case (s, e) => Seq(s, e) }.distinct.map { t =>
+      (day(t), evs.count { case (s, e) => s <= t && e >= t }.toLong)
+    }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).max }
+    val gotRows = out.collect().map(r =>
+      r.getDate(0).toLocalDate.toEpochDay ->
+        (r.getLong(2) /* carry_in */, r.getLong(3) /* peak */)).toMap
+    // every boundary-sampled day must match; carry-only days (a session
+    // spanning the whole day, no boundary inside) fall back to carry
+    assert(brute.keySet.subsetOf(gotRows.keySet))
+    brute.foreach { case (d, m) =>
+      assert(gotRows(d)._2 == m, s"day $d: got ${gotRows(d)._2}, brute $m")
+    }
+    (gotRows.keySet -- brute.keySet).foreach { d =>
+      assert(gotRows(d)._2 == gotRows(d)._1, s"carry-only day $d")
+    }
+    out.unpersist()
+  }
+
   test("q_stream_enrich joins every event exactly once, no nulls") {
     val out = SparkEntry.defs("q_stream_enrich").build(spark, sf())
     val n = graft.Tables.events(spark, sf()).count()
