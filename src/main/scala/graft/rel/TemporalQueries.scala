@@ -254,6 +254,51 @@ object TemporalQueries {
         .orderBy("day")
     },
 
+    // ---- q_stream_session: native session_window aggregation run as a
+    //      REAL streaming job (file source → watermarked session agg →
+    //      memory sink, AvailableNow) — the 5th streaming shape in the
+    //      suite (tumbling agg, ingest dedup, stream-stream join,
+    //      static enrich, sessions). Complete mode emits every session
+    //      including those the watermark hasn't closed (Append drops
+    //      the tail — measured 943/946 at sf0.001), which is what makes
+    //      the batch oracle replay exact. Session semantics: merge while
+    //      next_ts < prev_ts + gap (STRICT), end = last_ts + gap — the
+    //      oracle's island construction mirrors both. State is bounded
+    //      by the watermark at steady state; the oracle-gated Complete
+    //      run is the bounded-backfill shape ----
+    "q_stream_session" -> QueryDef(
+      """WITH ordered AS (
+        |  SELECT user_id, ts,
+        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
+        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events
+        |), marks AS (
+        |  SELECT user_id, ts, rn,
+        |    CASE WHEN prev IS NULL
+        |      OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1 ELSE 0 END
+        |      AS new_sess
+        |  FROM ordered
+        |), numbered AS (
+        |  SELECT user_id, ts,
+        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, rn
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+        |  FROM marks
+        |)
+        |SELECT user_id, min(ts) AS sess_start,
+        |  max(ts) + INTERVAL 30 MINUTES AS sess_end,
+        |  COUNT(*) AS n_events
+        |FROM numbered GROUP BY user_id, sid
+        |ORDER BY user_id, sess_start""".stripMargin) { (spark, d) =>
+      val agg = graft.streaming.EventsStream.readEventsStream(spark, d)
+        .withWatermark("ts", "2 hours")
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("w.start").as("sess_start"),
+          col("w.end").as("sess_end"), col("n_events"))
+      graft.streaming.EventsStream.runBounded(agg, "q_stream_session_sink")
+        .orderBy("user_id", "sess_start")
+    },
+
     // ---- q_stream_enrich: stream-static dimension join — the ingest
     //      enrichment shape (events arrive as a stream, the user
     //      dimension is a batch table). STATELESS: no watermark, no

@@ -36,7 +36,7 @@ class SchemaDriftSpec extends SparkSpec {
       // streaming queries EXECUTE in build (runBounded starts a query);
       // they are covered by the value-equality test below instead
       if (Set("q_events_stream", "q_stream_dedup", "q_stream_join",
-        "q_stream_enrich")(name)) None
+        "q_stream_enrich", "q_stream_session")(name)) None
       else
         try { d.build(spark, sf()).queryExecution.analyzed; None }
         catch { case e: Throwable => Some(s"$name: ${e.getMessage.linesIterator.next()}") }

@@ -105,6 +105,14 @@ class TemporalSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q_stream_session emits exactly the batch session count") {
+    val out = SparkEntry.defs("q_stream_session").build(spark, sf())
+    val nSess = SparkEntry.defs("q_events_sessionize").build(spark, sf())
+      .agg(sum("n_sessions")).head().getLong(0)
+    assert(out.count() == nSess,
+      "streaming session_window must produce one row per batch session")
+  }
+
   test("q_stream_enrich joins every event exactly once, no nulls") {
     val out = SparkEntry.defs("q_stream_enrich").build(spark, sf())
     val n = graft.Tables.events(spark, sf()).count()
