@@ -167,6 +167,64 @@ object SeriesQueries {
         .orderBy("c_custkey")
     },
 
+    // ---- q_rolling_z: rolling z-score anomaly flags over the per-type
+    //      daily series — ENTIRELY in integer arithmetic. The trailing-7
+    //      (strictly prior) window carries exact BIGINT Σx and Σx² of
+    //      the mills series; the |z| > 2 test is the cross-multiplied
+    //      identity (7x − S)² > 4·(7·SS − S²) so no division, sqrt, or
+    //      float EVER occurs (population σ over the full 7-day frame;
+    //      days with fewer than 7 priors emit flag = NULL). 100 TB: the
+    //      day-level series is already tiny per type; the pattern is the
+    //      point — exact streaming-frame moments make anomaly flags
+    //      bit-reproducible across engines and reruns ----
+    "q_rolling_z" -> QueryDef(
+      """WITH daily AS (
+        |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+        |    CAST(CAST(SUM(CAST(value AS DECIMAL(18,3))) * 1000 AS DECIMAL(18,0))
+        |      AS BIGINT) AS mills
+        |  FROM events GROUP BY 1, 2
+        |), m AS (
+        |  SELECT event_type, day, mills,
+        |    COUNT(*) OVER w AS n7,
+        |    CAST(SUM(mills) OVER w AS BIGINT) AS s7,
+        |    CAST(SUM(mills * mills) OVER w AS BIGINT) AS ss7
+        |  FROM daily
+        |  WINDOW w AS (PARTITION BY event_type ORDER BY day
+        |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
+        |)
+        |SELECT event_type, day, mills,
+        |  CASE WHEN n7 = 7 THEN
+        |    CASE WHEN (7 * CAST(mills AS HUGEINT) - s7)
+        |        * (7 * CAST(mills AS HUGEINT) - s7)
+        |      > 4 * (7 * CAST(ss7 AS HUGEINT) - CAST(s7 AS HUGEINT) * s7)
+        |      THEN 1 ELSE 0 END
+        |  ELSE NULL END AS is_anomaly
+        |FROM m ORDER BY event_type, day""".stripMargin) { (spark, d) =>
+      val w = Window.partitionBy("event_type").orderBy("day")
+        .rowsBetween(-7, -1)
+      Tables.events(spark, d)
+        .groupBy(col("event_type"),
+          to_date(date_trunc("day", col("ts"))).as("day"))
+        .agg((sum(col("value").cast(M)) * 1000).cast("decimal(18,0)")
+          .cast("long").as("mills"))
+        .select(col("event_type"), col("day"), col("mills"),
+          count(lit(1)).over(w).as("n7"),
+          sum("mills").over(w).as("s7"),
+          sum(col("mills") * col("mills")).over(w).as("ss7"))
+        .select(col("event_type"), col("day"), col("mills"),
+          // s7² reaches ~5e19 — past BIGINT. Both engines take the
+          // comparison through exact wide integers (decimal(38,0) here,
+          // HUGEINT in the oracle); no value past ~1e21 can occur
+          when(col("n7") === 7, {
+            val mD = col("mills").cast("decimal(38,0)")
+            val sD = col("s7").cast("decimal(38,0)")
+            val ssD = col("ss7").cast("decimal(38,0)")
+            val d1 = lit(7) * mD - sD
+            when(d1 * d1 > lit(4) * (lit(7) * ssD - sD * sD), 1).otherwise(0)
+          }).otherwise(lit(null).cast("int")).as("is_anomaly"))
+        .orderBy("event_type", "day")
+    },
+
     // ---- q_incr_agg: incremental aggregate maintenance. The merged
     //      result of partial aggregates over base (< $IncrCutoff) and
     //      delta (>= $IncrCutoff) must EQUAL the full recompute — the

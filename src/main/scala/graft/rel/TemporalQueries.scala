@@ -254,6 +254,43 @@ object TemporalQueries {
         .orderBy("day")
     },
 
+    // ---- q_twa: time-weighted average value per user — the
+    //      irregular-sampling aggregate (sensor/pricing staple) where a
+    //      plain AVG over-weights bursts. Each reading holds until the
+    //      next (lead), weight = duration in µs; the weighted sum runs
+    //      ENTIRELY in integers (value mills × µs — bounded by
+    //      1e8·span_us < 2⁶³ per user-day scale), one IEEE division at
+    //      the end, mirrored. ONE user_id shuffle shared by the lead
+    //      window and the aggregate; last reading carries zero weight
+    //      (span-closed convention, documented) ----
+    "q_twa" -> QueryDef(
+      """WITH w AS (
+        |  SELECT user_id,
+        |    CAST(CAST(value AS DECIMAL(18,3)) * 1000 AS BIGINT) AS mills,
+        |    epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+        |      - epoch_us(ts) AS dur_us
+        |  FROM events
+        |)
+        |SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(dur_us) AS BIGINT) AS span_us,
+        |  round(CAST(SUM(mills * dur_us) AS DOUBLE)
+        |    / CAST(SUM(dur_us) AS DOUBLE) / 1000, 6) AS twa
+        |FROM w WHERE dur_us IS NOT NULL
+        |GROUP BY user_id ORDER BY user_id""".stripMargin) { (spark, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(spark, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          (col("value").cast(M) * 1000).cast("long").as("mills"))
+        .withColumn("dur_us",
+          unix_micros(lead(col("ts"), 1).over(byUser)) - unix_micros(col("ts")))
+        .filter(col("dur_us").isNotNull)
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), sum("dur_us").as("span_us"),
+          round((sum(col("mills") * col("dur_us")).cast("double")
+            / sum("dur_us").cast("double")) / 1000, 6).as("twa"))
+        .orderBy("user_id")
+    },
+
     // ---- q_stream_session: native session_window aggregation run as a
     //      REAL streaming job (file source → watermarked session agg →
     //      memory sink, AvailableNow) — the 5th streaming shape in the

@@ -98,6 +98,24 @@ class SeriesSpec extends SparkSpec {
     out.unpersist()
   }
 
+  test("q_twa lies within each user's value range; q_rolling_z flags " +
+    "only after a full 7-day warm-up") {
+    val twa = SparkEntry.defs("q_twa").build(spark, sf())
+    val rng = graft.Tables.events(spark, sf()).groupBy("user_id")
+      .agg(min("value").as("lo"), max("value").as("hi"))
+    assert(twa.join(rng, "user_id")
+      .filter(col("twa") < col("lo") - 1e-6 || col("twa") > col("hi") + 1e-6)
+      .count() == 0, "a convex time-weighted mean cannot leave the value range")
+    val z = SparkEntry.defs("q_rolling_z").build(spark, sf()).cache()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("event_type").orderBy("day")
+    val bad = z.withColumn("rn", row_number().over(w))
+      .filter((col("rn") <= 7 && col("is_anomaly").isNotNull) ||
+        (col("rn") > 7 && col("is_anomaly").isNull))
+    assert(bad.count() == 0, "flag must be NULL exactly during warm-up")
+    z.unpersist()
+  }
+
   test("q_entropy: uniform source bounds and exact-token accounting") {
     val out = SparkEntry.defs("q_entropy").build(spark, sf()).cache()
     // H <= log2(vocab) (equality iff uniform), H >= 0
