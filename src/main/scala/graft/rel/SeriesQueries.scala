@@ -87,6 +87,10 @@ object SeriesQueries {
         .select(col("user_id"), col("day"),
           last(col("day_close"), ignoreNulls = true).over(fill).as("close"),
           when(col("day_close").isNull, 1).otherwise(0).as("is_gap"))
+        // row-neutral (the spine starts at each user's first OBSERVED day,
+        // so the carry-forward is never null — SeriesSpec asserts it) but
+        // it stops a bare count() from pruning the fill window
+        .filter(col("close").isNotNull)
         .orderBy("user_id", "day")
     },
 

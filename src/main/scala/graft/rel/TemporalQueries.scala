@@ -59,6 +59,11 @@ object TemporalQueries {
         .select(col("event_id"), col("user_id"),
           count(lit(1)).over(w).as("n_24h"),
           round(sum(col("value").cast(M)).over(w), 2).cast("double").as("sum_24h"))
+        // row-neutral (the frame always contains its own row) but NOT
+        // foldable: without a consumer of a window column, a bare
+        // count() action prunes the whole Window node and the bench
+        // measures only the scan (0.25s for 3M rows at 30×)
+        .filter(col("n_24h") >= 1)
         .orderBy("event_id")
     },
 
@@ -288,6 +293,9 @@ object TemporalQueries {
         .agg(count(lit(1)).as("n"), sum("dur_us").as("span_us"),
           round((sum(col("mills") * col("dur_us")).cast("double")
             / sum("dur_us").cast("double")) / 1000, 6).as("twa"))
+        // row-neutral (dur_us > 0 on every retained row) — keeps count()
+        // from pruning the weighted-sum aggregate expressions
+        .filter(col("twa").isNotNull)
         .orderBy("user_id")
     },
 
