@@ -70,14 +70,16 @@ object SeriesQueries {
         |    AS close,
         |  CASE WHEN day_close IS NULL THEN 1 ELSE 0 END AS is_gap
         |FROM j ORDER BY user_id, day""".stripMargin) { (spark, d) =>
-      val byDay = Window.partitionBy("user_id", "day")
-        .orderBy(col("ts").desc, col("event_id").desc)
+      // last-event-of-day pick as max_by over the (ts, event_id) struct:
+      // a map-side-combinable hash AGGREGATE — the row_number window the
+      // oracle replays sorts every (user, day) partition instead (59s →
+      // 23s at 100×, SCALING.md); identical result (same total order),
+      // hash-gate-proven
       val daily = Tables.events(spark, d)
         .select(col("user_id"), to_date(col("ts")).as("day"), col("ts"),
           col("event_id"), col("value"))
-        .withColumn("rn", row_number().over(byDay))
-        .filter(col("rn") === 1)
-        .select(col("user_id"), col("day"), col("value").as("day_close"))
+        .groupBy("user_id", "day")
+        .agg(expr("max_by(value, struct(ts, event_id))").as("day_close"))
       val spine = daily.groupBy("user_id")
         .agg(min("day").as("d0"), max("day").as("d1"))
         .select(col("user_id"), explode(sequence(col("d0"), col("d1"))).as("day"))
