@@ -204,11 +204,16 @@ object GraphQueries {
   }
 
   private def pagerank(spark: SparkSession, d: String): DataFrame = {
+    // node ids stay LONG through every iteration (customer → 2k,
+    // supplier → 2k+1) — the three per-round joins key on 8-byte longs
+    // instead of "c…"/"s…" strings; the string label is rendered once
+    // at output, where the oracle's node naming (and its tie order)
+    // lives
     val edges = Tables.orders(spark, d)
       .join(Tables.lineitem(spark, d),
         col("l_orderkey") === col("o_orderkey"))
-      .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-        concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
@@ -251,7 +256,10 @@ object GraphQueries {
     nodes.unpersist(false)
     danglers.unpersist(false)
     srcRanked.unpersist(false)
-    ranks.select(col("node"), col("r").as("rank_fp"))
+    ranks.select(
+        concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+          expr("(node div 2)").cast("string")).as("node"),
+        col("r").as("rank_fp"))
       .orderBy(col("rank_fp").desc, col("node"))
   }
 }
