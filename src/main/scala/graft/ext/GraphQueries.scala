@@ -180,7 +180,10 @@ object GraphQueries {
     val adj = o.groupBy("a")
       .agg(sort_array(collect_list("b")).as("nbrs"), count(lit(1)).as("dout"))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val nWedges = adj.agg(sum(expr("(dout * (dout - 1)) div 2"))).head().getLong(0)
+    // coalesce: sum over ZERO rows is null — an empty projection must
+    // report 0 wedges/triangles, not throw on getLong
+    val nWedges = adj.agg(coalesce(sum(expr("(dout * (dout - 1)) div 2")), lit(0L)))
+      .head().getLong(0)
     // sorted_intersect_size: native two-pointer merge (zero allocation,
     // whole-stage codegen) — size(array_intersect(...)) built a per-row
     // hash set + result array just to take its length (5.2s → 1.5s for
@@ -191,7 +194,7 @@ object GraphQueries {
       .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"), "left")
       .select(expr("sorted_intersect_size(na, " +
         "coalesce(nb, CAST(array() AS ARRAY<BIGINT>)))").as("k"))
-      .agg(sum(col("k"))).head().getLong(0)
+      .agg(coalesce(sum(col("k")), lit(0L))).head().getLong(0)
     val nNodes = deg.count(); val nEdges = e.count()
     e.unpersist(false); o.unpersist(false); adj.unpersist(false)
     import spark.implicits._

@@ -67,9 +67,15 @@ object LinkQueries {
     // ---- q_entropy: per-source Shannon entropy of the token unigram
     //      distribution, plus size/vocab. H = log2(N) − Σc·log2(c)/N over
     //      exact counts; the Σ term is integer fixed-point so no float
-    //      ever accumulates. 100 TB: two hash aggregates (token counts,
-    //      then per-source roll-up) — both map-side combinable; nothing
-    //      is ever collected ----
+    //      ever ACCUMULATES. Residual cross-engine exposure: the per-term
+    //      round(c·log2 c·1e6) trusts JVM and libm log2 to agree through
+    //      the rounding boundary — same accepted risk class as the
+    //      suite's ln-based tfidf/ndcg oracles (a half-ULP flip at an
+    //      exact x.5 would move one BIGINT term); the log-free exact
+    //      alternative (PMI's monotone-ratio trick) doesn't apply since
+    //      entropy SUMS log terms rather than ranking by them. 100 TB:
+    //      two hash aggregates (token counts, then per-source roll-up) —
+    //      both map-side combinable; nothing is ever collected ----
     "q_entropy" -> QueryDef(
       s"""WITH ${TextOps.duckTokensCte},
         |c AS (

@@ -97,39 +97,16 @@ object EventQueries {
     },
 
     // ---- sessionization: 30-min inactivity gap, per-user session stats ----
+    // boundary rule + island construction single-sourced in SessionOps
+    // (gap >= 30min starts a session, = Spark session_window semantics)
     "q_events_sessionize" -> QueryDef(
-      """WITH flagged AS (
-        |  SELECT user_id, event_id, ts,
-        |    CASE WHEN lag(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
-        |         THEN 1 ELSE 0 END AS new_sess
-        |  FROM events
-        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-        |), sessioned AS (
-        |  SELECT user_id, event_id,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
-        |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
-        |  FROM flagged
-        |), per_sess AS (
-        |  SELECT user_id, sess_id, COUNT(*) AS n_events FROM sessioned GROUP BY 1, 2
-        |)
+      s"""WITH ${SessionOps.duckSessionsCte}
         |SELECT user_id, COUNT(*) AS n_sessions,
         |       CAST(SUM(n_events) AS BIGINT) AS n_events,
         |       MAX(n_events) AS max_session_events
-        |FROM per_sess GROUP BY user_id
+        |FROM sess GROUP BY user_id
         |ORDER BY user_id""".stripMargin) { (spark, d) =>
-      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
-      val gapUs = 1800L * 1000000L
-      Tables.events(spark, d)
-        .select(col("user_id"), col("event_id"), col("ts"))
-        .withColumn("new_sess",
-          when(lag(col("ts"), 1).over(w).isNull ||
-            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(w)) > gapUs, 1)
-            .otherwise(0))
-        .withColumn("sess_id",
-          sum(col("new_sess")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy(col("user_id"), col("sess_id"))
-        .agg(count(lit(1)).as("n_events"))
+      SessionOps.sessions(spark, d)
         .groupBy(col("user_id"))
         .agg(count(lit(1)).as("n_sessions"), sum(col("n_events")).as("n_events"),
           max(col("n_events")).as("max_session_events"))

@@ -193,7 +193,7 @@ object SeriesQueries {
         |  SELECT event_type, day, mills,
         |    COUNT(*) OVER w AS n7,
         |    CAST(SUM(mills) OVER w AS BIGINT) AS s7,
-        |    CAST(SUM(mills * mills) OVER w AS BIGINT) AS ss7
+        |    SUM(CAST(mills AS HUGEINT) * mills) OVER w AS ss7
         |  FROM daily
         |  WINDOW w AS (PARTITION BY event_type ORDER BY day
         |    ROWS BETWEEN 7 PRECEDING AND 1 PRECEDING)
@@ -216,7 +216,11 @@ object SeriesQueries {
         .select(col("event_type"), col("day"), col("mills"),
           count(lit(1)).over(w).as("n7"),
           sum("mills").over(w).as("s7"),
-          sum(col("mills") * col("mills")).over(w).as("ss7"))
+          // widen BEFORE the square: mills² wraps silently past ~3e9
+          // daily mills in 64-bit (DuckDB's BIGINT multiply would RAISE
+          // instead — a silent/loud divergence); s7 itself is safe
+          // (≤ 7·10¹⁸, bounded by the DECIMAL(18) source type)
+          sum(col("mills").cast("decimal(38,0)") * col("mills")).over(w).as("ss7"))
         .select(col("event_type"), col("day"), col("mills"),
           // s7² reaches ~5e19 — past BIGINT. Both engines take the
           // comparison through exact wide integers (decimal(38,0) here,

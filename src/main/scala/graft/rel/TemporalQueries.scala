@@ -175,26 +175,8 @@ object TemporalQueries {
     //      days covered only by a spanning session fall back to the
     //      carry alone. All counts exact BIGINTs ----
     "q_concurrency" -> QueryDef(
-      """WITH ordered AS (
-        |  SELECT user_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events
-        |), marks AS (
-        |  SELECT user_id, ts, rn,
-        |    CASE WHEN prev IS NULL
-        |      OR epoch_us(ts) - epoch_us(prev) > 1800000000 THEN 1 ELSE 0 END
-        |      AS new_sess
-        |  FROM ordered
-        |), numbered AS (
-        |  SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, rn
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM marks
-        |), sess AS (
-        |  SELECT user_id, sid, min(ts) AS s, max(ts) AS e
-        |  FROM numbered GROUP BY user_id, sid
-        |), deltas AS (
+      s"""WITH ${SessionOps.duckSessionsCte},
+        |deltas AS (
         |  SELECT CAST(s AS DATE) AS day, s AS t, 1 AS delta FROM sess
         |  UNION ALL
         |  SELECT CAST(e AS DATE) AS day, e AS t, -1 AS delta FROM sess
@@ -219,23 +201,13 @@ object TemporalQueries {
         |SELECT d.day,
         |  COALESCE(m.n_started, 0) AS n_started,
         |  COALESCE(c.carry, 0) AS carry_in,
-        |  COALESCE(m.peak_local, 0) + COALESCE(c.carry, 0) AS peak_concurrency
+        |  GREATEST(COALESCE(m.peak_local, 0), 0) + COALESCE(c.carry, 0)
+        |    AS peak_concurrency
         |FROM days d
         |LEFT JOIN mrs m ON m.day = d.day
         |LEFT JOIN carryd c ON c.day = d.day
         |ORDER BY d.day""".stripMargin) { (spark, d) =>
-      val gapUs = 1800L * 1000000L
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val sess = Tables.events(spark, d)
-        .select(col("user_id"), col("ts"), col("event_id"))
-        .withColumn("new_sess",
-          when(lag(col("ts"), 1).over(byUser).isNull ||
-            unix_micros(col("ts")) - unix_micros(lag(col("ts"), 1).over(byUser)) > gapUs,
-            1).otherwise(0))
-        .withColumn("sid", sum("new_sess").over(
-          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-        .groupBy("user_id", "sid")
-        .agg(min("ts").as("s"), max("ts").as("e"))
+      val sess = SessionOps.sessions(spark, d)
       val deltas = sess.select(to_date(col("s")).as("day"), col("s").as("t"),
           lit(1).as("delta"))
         .unionAll(sess.select(to_date(col("e")).as("day"), col("e").as("t"),
@@ -254,8 +226,12 @@ object TemporalQueries {
         .select(col("day"),
           coalesce(col("n_started"), lit(0L)).as("n_started"),
           coalesce(col("carry"), lit(0L)).as("carry_in"),
-          (coalesce(col("peak_local"), lit(0L)) + coalesce(col("carry"), lit(0L)))
-            .as("peak_concurrency"))
+          // FLOOR the day-local max at 0: concurrency holds at the carry
+          // baseline from midnight until the first delta, so a day whose
+          // deltas start with carried-session ENDS (max running sum < 0)
+          // must not drag the peak below carry
+          (greatest(coalesce(col("peak_local"), lit(0L)), lit(0L))
+            + coalesce(col("carry"), lit(0L))).as("peak_concurrency"))
         .orderBy("day")
     },
 
@@ -312,27 +288,11 @@ object TemporalQueries {
     //      by the watermark at steady state; the oracle-gated Complete
     //      run is the bounded-backfill shape ----
     "q_stream_session" -> QueryDef(
-      """WITH ordered AS (
-        |  SELECT user_id, ts,
-        |    lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev,
-        |    row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-        |  FROM events
-        |), marks AS (
-        |  SELECT user_id, ts, rn,
-        |    CASE WHEN prev IS NULL
-        |      OR epoch_us(ts) - epoch_us(prev) >= 1800000000 THEN 1 ELSE 0 END
-        |      AS new_sess
-        |  FROM ordered
-        |), numbered AS (
-        |  SELECT user_id, ts,
-        |    SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, rn
-        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
-        |  FROM marks
-        |)
-        |SELECT user_id, min(ts) AS sess_start,
-        |  max(ts) + INTERVAL 30 MINUTES AS sess_end,
-        |  COUNT(*) AS n_events
-        |FROM numbered GROUP BY user_id, sid
+      s"""WITH ${SessionOps.duckSessionsCte}
+        |SELECT user_id, s AS sess_start,
+        |  e + INTERVAL 30 MINUTES AS sess_end,
+        |  CAST(n_events AS BIGINT) AS n_events
+        |FROM sess
         |ORDER BY user_id, sess_start""".stripMargin) { (spark, d) =>
       val agg = graft.streaming.EventsStream.readEventsStream(spark, d)
         .withWatermark("ts", "2 hours")

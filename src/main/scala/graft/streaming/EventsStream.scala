@@ -126,7 +126,7 @@ object EventsStream {
           val sorted = evs.toSeq.sortBy(_.ts_us)
           var s = state.getOption.getOrElse(SessState(-1L, -1L, 0L, 0L))
           sorted.foreach { e =>
-            s = if (s.last_us < 0 || e.ts_us - s.last_us > gapUs)
+            s = if (s.last_us < 0 || e.ts_us - s.last_us >= gapUs)
               SessState(e.ts_us, e.ts_us, 1L, if (s.last_us < 0) s.closed else s.closed + 1)
             else s.copy(last_us = e.ts_us, n = s.n + 1)
           }
@@ -154,7 +154,7 @@ object EventsStream {
           var s = state.getOption.getOrElse(SessState(-1L, -1L, 0L, 0L))
           val closed = Seq.newBuilder[ClosedSession]
           sorted.foreach { e =>
-            if (s.last_us >= 0 && e.ts_us - s.last_us > gapUs) {
+            if (s.last_us >= 0 && e.ts_us - s.last_us >= gapUs) {
               closed += ClosedSession(user, s.start_us, s.last_us, s.n)
               s = SessState(e.ts_us, e.ts_us, 1L, s.closed + 1)
             } else if (s.last_us < 0) {

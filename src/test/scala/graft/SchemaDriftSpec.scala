@@ -15,8 +15,10 @@ import org.apache.spark.sql.types.{LongType, TimestampType}
   *  1. every Tables loader must normalize to the canonical engine schema
   *     (time columns = TimestampType, µs precision);
   *  2. every registered query must ANALYZE against the real testdata —
-  *     resolution + type-checking of the full plan without executing it,
-  *     so the whole 100+-query surface is covered in seconds;
+  *     resolution + type-checking of the full plan; for LAZY builders
+  *     that is plan-only and instant, while eager builders (triangles,
+  *     pagerank, lifecycle, kmeans — whose build() runs bounded actions)
+  *     execute at sf0.001, making this doubly a mini execution smoke;
   *  3. the streaming events scan must agree with the batch scan on the
   *     actual timestamp VALUES (the silent-corruption case analysis
   *     can't catch), checked on sf0.001's min/max/count.
