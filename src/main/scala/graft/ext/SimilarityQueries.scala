@@ -25,6 +25,11 @@ object SimilarityQueries {
   private val LSH_K = 3
   private val NEAR_DUP_COS = 0.4
   private val querySlice = "vec_id % 20 = 0"
+  /** Hard-negative query slice (disjoint from [[querySlice]]) and the
+    * negatives-per-query budget.
+    */
+  private val negSlice = "vec_id % 20 = 10"
+  private val NEG_K = 3
 
   /** Hyperplane components: 8 planes × 64 dims, integer weights in
     * [-1000, 1000] derived from h60 — deterministic in both engines.
@@ -456,7 +461,88 @@ object SimilarityQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** Hard-negative mining for embedding-model training: per query
+    * vector, the NEG_K most-similar vectors carrying a DIFFERENT label
+    * (the classic contrastive-training batch builder — easy negatives
+    * teach nothing, the near-misses carry gradient). Same dual path as
+    * [[bruteForceTopK]]: broadcast corpus + label map with a bounded
+    * per-query heap under the ceiling; relational cosine join past it.
+    * At 100 TB the exact all-label scan is the anchor; the production
+    * dial mines within ANN candidates (q_sim_lsh/q_sim_ivf buckets)
+    * before the label filter.
+    */
+  def hardNegatives(spark: org.apache.spark.sql.SparkSession, d: String,
+      maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val labels = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
+    if (VectorOps.corpusSize(spark, d) > maxBroadcast) {
+      val q = labels.filter(expr(negSlice))
+        .select(col("vec_id").as("query_id"), col("label").as("qlab"))
+      val pairs = q.crossJoin(labels)
+        .filter(col("label") =!= col("qlab"))
+        .select("query_id", "vec_id")
+      return VectorOps.cosine(spark, d, pairs)
+        .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+          .orderBy(col("cos").desc, col("vec_id"))))
+        .filter(col("rn") <= NEG_K)
+        .select(col("query_id"), col("vec_id"),
+          round(col("cos"), 6).as("cos"), col("rn"))
+        .orderBy("query_id", "rn")
+    }
+    val bc = VectorOps.broadcastCorpus(spark, d)
+    val lab = spark.sparkContext.broadcast(
+      labels.as[(Long, Int)].collect().toMap)
+    val ord = Ordering.by((t: (Double, Long)) => (-t._1, t._2))
+    labels.filter(expr(negSlice))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Int)]
+      .mapPartitions { it =>
+        val c = bc.value; val lm = lab.value
+        it.flatMap { case (qid, qlab) =>
+          val (qe, qn) = c(qid)
+          var top = Vector.empty[(Double, Long)]
+          if (qn > 0.0) c.foreach { case (id, (e, n)) =>
+            if (lm(id) != qlab && n > 0.0) {
+              var dot = 0L
+              var i = 0
+              while (i < qe.length) { dot += qe(i) * e(i); i += 1 }
+              val cos = dot.toDouble / (qn * n)
+              if (top.lengthCompare(NEG_K) < 0 || ord.lt((cos, id), top.last))
+                top = ((top :+ ((cos, id))).sorted(ord)).take(NEG_K)
+            }
+          }
+          top.iterator.zipWithIndex.map { case ((cos, id), i) =>
+            (qid, id, BigDecimal(cos).setScale(6, BigDecimal.RoundingMode.HALF_UP)
+              .toDouble, i + 1)
+          }
+        }
+      }
+      .toDF("query_id", "vec_id", "cos", "rn")
+      .orderBy("query_id", "rn")
+  }
+
   val defs: Map[String, QueryDef] = Map(
+
+    // ---- hard negatives: top-NEG_K nearest DIFFERENT-label vectors
+    //      per query — the contrastive-training batch builder ----
+    "q_hard_negatives" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte},
+         |${VectorOps.duckNormsCte},
+         |pairs AS (
+         |  SELECT q.vec_id AS query_id, c.vec_id
+         |  FROM (SELECT vec_id, label FROM embeddings WHERE $negSlice) q
+         |  JOIN embeddings c ON c.label <> q.label
+         |), ${VectorOps.duckCosineCte}
+         |SELECT query_id, vec_id, round(cos, 6) AS cos, rn FROM (
+         |  SELECT query_id, vec_id, cos,
+         |    row_number() OVER (PARTITION BY query_id
+         |      ORDER BY cos DESC, vec_id) AS rn
+         |  FROM cosines)
+         |WHERE rn <= $NEG_K
+         |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
+      hardNegatives(spark, d)
+    },
 
     // ---- brute-force cosine top-k: the exact baseline ----
     "q_sim_topk" -> QueryDef(

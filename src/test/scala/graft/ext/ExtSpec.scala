@@ -112,6 +112,21 @@ class ExtSpec extends SparkSpec {
     val sB = dec(SimilarityQueries.semanticDecontam(spark, sf()))
     val sD = dec(SimilarityQueries.semanticDecontam(spark, sf(), maxBroadcast = 0))
     assert(sB.nonEmpty && sD.sameElements(sB))
+    val hB = topk(SimilarityQueries.hardNegatives(spark, sf()))
+    val hD = topk(SimilarityQueries.hardNegatives(spark, sf(), maxBroadcast = 0))
+    assert(hB.nonEmpty && hD.sameElements(hB))
+  }
+
+  test("hard negatives never share the query's label") {
+    val labels = graft.Tables.embeddings(spark, sf())
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val hn = SimilarityQueries.hardNegatives(spark, sf()).collect()
+    assert(hn.nonEmpty)
+    hn.foreach { r =>
+      assert(labels(r.getAs[Long]("query_id")) != labels(r.getAs[Long]("vec_id")),
+        "a hard negative must carry a different label")
+    }
   }
 
   test("IVF ANN neighbors agree with brute-force cosine values") {
