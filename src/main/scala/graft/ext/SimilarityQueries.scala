@@ -693,6 +693,51 @@ object SimilarityQueries {
       embedNearDup(spark, d)
     },
 
+    // ---- semantic dup-cluster assembly: the embedding-space twin of
+    //      q_dedup_cluster — transitive closure over the cosine near-dup
+    //      pairs (paraphrase clusters MinHash's lexical shingles miss).
+    //      Composes the two proven machineries verbatim: embedNearDup
+    //      generates pairs (broadcast matrix / distributed fallback),
+    //      DedupCluster.connectedComponents propagates labels (frontier
+    //      min-label, O(1)-size plans via localCheckpoint); membership
+    //      hash-verified against a recursive-CTE closure like the
+    //      lexical cluster oracle ----
+    "q_dedup_embed_cluster" -> QueryDef(
+      s"""WITH RECURSIVE ${VectorOps.duckElemsCte},
+         |${VectorOps.duckNormsCte},
+         |pairs AS (
+         |  SELECT a.vec_id AS query_id, b.vec_id
+         |  FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+         |), ${VectorOps.duckCosineCte},
+         |nd AS (
+         |  SELECT query_id AS u, vec_id AS v FROM cosines
+         |  WHERE round(cos, 6) >= $NEAR_DUP_COS
+         |), edges AS (
+         |  SELECT u, v FROM nd UNION SELECT v, u FROM nd
+         |), reach(u, v) AS (
+         |  SELECT u, v FROM edges
+         |  UNION
+         |  SELECT r.u, e.v FROM reach r JOIN edges e ON r.v = e.u
+         |  WHERE e.v <> r.u
+         |), comp AS (
+         |  SELECT u AS vec_id, LEAST(u, MIN(v)) AS cluster_id
+         |  FROM reach GROUP BY u
+         |)
+         |SELECT cluster_id, COUNT(*) AS n_members,
+         |       CAST(SUM(vec_id) AS BIGINT) AS member_checksum,
+         |       CAST(MAX(vec_id) AS BIGINT) AS max_member
+         |FROM comp GROUP BY cluster_id
+         |ORDER BY cluster_id""".stripMargin) { (spark, d) =>
+      DedupCluster.connectedComponents(
+          embedNearDup(spark, d)
+            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+        .groupBy(col("label").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(col("id")).as("member_checksum"),
+          max(col("id")).as("max_member"))
+        .orderBy("cluster_id")
+    },
+
     // ---- linear-kernel MMD² between label groups (my_utils.py:37-68) ----
     // MMD²_linear(A, B) = ||mean(A) − mean(B)||² = Σ_i d_i² / (nA²·nB²)
     // with d_i = sA_i·nB − sB_i·nA. The per-dimension terms and their sum
