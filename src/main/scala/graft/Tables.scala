@@ -18,20 +18,27 @@ object Tables {
     * across rounds (TIMESTAMP(NANOS), timestamp[us] NTZ). Downstream
     * operators are written against one canonical type — TimestampType
     * (µs since epoch) — so every loader funnels through this normalizer.
-    * The NTZ→TZ cast reinterprets wall-clock in the session timezone;
-    * entry points pin spark.sql.session.timeZone=UTC, making it
-    * value-preserving and bit-identical to DuckDB's naive read.
+    * The NTZ→TZ cast reinterprets wall-clock in the session timezone; it
+    * is value-preserving (and bit-identical to DuckDB's naive read) ONLY
+    * under UTC, so the normalizer enforces the pin itself rather than
+    * trusting every entry point: any session reaching a table loader gets
+    * spark.sql.session.timeZone=UTC. A non-UTC session would silently
+    * shift every timestamp by the host offset and corrupt DST-ambiguous
+    * wall-clock values with no failure signal.
     */
-  private def canonTimestamps(df: DataFrame): DataFrame = {
+  private def canonTimestamps(spark: SparkSession, df: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions.col
     import org.apache.spark.sql.types.{TimestampNTZType, TimestampType}
-    df.schema.fields.filter(_.dataType == TimestampNTZType).foldLeft(df) {
+    val ntz = df.schema.fields.filter(_.dataType == TimestampNTZType)
+    if (ntz.nonEmpty && spark.conf.get("spark.sql.session.timeZone") != "UTC")
+      spark.conf.set("spark.sql.session.timeZone", "UTC")
+    ntz.foldLeft(df) {
       (d, f) => d.withColumn(f.name, col(f.name).cast(TimestampType))
     }
   }
 
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    canonTimestamps(spark.read.parquet(s"$sfDir/$name.parquet"))
+    canonTimestamps(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")

@@ -117,14 +117,91 @@ object IvfQueries {
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin
 
+  /** Oracle SQL for the AUTO-nlist default: k comes from the SAME
+    * corpus-count dial as the Spark side ([[VectorOps.ivfNlistFor]],
+    * rendered as a CASE chain); the two LIMIT-like bounds (k·256
+    * training rows, k seeds) become row_number filters against the dial
+    * so DuckDB replays whatever list count the engine picks.
+    */
+  private def ivfSqlAuto: String =
+    s"""WITH ${VectorOps.duckElemsCte},
+       |${VectorOps.duckNormsCte},
+       |dial AS (
+       |  SELECT ${VectorOps.duckIvfNlist("n")} AS k
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings)
+       |), train_ids AS (
+       |  SELECT vec_id FROM (
+       |    SELECT vec_id, row_number() OVER (
+       |      ORDER BY ${Hashing.duckH60("vec_id")}, vec_id) AS trn
+       |    FROM embeddings WHERE len(embedding) > 0
+       |  ) WHERE trn <= 256 * (SELECT k FROM dial)
+       |), train AS (
+       |  SELECT e.* FROM elems e JOIN train_ids t ON e.vec_id = t.vec_id
+       |), seed_ids AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cent_id
+       |    FROM train_ids
+       |  ) WHERE cent_id <= (SELECT k FROM dial)
+       |), cent0 AS (
+       |  SELECT s.cent_id, e.i, e.e AS c
+       |  FROM seed_ids s JOIN train e ON e.vec_id = s.vec_id
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         CAST(SUM((e.e - c.c) * (e.e - c.c)) AS BIGINT) AS d2
+       |  FROM train e JOIN cent0 c ON e.i = c.i
+       |  GROUP BY e.vec_id, c.cent_id
+       |), assign0 AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |    FROM d0) WHERE rn = 1
+       |), cent1 AS (
+       |  SELECT a.cent_id, e.i,
+       |    CAST(round(CAST(SUM(e.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM assign0 a JOIN train e ON e.vec_id = a.vec_id
+       |  GROUP BY a.cent_id, e.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         CAST(SUM((e.e - c.c) * (e.e - c.c)) AS BIGINT) AS d2
+       |  FROM elems e JOIN cent1 c ON e.i = c.i
+       |  GROUP BY e.vec_id, c.cent_id
+       |), assign1 AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |    FROM d1) WHERE rn = 1
+       |), probes AS (
+       |  SELECT vec_id AS query_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |    FROM d1 WHERE $querySlice) WHERE rn <= $NPROBE
+       |), pairs AS (
+       |  SELECT DISTINCT p.query_id, a.vec_id
+       |  FROM probes p JOIN assign1 a ON a.cent_id = p.cent_id
+       |  WHERE a.vec_id <> p.query_id
+       |), ${VectorOps.duckCosineCte}
+       |SELECT query_id, vec_id, round(cos, 6) AS cos, rn FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS rn
+       |  FROM cosines)
+       |WHERE rn <= $TOP_K
+       |ORDER BY query_id, rn""".stripMargin
+
   val defs: Map[String, QueryDef] = Map(
-    "q_sim_ivf" -> QueryDef(ivfSql(K, NPROBE)) { (spark, d) =>
-      build(spark, d, K, NPROBE)
+    // the DEFAULT entry: nlist ≈ √n from the corpus-count dial (32 at
+    // oracle scale, 256 capped at the 100× probe's 200k vectors) — cell
+    // occupancy n/k and therefore probe cost per query stays ~√n instead
+    // of linear; the oracle replays the dial via ivfSqlAuto's CASE chain
+    "q_sim_ivf" -> QueryDef(ivfSqlAuto) { (spark, d) =>
+      build(spark, d,
+        VectorOps.ivfNlistFor(VectorOps.corpusSize(spark, d)), NPROBE)
     },
 
-    // the SCALE nlist of the same operator, oracle-gated: 64 inverted
-    // lists (≈ √n at the 30× corpus — 4× faster there, SCALING.md r5),
-    // hash-verified against the identically-parameterized DuckDB replay
+    // FIXED nlist spec anchor, oracle-gated: 64 inverted lists (≈ √n at
+    // the 30× corpus — 4× faster there, SCALING.md r5), hash-verified
+    // against the identically-parameterized DuckDB replay independent of
+    // corpus size (the auto entry's dial varies with n by design)
     "q_sim_ivf_wide" -> QueryDef(ivfSql(64, NPROBE)) { (spark, d) =>
       build(spark, d, 64, NPROBE)
     },

@@ -82,6 +82,52 @@ object SimilarityQueries {
        |WHERE rn <= $LSH_K
        |ORDER BY query_id, rn""".stripMargin
 
+  /** Oracle SQL for [[lshTopKAuto]]: the band width comes from the SAME
+    * corpus-count dial as the Spark side ([[VectorOps.lshBandBitsFor]],
+    * rendered as a CASE chain), so the oracle replays whatever banding
+    * the engine picks at any scale. Planes/signature bits are generated
+    * to the dial's width (j < 2·bb — plane j's coefficients depend only
+    * on j, so a narrower signature is a strict bit-prefix of a wider
+    * one); band blocks mask `(sig >> bb·bi) & (2^bb − 1)` dynamically.
+    */
+  private def lshSqlAuto: String =
+    s"""WITH ${VectorOps.duckElemsCte},
+       |${VectorOps.duckNormsCte},
+       |dial AS (
+       |  SELECT ${VectorOps.duckLshBandBits("n")} AS bb
+       |  FROM (SELECT COUNT(*) AS n FROM embeddings)
+       |), planes AS (
+       |  SELECT j.j, i.i,
+       |         ${Hashing.duckH60("j.j", "i.i", "'plane'")} % 2001 - 1000 AS c
+       |  FROM (SELECT unnest(generate_series(0, ${2 * VectorOps.LSH_MAX_BITS - 1})) AS j) j
+       |  CROSS JOIN (SELECT unnest(generate_series(1, ${VectorOps.DIM})) AS i) i
+       |  WHERE j.j < 2 * (SELECT bb FROM dial)
+       |), sigbits AS (
+       |  SELECT e.vec_id, p.j,
+       |    CASE WHEN SUM(e.e * p.c) > 0 THEN CAST(1 AS BIGINT)
+       |         ELSE CAST(0 AS BIGINT) END AS b
+       |  FROM elems e JOIN planes p ON e.i = p.i
+       |  GROUP BY e.vec_id, p.j
+       |), sigs AS (
+       |  SELECT vec_id, CAST(SUM(b << j) AS BIGINT) AS sig FROM sigbits GROUP BY vec_id
+       |), bands AS (
+       |  SELECT s.vec_id, f.bi, (s.sig >> (d.bb * f.bi)) & ((1 << d.bb) - 1) AS blk
+       |  FROM sigs s CROSS JOIN dial d
+       |  CROSS JOIN (SELECT unnest(generate_series(0, 1)) AS bi) f
+       |), pairs AS (
+       |  SELECT DISTINCT a.vec_id AS query_id, b.vec_id
+       |  FROM bands a JOIN bands b
+       |    ON a.bi = b.bi AND a.blk = b.blk AND a.vec_id <> b.vec_id
+       |  WHERE a.vec_id % 20 = 0
+       |), ${VectorOps.duckCosineCte}
+       |SELECT query_id, vec_id, round(cos, 6) AS cos, rn FROM (
+       |  SELECT query_id, vec_id, cos,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos DESC, vec_id) AS rn
+       |  FROM cosines)
+       |WHERE rn <= $LSH_K
+       |ORDER BY query_id, rn""".stripMargin
+
   /** Hyperplane coefficients, JVM twin of the planes CTE:
     * c(j)(i-1) = h60("j:i:plane") % 2001 − 1000. `n` planes — the demo
     * query uses [[NUM_PLANES]]; scaled deployments request more (see
@@ -461,6 +507,16 @@ object SimilarityQueries {
       .orderBy("query_id", "rn")
   }
 
+  /** [[lshTopK]] with the band width derived from the corpus count —
+    * the registry default. numBands stays 2 (both anchors' value); the
+    * recall/cost trade moves only along the band-width axis.
+    */
+  def lshTopKAuto(spark: org.apache.spark.sql.SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame =
+    lshTopK(spark, d,
+      bandBits = VectorOps.lshBandBitsFor(VectorOps.corpusSize(spark, d)),
+      numBands = 2)
+
   /** Hard-negative mining for embedding-model training: per query
     * vector, the NEG_K most-similar vectors carrying a DIFFERENT label
     * (the classic contrastive-training batch builder — easy negatives
@@ -659,15 +715,21 @@ object SimilarityQueries {
       semanticDecontam(spark, d)
     },
 
-    // ---- LSH-bucketed ANN: 8-bit hyperplane signature, 2 bands of 4 ----
-    "q_sim_lsh" -> QueryDef(lshSql(4, 2)) { (spark, d) =>
-      lshTopK(spark, d)
+    // ---- LSH-bucketed ANN, the DEFAULT entry: band width derived from
+    //      the corpus count (VectorOps.lshBandBitsFor — 4 bits at oracle
+    //      scale, 13 bits at the 100× probe's 200k vectors), the same
+    //      count that already switches the broadcast/join cosine paths.
+    //      Occupancy n/2^bb stays ≤ ~32 per band, so candidate volume is
+    //      ~linear in n instead of quadratic; the oracle replays the
+    //      dial via lshSqlAuto's CASE chain. ----
+    "q_sim_lsh" -> QueryDef(lshSqlAuto) { (spark, d) =>
+      lshTopKAuto(spark, d)
     },
 
-    // ---- the SCALE banding of the same operator, oracle-gated: 2×8-bit
-    //      bands (256 buckets/band) — the dial a 60k+-vector corpus needs
-    //      (5.5× faster at 30×, SCALING.md r5); hash-verified against the
-    //      identically-parameterized DuckDB replay ----
+    // ---- FIXED banding spec anchor, oracle-gated: 2×8-bit bands (256
+    //      buckets/band) — proves a specific dial hash-identically in
+    //      both engines independent of corpus size (the auto entry's
+    //      behavior varies with n by design) ----
     "q_sim_lsh_wide" -> QueryDef(lshSql(8, 2)) { (spark, d) =>
       lshTopK(spark, d, bandBits = 8, numBands = 2)
     },

@@ -106,6 +106,61 @@ object VectorOps {
   def corpusSize(spark: SparkSession, sfDir: String): Long =
     sizeCache.getOrElseUpdate(sfDir, Tables.embeddings(spark, sfDir).count())
 
+  // ---- auto-scale ANN dials ------------------------------------------
+  // The broadcast-vs-join switch already keys off corpusSize; the SAME
+  // count drives the LSH band width and the IVF list count so the
+  // DEFAULT registry entries stay sub-linear as the corpus grows (the
+  // fixed-dial *_wide twins remain the oracle-gated spec anchors). Both
+  // formulas are piecewise over power-of-two thresholds — integer-exact
+  // and replayed verbatim by the DuckDB oracle as a CASE chain, so no
+  // float log2 edge case can make the engines disagree on the dial.
+
+  /** Target mean LSH bucket occupancy per band: candidate-pair cost per
+    * bucket is quadratic in occupancy, so holding occupancy ~constant
+    * holds per-query cost ~constant while buckets scale with n.
+    */
+  val LSH_TARGET_BUCKET = 32L
+  val LSH_MIN_BITS = 4
+  val LSH_MAX_BITS = 16
+
+  /** Smallest band width in [[LSH_MIN_BITS]], [[LSH_MAX_BITS]]] keeping
+    * expected occupancy n / 2^bits at or below [[LSH_TARGET_BUCKET]]:
+    * 4 bits through n=512, 13 bits at n=200k, capped at 16.
+    */
+  def lshBandBitsFor(n: Long): Int = {
+    var b = LSH_MIN_BITS
+    while (b < LSH_MAX_BITS && n > LSH_TARGET_BUCKET * (1L << b)) b += 1
+    b
+  }
+
+  /** The identical dial as a DuckDB CASE chain over a count expression. */
+  def duckLshBandBits(nExpr: String): String =
+    (LSH_MIN_BITS until LSH_MAX_BITS).map(b =>
+      s"WHEN $nExpr <= ${LSH_TARGET_BUCKET * (1L << b)} THEN $b")
+      .mkString("CASE ", " ", s" ELSE $LSH_MAX_BITS END")
+
+  /** IVF list-count bounds: k ≈ √n (the standard IVF sizing — probe cost
+    * per query is nprobe·n/k, training cost k·256 rows), as the smallest
+    * power of two ≥ 16 with k² ≥ n. The 256 cap bounds the DRIVER-side
+    * trainer at 65 536 sample vectors / ~1 G distance ops — beyond that
+    * corpus scale the distributed q_kmeans trainer is the right tool.
+    */
+  val IVF_MIN_K = 16
+  val IVF_MAX_K = 256
+
+  def ivfNlistFor(n: Long): Int = {
+    var k = IVF_MIN_K
+    while (k < IVF_MAX_K && k.toLong * k < n) k *= 2
+    k
+  }
+
+  /** The identical dial as a DuckDB CASE chain over a count expression. */
+  def duckIvfNlist(nExpr: String): String = {
+    val ks = Iterator.iterate(IVF_MIN_K)(_ * 2).takeWhile(_ < IVF_MAX_K).toSeq
+    ks.map(k => s"WHEN $nExpr <= ${k.toLong * k} THEN $k")
+      .mkString("CASE ", " ", s" ELSE $IVF_MAX_K END")
+  }
+
   private val sizeCache =
     new scala.collection.concurrent.TrieMap[String, Long]
 

@@ -42,12 +42,30 @@ case class SortedIntersectSize(left: Expression, right: Expression)
   override def dataType: DataType = LongType
   override def prettyName: String = "sorted_intersect_size"
 
+  // The null-free element contract is machine-enforced: ArrayData.getLong
+  // reads a null slot as 0, which would silently corrupt the count, so a
+  // null element raises instead. The check compiles in ONLY for inputs
+  // whose static type admits nulls (containsNull = true) — the common
+  // sort_array(collect_list(...)) shape is containsNull = false and keeps
+  // the branch-free hot loop.
+  private def mayHaveNulls(e: Expression): Boolean = e.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  }
+  private lazy val checkLeft = mayHaveNulls(left)
+  private lazy val checkRight = mayHaveNulls(right)
+
+  private def nullElement(): Nothing = throw new IllegalArgumentException(
+    "sorted_intersect_size: null array element (inputs must be null-free)")
+
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
     val na = a.numElements(); val nb = b.numElements()
     var i = 0; var j = 0; var s = 0L
     while (i < na && j < nb) {
+      if (checkLeft && a.isNullAt(i)) nullElement()
+      if (checkRight && b.isNullAt(j)) nullElement()
       val x = a.getLong(i); val y = b.getLong(j)
       if (x == y) { s += 1L; i += 1; j += 1 }
       else if (x < y) i += 1
@@ -62,10 +80,18 @@ case class SortedIntersectSize(left: Expression, right: Expression)
       val i = ctx.freshName("siI"); val j = ctx.freshName("siJ")
       val s = ctx.freshName("siS")
       val x = ctx.freshName("siX"); val y = ctx.freshName("siY")
+      val err = "new IllegalArgumentException(\"sorted_intersect_size: " +
+        "null array element (inputs must be null-free)\")"
+      val guardA =
+        if (checkLeft) s"if ($a.isNullAt($i)) { throw $err; }" else ""
+      val guardB =
+        if (checkRight) s"if ($b.isNullAt($j)) { throw $err; }" else ""
       s"""
          |int $na = $a.numElements(); int $nb = $b.numElements();
          |int $i = 0; int $j = 0; long $s = 0L;
          |while ($i < $na && $j < $nb) {
+         |  $guardA
+         |  $guardB
          |  long $x = $a.getLong($i); long $y = $b.getLong($j);
          |  if ($x == $y) { $s++; $i++; $j++; }
          |  else if ($x < $y) { $i++; } else { $j++; }

@@ -47,11 +47,14 @@ object DimQueries {
     // ---- SCD Type-2 dimension build (the history-keeping complement of
     //      q_merge_upsert's keep-latest): collapse each user's event-type
     //      stream to change rows, then close each version's validity
-    //      interval with the next change's timestamp. 100 TB: ONE shuffle
-    //      on user_id; the change-detect window and the interval windows
-    //      share the same (user_id, ts, event_id) sort order, and the
-    //      second pass runs over the already-partitioned (much smaller)
-    //      changes-only relation — DimSpec asserts the single Exchange ----
+    //      interval with the next change's timestamp. Open intervals carry
+    //      valid_to = NULL (is_current flags them) — a far-future sentinel
+    //      timestamp would be timezone/serialization-sensitive in clients.
+    //      100 TB: ONE shuffle on user_id; the change-detect window and the
+    //      interval windows share the same (user_id, ts, event_id) sort
+    //      order, and the second pass runs over the already-partitioned
+    //      (much smaller) changes-only relation — DimSpec asserts the
+    //      single Exchange ----
     "q_scd2" -> QueryDef(
       """WITH ordered AS (
         |  SELECT user_id, event_type, ts, event_id,
@@ -63,8 +66,7 @@ object DimQueries {
         |  WHERE prev_type IS NULL OR prev_type <> event_type
         |)
         |SELECT user_id, event_type, ts AS valid_from,
-        |  COALESCE(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
-        |    TIMESTAMP '9999-12-31 00:00:00') AS valid_to,
+        |  lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
         |  CAST(row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)
         |    AS BIGINT) AS version,
         |  CASE WHEN lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -77,8 +79,7 @@ object DimQueries {
         .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
         .select("user_id", "event_type", "ts", "event_id")
       changes
-        .withColumn("valid_to", coalesce(lead(col("ts"), 1).over(byUser),
-          lit("9999-12-31 00:00:00").cast("timestamp")))
+        .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
         .withColumn("version", row_number().over(byUser).cast("long"))
         .withColumn("is_current",
           when(lead(col("ts"), 1).over(byUser).isNull, 1).otherwise(0))

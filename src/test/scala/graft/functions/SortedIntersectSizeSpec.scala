@@ -47,4 +47,24 @@ class SortedIntersectSizeSpec extends SparkSpec {
       assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.getLong(2) == 0L)
     } finally spark.conf.set("spark.sql.codegen.fallback", prev)
   }
+
+  test("a null array element raises instead of silently counting as 0") {
+    // the SQL function is session-registered and callable on any
+    // ARRAY<BIGINT>; a null slot reads as 0 through ArrayData.getLong, so
+    // the contract is machine-enforced with a runtime error (compiled in
+    // only for containsNull=true inputs — collect_list shapes keep the
+    // branch-free loop)
+    import spark.implicits._
+    SortedIntersectSize.ensureRegistered(spark)
+    val err = intercept[Exception] {
+      Seq((Seq(1L, 3L), 0)).toDF("a", "x")
+        .select(expr("sorted_intersect_size(array(1L, NULL), a)"))
+        .collect()
+    }
+    def causes(t: Throwable): Seq[Throwable] =
+      if (t == null) Seq.empty else t +: causes(t.getCause)
+    assert(causes(err).exists(_.getMessage != null) &&
+      causes(err).exists(c =>
+        c.getMessage != null && c.getMessage.contains("null array element")))
+  }
 }

@@ -30,7 +30,7 @@ class DimSpec extends SparkSpec {
         case _ =>
       }
       assert(sorted.last.getInt(5) == 1, "last version must be current")
-      assert(sorted.last.getTimestamp(3).toString.startsWith("9999-12-31"))
+      assert(sorted.last.isNullAt(3), "open interval carries NULL valid_to")
       // consecutive versions always change type (collapse worked)
       sorted.sliding(2).foreach {
         case Array(a, b) => assert(a.getString(1) != b.getString(1))

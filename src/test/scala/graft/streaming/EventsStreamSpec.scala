@@ -172,6 +172,33 @@ class EventsStreamSpec extends SparkSpec {
     assert(viaRocks.nonEmpty && viaRocks == viaDefault)
   }
 
+  test("a gap of exactly 30 minutes starts a new session (>= boundary)") {
+    // the one input where `>` and `>=` differ — locks the >= gap rule
+    // that matches SessionOps/session_window semantics
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val gap = 1800L * 1000000L
+    val stream = MemoryStream[EventsStream.Ev]
+    val q = EventsStream.closedSessions(stream.toDS())
+      .writeStream.format("memory").queryName("boundary").outputMode("append").start()
+    stream.addData(EventsStream.Ev(3L, 0L), EventsStream.Ev(3L, gap))
+    q.processAllAvailable()
+    val closed = spark.table("boundary").as[EventsStream.ClosedSession].collect()
+    q.stop()
+    assert(closed.toSeq == Seq(EventsStream.ClosedSession(3L, 0L, 0L, 1L)),
+      "event exactly 1800s after the last must close the first session")
+
+    val stream2 = MemoryStream[EventsStream.Ev]
+    val q2 = EventsStream.sessionize(stream2.toDS())
+      .writeStream.format("memory").queryName("boundary2").outputMode("update").start()
+    stream2.addData(EventsStream.Ev(3L, 0L), EventsStream.Ev(3L, gap))
+    q2.processAllAvailable()
+    q2.stop()
+    val updates = spark.table("boundary2").as[EventsStream.SessUpdate].collect()
+    assert(updates.toSeq == Seq(EventsStream.SessUpdate(3L, gap, 1L, 1L)),
+      "live session must be the second one with one closed session behind it")
+  }
+
   test("mapGroupsWithState sessionizer carries closed-session count across triggers") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext

@@ -83,8 +83,18 @@ def main(sf_dir, out_dir):
         diffs = []
         for c in exp.columns:
             ev, gv = exp[c].tolist(), got[c].tolist()
+            def isnull(x):
+                # scalar nulls only: None, NaN, pandas NaT. Arrays (object
+                # columns holding np arrays) are never null-equal here.
+                if x is None:
+                    return True
+                try:
+                    import pandas as pd
+                    return not hasattr(x, "__len__") and bool(pd.isna(x))
+                except (TypeError, ValueError):
+                    return False
             for i, (a, b) in enumerate(zip(ev, gv)):
-                if a is None and b is None:
+                if isnull(a) and isnull(b):
                     continue
                 if isinstance(a, float) and isinstance(b, float):
                     if math.isnan(a) and math.isnan(b):
