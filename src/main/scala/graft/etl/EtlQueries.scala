@@ -260,7 +260,7 @@ object EtlQueries {
          |${Splits.duckLeaveTwoOutCte}
          |SELECT user_id, domain, deg, vali_item, test_item FROM splits
          |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
-      Splits.leaveTwoOut(spark, d)
+      Splits.leaveTwoOutCached(spark, d)
         .select("user_id", "domain", "deg", "vali_item", "test_item")
         .orderBy("user_id", "domain")
     },
@@ -323,7 +323,7 @@ object EtlQueries {
          |       CAST(SUM(item_id) AS BIGINT) AS sum_ids
          |FROM candidates GROUP BY user_id, domain
          |ORDER BY user_id, domain""".stripMargin) { (spark, d) =>
-      Splits.candidates(spark, d)
+      Splits.candidatesCached(spark, d)
         .groupBy("user_id", "domain")
         .agg(count(lit(1)).as("n_cand"), sum(col("is_positive")).as("n_pos"),
           sum(col("item_id")).as("sum_ids"))

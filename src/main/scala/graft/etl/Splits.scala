@@ -473,6 +473,38 @@ object Splits {
        |  WHERE rn <= $NUM_NEG
        |)""".stripMargin
 
+  /** [[leaveTwoOut]] persisted once per (session, scale dir): the split
+    * table is the pipeline's second shared base relation after the
+    * interaction log — candidate assembly AND the join-formulation
+    * positives both read it, and a real evaluation run materializes the
+    * splits once (SplitCache), not per reader. Lazy persist — the first
+    * consumer pays the window.
+    */
+  def leaveTwoOutCached(spark: SparkSession, sfDir: String): DataFrame =
+    splitsCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sfDir",
+      leaveTwoOut(spark, sfDir).persist())
+
+  private val splitsCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
+
+  /** The UNFILTERED [[candidates]] relation persisted once per (session,
+    * scale dir), the way `DedupQueries.clusterMembers` memoizes cluster
+    * membership: three suite consumers otherwise rebuild the whole
+    * splits→negatives→candidates subtree (q_candidates, q_rank_metrics,
+    * q_rank_metrics_agg — ~100s EACH at the 100× probe), while a real
+    * pipeline materializes the candidate table once per evaluation run.
+    * User-SLICED callers are deliberately not routed here: their filter
+    * is pushed into the sampler, which beats a post-hoc filter over the
+    * full build ~5× when the slice runs alone (Metrics `q_rank_topk`
+    * note).
+    */
+  def candidatesCached(spark: SparkSession, sfDir: String): DataFrame =
+    candCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sfDir",
+      candidates(spark, sfDir).persist())
+
+  private val candCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
+
   /** Candidate assembly (my_utils.py:132-133): the 99 negatives plus the
     * planted held-out positive, per (user, domain).
     */
@@ -485,7 +517,7 @@ object Splits {
     // three, turning two redundant orders⋈lineitem distincts into
     // in-memory scans (the same sharing cachedPipeline does explicitly)
     val inter = Interactions.cached(spark, sfDir)
-    candidatesFrom(inter, leaveTwoOutFrom(inter), userFilter)
+    candidatesFrom(inter, leaveTwoOutCached(spark, sfDir), userFilter)
   }
 
   /** [[candidates]] over explicit relations; `userFilter` slices users

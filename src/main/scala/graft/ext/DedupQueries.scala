@@ -59,6 +59,33 @@ object DedupQueries {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** [[jaccardVerify]] reformulated over per-doc sorted shingle arrays:
+    * ni comes from the native two-pointer `sorted_intersect_size` instead
+    * of the cand⋈shingles⋈shingles explosion. The row-level verify joins
+    * fan each candidate out by the docs' shingle counts (~doc length) and
+    * shuffle on (doc_b, sh); here the fan-out is exactly 1 row per
+    * candidate — two doc-level array joins plus a codegen'd merge. Same
+    * (ni, jac) by construction (shingles are per-doc distinct), so the
+    * oracle SQL is untouched. 123s → array form at the 100× probe
+    * (SCALING.md r8) with identical hashes.
+    */
+  private def jaccardVerifyArrays(cand: DataFrame, shingles: DataFrame,
+      minJac: Double): DataFrame = {
+    graft.functions.SortedIntersectSize.ensureRegistered(cand.sparkSession)
+    val sets = shingles.groupBy("doc_id")
+      .agg(sort_array(collect_list(col("sh"))).as("shs"))
+    cand
+      .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+      .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"),
+        expr("sorted_intersect_size(sa, sb)").as("ni"),
+        (size(col("sa")) + size(col("sb"))).cast("long").as("nu"))
+      .select(col("doc_a"), col("doc_b"), col("ni"),
+        round(col("ni").cast("double") / (col("nu") - col("ni")), 6).as("jac"))
+      .filter(col("jac") >= minJac)
+      .orderBy("doc_a", "doc_b")
+  }
+
   private def duckJaccardVerify(minJac: Double, shTable: String = "shingles"): String =
     s"""sizes AS (
        |  SELECT doc_id, COUNT(*) AS ns FROM $shTable GROUP BY doc_id
@@ -663,17 +690,25 @@ object DedupQueries {
          |), ${duckJaccardVerify(NGRAM_JAC)}
          |SELECT doc_a, doc_b, ni, jac FROM verified
          |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
-      // hashed shingles end to end: the inverted index, candidate join
-      // and verify pass all shuffle longs (df counts over h60 values are
-      // identical in both engines, so the oracle replays exactly)
+      // hashed shingles end to end (df counts over h60 values are
+      // identical in both engines, so the oracle replays exactly). The
+      // inverted index is ONE hash aggregate whose sorted doc lists
+      // serve as df filter AND pair source: exploding the ≤MAX_DF-doc
+      // buckets replaces the sh⋈rare⋈sh self-join (three shingle-scale
+      // shuffles → one), and the verify runs on per-doc sorted arrays
+      // with the native intersect instead of re-joining shingle rows —
+      // the two costs that held q_dedup_ngram at 123s in the 100× probe
+      // (SCALING.md r8). Pair set and (ni, jac) are unchanged, so the
+      // oracle SQL keeps the join formulation.
       val sh = TextOps.wordShingleHashes(spark, d, NGRAM_K)
-      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= MAX_DF)
-        .select("sh")
-      val cand = sh.join(rare, "sh").as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      val buckets = sh.groupBy("sh")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")).between(2, MAX_DF))
+      val cand = buckets
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
         .distinct()
-      jaccardVerify(cand, sh, NGRAM_JAC)
+      jaccardVerifyArrays(cand, sh, NGRAM_JAC)
     })
 }

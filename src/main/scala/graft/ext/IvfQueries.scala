@@ -117,6 +117,64 @@ object IvfQueries {
          |WHERE rn <= $TOP_K
          |ORDER BY query_id, rn""".stripMargin
 
+  /** The NEW-ingest slice for the incremental-maintenance query — the
+    * deterministic stand-in for "today's batch" (10% of the corpus).
+    */
+  private val batchSlice = "vec_id % 10 = 7"
+
+  /** Oracle SQL for [[defs]]' `q_sim_incremental`: the [[ivfSql]] trainer
+    * CTEs restricted to the index slice, then ONE assignment of the whole
+    * corpus against the refined centroids, counted per cell by side.
+    */
+  private def incrSql: String =
+    s"""WITH ${VectorOps.duckElemsCte},
+       |train_ids AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE len(embedding) > 0 AND NOT ($batchSlice)
+       |  ORDER BY ${Hashing.duckH60("vec_id")}, vec_id LIMIT ${K * 256}
+       |), train AS (
+       |  SELECT e.* FROM elems e JOIN train_ids t ON e.vec_id = t.vec_id
+       |), seed_ids AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cent_id
+       |  FROM (SELECT vec_id FROM train_ids ORDER BY vec_id LIMIT $K)
+       |), cent0 AS (
+       |  SELECT s.cent_id, e.i, e.e AS c
+       |  FROM seed_ids s JOIN train e ON e.vec_id = s.vec_id
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         CAST(SUM((e.e - c.c) * (e.e - c.c)) AS BIGINT) AS d2
+       |  FROM train e JOIN cent0 c ON e.i = c.i
+       |  GROUP BY e.vec_id, c.cent_id
+       |), assign0 AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |    FROM d0) WHERE rn = 1
+       |), cent1 AS (
+       |  SELECT a.cent_id, e.i,
+       |    CAST(round(CAST(SUM(e.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM assign0 a JOIN train e ON e.vec_id = a.vec_id
+       |  GROUP BY a.cent_id, e.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         CAST(SUM((e.e - c.c) * (e.e - c.c)) AS BIGINT) AS d2
+       |  FROM elems e JOIN cent1 c ON e.i = c.i
+       |  GROUP BY e.vec_id, c.cent_id
+       |), assign1 AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |    FROM d1) WHERE rn = 1
+       |)
+       |SELECT CAST(cent_id AS INT) AS cent_id,
+       |  CAST(SUM(CASE WHEN $batchSlice THEN 0 ELSE 1 END) AS BIGINT) AS n_index,
+       |  CAST(SUM(CASE WHEN $batchSlice THEN 1 ELSE 0 END) AS BIGINT) AS n_new,
+       |  round(CAST(SUM(CASE WHEN $batchSlice THEN 1 ELSE 0 END) AS DOUBLE)
+       |        / COUNT(*), 6) AS new_share
+       |FROM assign1
+       |GROUP BY cent_id
+       |ORDER BY cent_id""".stripMargin
+
   /** Oracle SQL for the AUTO-nlist default: k comes from the SAME
     * corpus-count dial as the Spark side ([[VectorOps.ivfNlistFor]],
     * rendered as a CASE chain); the two LIMIT-like bounds (k·256
@@ -204,6 +262,50 @@ object IvfQueries {
     // corpus size (the auto entry's dial varies with n by design)
     "q_sim_ivf_wide" -> QueryDef(ivfSql(64, NPROBE)) { (spark, d) =>
       build(spark, d, 64, NPROBE)
+    },
+
+    // ---- incremental ANN index maintenance: assign a NEW vector batch
+    //      to EXISTING IVF cells without retraining — the similarity-side
+    //      twin of q_dedup_incremental's daily-run shape. Centroids train
+    //      on the index slice ONLY (the batch must not influence the
+    //      index it is being filed into); the report is per-cell index
+    //      occupancy vs newly-assigned count plus the new-member share —
+    //      the occupancy-drift signal that tells an operator when a full
+    //      retrain (or cell split) is due. 100 TB: the centroid table is
+    //      a tiny broadcast and the BATCH-side cost is one narrow argmin
+    //      pass ∝ batch; the index side here recomputes its occupancy
+    //      only because this engine stores no state between queries — a
+    //      production deployment reads those counts from the stored
+    //      inverted lists, exactly like q_dedup_incremental's index. ----
+    "q_sim_incremental" -> QueryDef(incrSql) { (spark, d) =>
+      import spark.implicits._
+      val cents = refinedCentroids(spark, d, K, s"NOT ($batchSlice)")
+      if (cents.isEmpty)
+        spark.emptyDataset[(Int, Long, Long, Double)]
+          .toDF("cent_id", "n_index", "n_new", "new_share")
+      else {
+        val bc = spark.sparkContext.broadcast(cents)
+        val isNew = expr(batchSlice)
+        Tables.embeddings(spark, d)
+          .filter(size(col("embedding")) > 0)
+          .select(col("vec_id"), expr(
+            "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+            .as("e"))
+          .repartition(spark.sparkContext.defaultParallelism)
+          .as[(Long, Array[Long])]
+          .mapPartitions { it =>
+            val cs = bc.value
+            it.map { case (v, e) => (v, best(e, cs, 1).head) }
+          }.toDF("vec_id", "cent_id")
+          .groupBy("cent_id")
+          .agg(sum(when(isNew, 0L).otherwise(1L)).as("n_index"),
+            sum(when(isNew, 1L).otherwise(0L)).as("n_new"))
+          .select(col("cent_id"),
+            col("n_index"), col("n_new"),
+            round(col("n_new").cast("double") / (col("n_index") + col("n_new")), 6)
+              .as("new_share"))
+          .orderBy("cent_id")
+      }
     },
 
     // ---- full distributed k-means (3 Lloyd iterations over the WHOLE
@@ -330,51 +432,51 @@ object IvfQueries {
       .orderBy("cent_id", "i")
   }
 
-  private def build(spark: org.apache.spark.sql.SparkSession, d: String,
-      k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
-      import spark.implicits._
-      // Centroid training runs on a COUNT-bounded deterministic sample:
-      // sort by h60(vec_id) + LIMIT executes as a distributed
-      // TakeOrderedAndProject, so at most TRAIN_N rows reach the driver —
-      // O(1) memory in corpus size. Assignment, probing and re-rank — the
-      // data-scale passes — stay distributed. All arithmetic matches the
-      // oracle SQL bit-for-bit: integer distances, double division +
-      // HALF_UP for the refined centroids.
-      val trainCorpus: Array[(Long, Array[Long])] =
-        Tables.embeddings(spark, d)
-          .filter(size(col("embedding")) > 0)
-          .select(col("vec_id"), expr(
-            "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
-            .as("e"))
-          .orderBy(Hashing.h60(col("vec_id")), col("vec_id"))
-          .limit(k * 256)
-          .as[(Long, Array[Long])].collect()
-      // empty training slice → no centroids → no assignments: the oracle
-      // CTEs produce the same empty relation, so mirror it instead of
-      // crashing on .head
-      if (trainCorpus.isEmpty)
-        spark.emptyDataset[(Long, Long, Double, Int)]
-          .toDF("query_id", "vec_id", "cos", "rn")
-      else {
+  private def d2(e: Array[Long], c: Array[Long]): Long = {
+    var s = 0L
+    var i = 0
+    while (i < e.length) { val x = e(i) - c(i); s += x * x; i += 1 }
+    s
+  }
+
+  /** cent ids ranked by (distance, cent_id) — first `n`. */
+  private def best(e: Array[Long], cents: Seq[(Int, Array[Long])],
+      n: Int): Seq[Int] =
+    cents.map { case (id, c) => (d2(e, c), id) }.sorted.take(n).map(_._2)
+
+  /** One-refinement IVF centroid trainer with the training POPULATION
+    * parameterized (`trainWhere`) — [[build]] trains on the whole corpus,
+    * the incremental-maintenance query on the index slice only. The
+    * sample is COUNT-bounded and deterministic: sort by h60(vec_id) +
+    * LIMIT executes as a distributed TakeOrderedAndProject, so at most
+    * k·256 rows reach the driver — O(1) memory in corpus size. All
+    * arithmetic matches the oracle SQL bit-for-bit: integer distances,
+    * double division + HALF_UP for the refined centroids. Empty training
+    * slice → empty Seq (the oracle CTEs produce the same empty relation).
+    */
+  private def refinedCentroids(spark: org.apache.spark.sql.SparkSession,
+      d: String, k: Int, trainWhere: String = "true"): Seq[(Int, Array[Long])] = {
+    import spark.implicits._
+    val trainCorpus: Array[(Long, Array[Long])] =
+      Tables.embeddings(spark, d)
+        .filter(size(col("embedding")) > 0)
+        .filter(expr(trainWhere))
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+          .as("e"))
+        .orderBy(Hashing.h60(col("vec_id")), col("vec_id"))
+        .limit(k * 256)
+        .as[(Long, Array[Long])].collect()
+    if (trainCorpus.isEmpty) Seq.empty
+    else {
       val trainMap = trainCorpus.toMap
       val dim = trainCorpus.head._2.length
-
-      def d2(e: Array[Long], c: Array[Long]): Long = {
-        var s = 0L
-        var i = 0
-        while (i < e.length) { val x = e(i) - c(i); s += x * x; i += 1 }
-        s
-      }
-      /** cent ids ranked by (distance, cent_id) — first `n`. */
-      def best(e: Array[Long], cents: Seq[(Int, Array[Long])], n: Int): Seq[Int] =
-        cents.map { case (id, c) => (d2(e, c), id) }.sorted.take(n).map(_._2)
-
       val seedIds = trainCorpus.map(_._1).sorted.take(k)
       val cent0 = seedIds.zipWithIndex.map { case (v, ci) => (ci + 1, trainMap(v)) }.toSeq
       val cells = trainCorpus.toSeq
         .map { case (v, e) => (best(e, cent0, 1).head, e) }
         .groupBy(_._1)
-      val cent1 = cells.toSeq.sortBy(_._1).map { case (cid, vs) =>
+      cells.toSeq.sortBy(_._1).map { case (cid, vs) =>
         val c = Array.tabulate(dim) { i =>
           val s = vs.iterator.map(_._2(i)).sum
           BigDecimal(s.toDouble / vs.length)
@@ -382,6 +484,20 @@ object IvfQueries {
         }
         (cid, c)
       }
+    }
+  }
+
+  private def build(spark: org.apache.spark.sql.SparkSession, d: String,
+      k: Int, nprobe: Int): org.apache.spark.sql.DataFrame = {
+      import spark.implicits._
+      val cent1 = refinedCentroids(spark, d, k)
+      // empty training slice → no centroids → no assignments: the oracle
+      // CTEs produce the same empty relation, so mirror it instead of
+      // crashing on .head
+      if (cent1.isEmpty)
+        spark.emptyDataset[(Long, Long, Double, Int)]
+          .toDF("query_id", "vec_id", "cos", "rn")
+      else {
       val bcCent1 = spark.sparkContext.broadcast(cent1)
 
       // assignment/probing stream the corpus THROUGH tasks against the

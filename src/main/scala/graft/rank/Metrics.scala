@@ -64,10 +64,22 @@ object Metrics {
     s"${Hashing.duckH60("user_id", "item_id", "domain", "'score'")} % 1000000 AS score"
 
   /** Scored candidates: the full E3 pipeline (splits → negatives →
-    * candidates → score).
+    * candidates → score). The unfiltered overload reads the memoized
+    * candidate table ([[Splits.candidatesCached]]) — q_rank_metrics and
+    * q_rank_metrics_agg share one build with q_candidates instead of
+    * each re-running the sampler subtree (~100s each at the 100× probe).
+    */
+  def scoredCandidates(spark: SparkSession, sfDir: String): DataFrame =
+    Splits.candidatesCached(spark, sfDir)
+      .select(col("user_id"), col("domain"), col("item_id"), col("is_positive"),
+        syntheticScore)
+
+  /** User-sliced scored candidates: the filter stays pushed into the
+    * sampler (beats a post-hoc filter over the full build ~5× when the
+    * slice runs alone — see q_rank_topk).
     */
   def scoredCandidates(spark: SparkSession, sfDir: String,
-      userFilter: org.apache.spark.sql.Column = lit(true)): DataFrame =
+      userFilter: org.apache.spark.sql.Column): DataFrame =
     Splits.candidates(spark, sfDir, userFilter)
       .select(col("user_id"), col("domain"), col("item_id"), col("is_positive"),
         syntheticScore)
@@ -103,7 +115,7 @@ object Metrics {
     */
   def posRanksJoin(spark: SparkSession, sfDir: String): DataFrame = {
     val sc = scoredCandidates(spark, sfDir)
-    val pos = Splits.leaveTwoOut(spark, sfDir)
+    val pos = Splits.leaveTwoOutCached(spark, sfDir)
       .select(col("user_id"), col("domain"), col("test_item").as("item_id"))
       .select(col("user_id"), col("domain"), syntheticScore, col("item_id"))
       .select(col("user_id"), col("domain"),

@@ -176,4 +176,78 @@ class ExtSpec extends SparkSpec {
     assert(again.map(_.getAs[Long]("doc_id")).toSet ==
       feats.map(_.getAs[Long]("doc_id")).toSet)
   }
+
+  test("perceptual-hash LSH finds exactly the hamming<=3 same-kind pairs") {
+    val rows = graft.SparkEntry.defs("q_mm_neardup").build(spark, sf()).collect()
+    assert(rows.nonEmpty, "re-ingest crawl should contain near-dup payloads")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b"))
+      val hd = r.getAs[Int]("hamming")
+      assert(hd >= 0 && hd <= Multimodal.PH_MAX_HAMMING)
+      assert(java.lang.Long.bitCount(
+        r.getAs[Long]("ph_a") ^ r.getAs[Long]("ph_b")) == hd)
+    }
+    // pigeonhole completeness: brute force over ALL same-kind signature
+    // pairs must find nothing the 15-bit block join missed
+    val ph = Multimodal.perceptualHashes(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val brute = (for {
+      (a, ka, pa) <- ph; (b, kb, pb) <- ph
+      if a < b && ka == kb &&
+        java.lang.Long.bitCount(pa ^ pb) <= Multimodal.PH_MAX_HAMMING
+    } yield (a, b)).toSet
+    // the query runs on the re-ingest crawl, so compare its original-only
+    // subset against the original-only brute force
+    val found = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .filter { case (a, b) => a < 999999 && b < 999999 }.toSet
+    assert(found == brute)
+    // signatures sit in the 60-bit budget (block shifts stay in range)
+    ph.foreach { case (_, _, p) => assert(p >= 0 && p < (1L << 60)) }
+  }
+
+  test("incremental IVF assignment partitions the corpus and counts the batch") {
+    val rows = graft.SparkEntry.defs("q_sim_incremental").build(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val emb = spark.read.parquet(sf() + "/embeddings.parquet")
+      .filter(size(col("embedding")) > 0)
+    val total = emb.count()
+    val batch = emb.filter(expr("vec_id % 10 = 7")).count()
+    assert(rows.map(r => r.getAs[Long]("n_index") + r.getAs[Long]("n_new")).sum == total)
+    assert(rows.map(_.getAs[Long]("n_new")).sum == batch)
+    rows.foreach { r =>
+      val share = r.getAs[Double]("new_share")
+      assert(share >= 0.0 && share <= 1.0)
+    }
+  }
+
+  test("ngram array verify equals the row-level join verify") {
+    // the shipped q_dedup_ngram runs the sorted-array + native-intersect
+    // verify; rebuild the original cand⋈shingles⋈shingles formulation
+    // here and require identical (pair, ni, jac) rows
+    val sh = TextOps.wordShingleHashes(spark, sf(), 4)
+    val buckets = sh.groupBy("sh")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .filter(size(col("ds")).between(2, 5))
+    val cand = buckets.select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b")).distinct()
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+    val joinForm = cand
+      .join(sh.select(col("doc_id").as("doc_a"), col("sh")), "doc_a")
+      .join(sh.select(col("doc_id").as("doc_b"), col("sh")), Seq("doc_b", "sh"))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("ni"))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("ns").as("ns_a")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("ns").as("ns_b")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("ni"),
+        round(col("ni").cast("double") / (col("ns_a") + col("ns_b") - col("ni")), 6)
+          .as("jac"))
+      .filter(col("jac") >= 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    val arrayForm = graft.SparkEntry.defs("q_dedup_ngram").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(arrayForm.nonEmpty)
+    assert(arrayForm == joinForm)
+  }
 }
