@@ -56,6 +56,24 @@ object Profile {
           bandBits = bits.toInt, numBands = 2))
       case s"dev:ivf$k" if k.matches("\\d+") =>
         time(s"dev:ivf$k", ext.IvfQueries.ivfTopK(spark, sfDir, k = k.toInt))
+      // ngram-dedup stage probes: shingle hashing alone, then the
+      // bucket/candidate stage alone (collect_list buckets + pair explode)
+      case "dev:ngram_sh" =>
+        time("dev:ngram_sh", ext.TextOps.wordShingleHashes(spark, sfDir, 4))
+      case "dev:ngram_cand" =>
+        time("dev:ngram_cand", {
+          import org.apache.spark.sql.functions._
+          val sh = ext.TextOps.wordShingleHashes(spark, sfDir, 4)
+          val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2 && col("df") <= 5)
+            .select("sh")
+          sh.join(rare, "sh")
+            .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+            .select(explode(col("ds")).as("doc_a"), col("ds"))
+            .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+            .filter(col("doc_a") < col("doc_b"))
+            .distinct()
+        })
       case name =>
         time(name, SparkEntry.defs(name).build(spark, sfDir))
     }

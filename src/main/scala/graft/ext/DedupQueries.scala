@@ -701,10 +701,16 @@ object DedupQueries {
       // (SCALING.md r8). Pair set and (ni, jac) are unchanged, so the
       // oracle SQL keeps the join formulation.
       val sh = TextOps.wordShingleHashes(spark, d, NGRAM_K)
-      val buckets = sh.groupBy("sh")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .filter(size(col("ds")).between(2, MAX_DF))
-      val cand = buckets
+      // df counts FIRST (map-side-combinable longs — collecting doc
+      // lists up front builds thousand-element arrays for every hot
+      // shingle just to discard them at the size filter: 91s vs this
+      // two-phase form at the 100× probe), then doc lists only for the
+      // ≤MAX_DF rare buckets, exploded into pairs
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= MAX_DF)
+        .select("sh")
+      val cand = sh.join(rare, "sh")
+        .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
         .select(explode(col("ds")).as("doc_a"), col("ds"))
         .select(col("doc_a"), explode(col("ds")).as("doc_b"))
         .filter(col("doc_a") < col("doc_b"))
