@@ -48,6 +48,16 @@ object Verify {
       .filter { case (k, _) => wanted(k) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Testdata fingerprint (size + mtime per parquet) as seen AT DUMP
+    // TIME: when a driver hash compare later disagrees with a local
+    // re-verify, this resolves regenerated-testdata drift vs a real
+    // hash bug in one look (the r6/r7 ambiguity — q_scd2 post-mortem).
+    val fp = new java.io.File(sfDir).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => s"${q(f.getName)}: {\"bytes\": ${f.length}, " +
+        s"\"mtime_ms\": ${f.lastModified}}")
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/testdata_fingerprint.json"), fp)
     spark.stop()
   }
 }
