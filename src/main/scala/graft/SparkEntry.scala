@@ -23,6 +23,7 @@ object SparkEntry {
     ext.BpeQueries.defs,
     ext.PackQueries.defs,
     ext.DedupQueries.defs,
+    ext.CorpusQueries.defs,
     ext.SimilarityQueries.defs,
     ext.Multimodal.defs,
     ext.MmdRbf.defs,

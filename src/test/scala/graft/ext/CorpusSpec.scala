@@ -1,0 +1,79 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the corpus-health operators (CorpusQueries) at
+  * sf0.001: substring-window dedup vs a JVM brute force, the Bloom
+  * decontamination twin vs a plain exact plan, and PSI bookkeeping.
+  */
+class CorpusSpec extends SparkSpec {
+
+  test("q_substr_dup matches a code-point-exact JVM brute force") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    // windows by CODE POINTS (Spark length/substring semantics; the
+    // corpus includes zh docs where chars != UTF-16 units)
+    def windows(text: String): Set[String] = {
+      val cp = text.codePoints().toArray
+      if (cp.length < 40) Set.empty
+      else (0 to (cp.length - 40) / 10).map { k =>
+        new String(cp, k * 10, 40)
+      }.toSet
+    }
+    val perDoc = docs.map { case (id, t) => id -> windows(t) }.toMap
+    val df = new scala.collection.mutable.HashMap[String, Int]
+    perDoc.values.foreach(_.foreach(w => df(w) = df.getOrElse(w, 0) + 1))
+    val expected = perDoc.toSeq
+      .map { case (id, ws) =>
+        (id, ws.size.toLong, ws.count(df(_) > 1).toLong)
+      }
+      .filter(_._3 > 0)
+      .sortBy(_._1)
+    val got = graft.SparkEntry.defs("q_substr_dup").build(spark, sf())
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_windows"),
+        r.getAs[Long]("n_dup")))
+      .toSeq
+    assert(expected.nonEmpty, "fixture should contain cross-doc repeats")
+    assert(got == expected)
+  }
+
+  test("bloom decontamination equals the plain exact plan") {
+    val sh = TextOps.wordShingleHashes(spark, sf(), 5)
+    val ev = sh.filter(col("doc_id") % 7 === 0).select("sh").distinct()
+      .withColumn("hit", lit(1L))
+    val exact = sh.filter(col("doc_id") % 7 =!= 0)
+      .join(ev, Seq("sh"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"), count(col("hit")).as("n_shared"))
+      .filter(col("n_shared") > 0)
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_shared"))).toSet
+    val bloom = graft.SparkEntry.defs("q_decontaminate_bloom")
+      .build(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_shingles"),
+        r.getAs[Long]("n_shared"))).toSet
+    assert(exact.nonEmpty, "fixture should contain contaminated docs")
+    assert(bloom == exact)
+  }
+
+  test("PSI side counts partition the corpus and terms are non-negative") {
+    val rows = graft.SparkEntry.defs("q_drift_psi").build(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val total = spark.read.parquet(sf() + "/documents.parquet").count()
+    assert(rows.map(r =>
+      r.getAs[Long]("c_a") + r.getAs[Long]("c_b")).sum == total)
+    // (p-q)ln(p/q) >= 0 always; totals column constant across rows
+    rows.foreach { r =>
+      assert(r.getAs[Double]("psi_term") >= 0.0)
+      assert(r.getAs[Double]("psi_total") == rows.head.getAs[Double]("psi_total"))
+    }
+    // psi_total is the micro-unit sum of the per-bucket terms
+    val t6 = rows.map(r => math.round(r.getAs[Double]("psi_term") * 1e6)).sum
+    assert(math.abs(rows.head.getAs[Double]("psi_total") - t6 / 1e6) < 2e-5)
+  }
+}
