@@ -24,6 +24,7 @@ object SparkEntry {
     ext.PackQueries.defs,
     ext.DedupQueries.defs,
     ext.CorpusQueries.defs,
+    ext.AssocQueries.defs,
     ext.SimilarityQueries.defs,
     ext.Multimodal.defs,
     ext.MmdRbf.defs,
