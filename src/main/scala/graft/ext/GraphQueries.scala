@@ -42,6 +42,61 @@ object GraphQueries {
   private val DAMP_NUM = 85L // damping d = 0.85 as the ratio 85/100
   private val DAMP_DEN = 100L
 
+  /** q_ppr seed rule: every 10th customer (by key) is in the seed
+    * cohort. Teleport and dangling mass return ONLY to seeds, so the
+    * stationary mass concentrates on the cohort's neighborhood — the
+    * candidate-generation read of PPR (suppliers ranked by aggregated
+    * seed preference).
+    */
+  private val PPR_SEED_MOD = 10L
+
+  private def duckPprIter(t: Int): String =
+    s"""sh$t AS (
+       |  SELECT e.dst AS node, CAST(SUM(r.r // o.od) AS BIGINT) AS contrib
+       |  FROM edges e JOIN r${t - 1} r ON r.node = e.src
+       |  JOIN outdeg o ON o.src = e.src
+       |  GROUP BY e.dst
+       |), dg$t AS (
+       |  SELECT CAST(COALESCE(SUM(r.r), 0) AS BIGINT) AS dg
+       |  FROM r${t - 1} r LEFT JOIN outdeg o ON o.src = r.node
+       |  WHERE o.src IS NULL
+       |), r$t AS (
+       |  SELECT n0.node,
+       |    CASE WHEN sd.node IS NULL THEN 0
+       |         ELSE ($DAMP_DEN - $DAMP_NUM) * $SCALE // ($DAMP_DEN * ns.s)
+       |    END
+       |    + ($DAMP_NUM * (COALESCE(s.contrib, 0)
+       |        + CASE WHEN sd.node IS NULL THEN 0 ELSE dg$t.dg // ns.s END))
+       |      // $DAMP_DEN AS r
+       |  FROM nodes n0 LEFT JOIN sh$t s ON s.node = n0.node
+       |  LEFT JOIN seeds sd ON sd.node = n0.node
+       |  CROSS JOIN ns CROSS JOIN dg$t
+       |)""".stripMargin
+
+  private val pprSql: String =
+    s"""WITH edges_raw AS (
+       |  SELECT DISTINCT o_custkey AS ck, l_suppkey AS sk
+       |  FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+       |), edges AS (
+       |  SELECT 'c' || CAST(ck AS VARCHAR) AS src,
+       |         's' || CAST(sk AS VARCHAR) AS dst FROM edges_raw
+       |), nodes AS (
+       |  SELECT src AS node FROM edges UNION SELECT dst FROM edges
+       |), outdeg AS (
+       |  SELECT src, COUNT(*) AS od FROM edges GROUP BY src
+       |), seeds AS (
+       |  SELECT DISTINCT 'c' || CAST(ck AS VARCHAR) AS node
+       |  FROM edges_raw WHERE ck % $PPR_SEED_MOD = 0
+       |), ns AS (SELECT COUNT(*) AS s FROM seeds),
+       |r0 AS (
+       |  SELECT n0.node,
+       |    CASE WHEN sd.node IS NULL THEN 0 ELSE $SCALE // ns.s END AS r
+       |  FROM nodes n0 LEFT JOIN seeds sd ON sd.node = n0.node CROSS JOIN ns
+       |),
+       |${(1 to ITERS).map(duckPprIter).mkString(",\n")}
+       |SELECT node, r AS ppr_fp FROM r$ITERS WHERE r > 0
+       |ORDER BY ppr_fp DESC, node""".stripMargin
+
   private def duckIter(t: Int): String =
     s"""sh$t AS (
        |  SELECT e.dst AS node, CAST(SUM(r.r // o.od) AS BIGINT) AS contrib
@@ -127,6 +182,16 @@ object GraphQueries {
   val defs: Map[String, QueryDef] = Map(
     "q_pagerank" -> QueryDef(pagerankSql) { (spark, d) => pagerank(spark, d) },
 
+    // ---- personalized PageRank from a seed cohort — the
+    //      candidate-generation read (mass concentrates on the cohort's
+    //      purchase neighborhood). Same fixed-point/one-shuffle-per-
+    //      round machinery as q_pagerank; the differences ARE the
+    //      operator: r0 lives only on seeds, and teleport + dangling
+    //      mass return ONLY to seeds (the "with restart" semantics), so
+    //      unreached nodes stay exactly 0 and the output is the
+    //      reachable neighborhood, not the whole graph ----
+    "q_ppr" -> QueryDef(pprSql) { (spark, d) => ppr(spark, d) },
+
     // ---- triangle counting with degree-ordered orientation over the
     //      supplier co-purchase projection. The two 100 TB guards ARE
     //      the operator: (1) the projection's per-hub quadratic blowup
@@ -204,6 +269,74 @@ object GraphQueries {
         col("n_triangles"),
         round(col("n_triangles").cast("double") / col("n_wedges"), 6)
           .as("closure_ratio"))
+  }
+
+  /** Personalized PageRank (see q_ppr entry). Long node ids and the
+    * pay-the-shuffle-once edge layout are identical to [[pagerank]];
+    * seeds carry the entire teleport/restart mass.
+    */
+  private def ppr(spark: SparkSession, d: String): DataFrame = {
+    val edges = Tables.orders(spark, d)
+      .join(Tables.lineitem(spark, d),
+        col("l_orderkey") === col("o_orderkey"))
+      .select((col("o_custkey") * 2).as("src"),
+        (col("l_suppkey") * 2 + 1).as("dst"))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst").as("node")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val seeds = edges
+      .filter(expr(s"(src div 2) % $PPR_SEED_MOD = 0"))
+      .select(col("src").as("node")).distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val ns = seeds.count()
+    val teleSeed = (DAMP_DEN - DAMP_NUM) * SCALE / (DAMP_DEN * ns)
+    val danglers = nodes
+      .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    val srcRanked = edges.join(outdeg, "src")
+      .repartition(col("src"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    var ranks = nodes
+      .join(seeds.withColumn("sd", lit(1)), Seq("node"), "left")
+      .select(col("node"),
+        when(col("sd").isNotNull, lit(SCALE / ns)).otherwise(lit(0L))
+          .cast("long").as("r"))
+      .localCheckpoint()
+    for (_ <- 1 to ITERS) {
+      val dang = ranks.join(danglers, "node", "left_semi")
+        .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
+      val contrib = srcRanked
+        .join(ranks.withColumnRenamed("node", "src"), "src")
+        .select(col("dst").as("node"), expr("r div od").as("share"))
+        .groupBy("node").agg(sum(col("share")).as("contrib"))
+      ranks = nodes
+        .join(contrib, Seq("node"), "left")
+        .join(seeds.withColumn("sd", lit(1)), Seq("node"), "left")
+        .select(col("node"),
+          (when(col("sd").isNotNull, lit(teleSeed)).otherwise(lit(0L)) +
+            expr(s"""($DAMP_NUM * (coalesce(contrib, CAST(0 AS BIGINT))
+                    | + CASE WHEN sd IS NOT NULL THEN ${dang / ns}
+                    |        ELSE CAST(0 AS BIGINT) END)) div $DAMP_DEN"""
+              .stripMargin))
+            .cast("long").as("r"))
+        .localCheckpoint()
+    }
+    edges.unpersist(false)
+    nodes.unpersist(false)
+    seeds.unpersist(false)
+    danglers.unpersist(false)
+    srcRanked.unpersist(false)
+    ranks.filter(col("r") > 0)
+      .select(
+        concat(when(col("node") % 2 === 0, "c").otherwise("s"),
+          expr("(node div 2)").cast("string")).as("node"),
+        col("r").as("ppr_fp"))
+      .orderBy(col("ppr_fp").desc, col("node"))
   }
 
   private def pagerank(spark: SparkSession, d: String): DataFrame = {

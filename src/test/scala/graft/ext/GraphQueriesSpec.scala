@@ -97,4 +97,27 @@ class GraphQueriesSpec extends SparkSpec {
     assert(nEdges == edges.size.toLong, s"edges $nEdges vs ${edges.size}")
     assert(nTri == tri, s"triangles $nTri vs brute-force $tri")
   }
+
+  test("ppr mass lives only on seeds and their supplier neighborhood") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.defs("q_ppr").build(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val edges = spark.read.parquet(sf() + "/orders.parquet")
+      .join(spark.read.parquet(sf() + "/lineitem.parquet"),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
+      .distinct().collect().map(r => (r.getLong(0), r.getLong(1)))
+    val seedSuppliers = edges.filter(_._1 % 10 == 0).map(_._2).toSet
+    rows.foreach { r =>
+      val node = r.getAs[String]("node")
+      if (node.startsWith("c"))
+        assert(node.drop(1).toLong % 10 == 0, s"non-seed customer $node > 0")
+      else
+        assert(seedSuppliers(node.drop(1).toLong), s"unreachable supplier $node")
+    }
+    // restart mass conserves within per-node floor losses
+    val total = rows.map(_.getAs[Long]("ppr_fp")).sum
+    assert(total <= GraphQueries.SCALE)
+    assert(total > GraphQueries.SCALE * 9 / 10, s"mass leak: $total")
+  }
 }
