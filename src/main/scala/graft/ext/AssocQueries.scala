@@ -22,6 +22,49 @@ object AssocQueries {
     */
   private val MINSUP = 3
   private val TOP_PAIRS = 100
+  private val KNN_K = 5
+
+  /** Per-item interaction counts for domain 'x'. */
+  private def itemCounts(spark: org.apache.spark.sql.SparkSession, d: String) =
+    Interactions.cached(spark, d)
+      .filter(col("domain") === "x").select("user_id", "item_id")
+      .groupBy("item_id").agg(count(lit(1)).as("n"))
+
+  /** Qualifying co-occurrence pairs (item_a < item_b, c_ab ≥ MINSUP),
+    * persisted once per (session, scale dir) — q_item_cooc and
+    * q_item_knn share the pair-generation subtree (the expensive
+    * Σ C(d,2) stream), so the second consumer runs at steady-state cost
+    * (the q_candidates memoization rule). Pair generation: ONE
+    * user-keyed shuffle collects each user's (pruned, sorted) item
+    * list, then C(d,2) ordered pairs explode in a narrow positional
+    * pass — the q_triangles adjacency trick. This replaces the naive
+    * self-join (TWO shuffles of the full interaction log + a wide join)
+    * and ships bare 16-byte pair keys into the count agg; dimension
+    * attributes attach afterwards on the ~10³× smaller qualifying set.
+    */
+  private def qualifyingPairs(spark: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame =
+    pairCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d", {
+      val i = Interactions.cached(spark, d)
+        .filter(col("domain") === "x").select("user_id", "item_id")
+      i.join(itemCounts(spark, d).filter(col("n") >= MINSUP)
+            .select("item_id"), Seq("item_id"), "left_semi")
+        .groupBy("user_id")
+        .agg(sort_array(collect_list("item_id")).as("items"))
+        .filter(size(col("items")) >= 2)
+        .select(explode(expr(
+          """flatten(transform(items, (x, ix) ->
+            |  transform(slice(items, ix + 2, size(items) - ix - 1),
+            |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
+          .as("p"))
+        .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+        .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= MINSUP)
+        .persist()
+    })
+
+  private val pairCache =
+    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]
 
   val defs: Map[String, QueryDef] = Map(
 
@@ -56,20 +99,15 @@ object AssocQueries {
          |FROM p, u
          |ORDER BY lift DESC, item_a, item_b
          |LIMIT $TOP_PAIRS""".stripMargin) { (spark, d) =>
-      val i = Interactions.cached(spark, d)
-        .filter(col("domain") === "x").select("user_id", "item_id")
-      val cnt = i.groupBy("item_id").agg(count(lit(1)).as("n"))
-      val f = i.join(cnt, "item_id").filter(col("n") >= MINSUP)
-      val nu = i.agg(countDistinct("user_id").as("nu"))
-      val pairs = f.select(col("user_id"), col("item_id").as("item_a"),
-          col("n").as("n_a"))
-        .join(f.select(col("user_id"), col("item_id").as("item_b"),
-          col("n").as("n_b")), "user_id")
-        .filter(col("item_a") < col("item_b"))
-        .groupBy("item_a", "item_b")
-        .agg(count(lit(1)).as("c_ab"),
-          first("n_a").as("n_a"), first("n_b").as("n_b"))
-        .filter(col("c_ab") >= MINSUP)
+      val cnt = itemCounts(spark, d)
+      val nu = Interactions.cached(spark, d)
+        .filter(col("domain") === "x")
+        .agg(countDistinct("user_id").as("nu"))
+      val pairs = qualifyingPairs(spark, d)
+        .join(cnt.select(col("item_id").as("item_a"), col("n").as("n_a")),
+          "item_a")
+        .join(cnt.select(col("item_id").as("item_b"), col("n").as("n_b")),
+          "item_b")
       pairs.crossJoin(broadcast(nu))
         .select(col("item_a"), col("item_b"), col("c_ab"),
           col("n_a"), col("n_b"),
@@ -77,6 +115,62 @@ object AssocQueries {
             / (col("n_a") * col("n_b")), 6).as("lift"))
         .orderBy(col("lift").desc, col("item_a"), col("item_b"))
         .limit(TOP_PAIRS)
+    },
+
+    // ---- q_item_knn: per-item top-K neighbor lists by binary cosine
+    //      sim = c_ab / sqrt(n_a·n_b) — the item-based CF model the
+    //      co-occurrence counts exist to feed. Same bounded pair
+    //      pipeline as q_item_cooc; the symmetric expansion and the
+    //      per-item rank window run on the POST-aggregation pair set
+    //      (~10³× smaller than the pair stream), and rank ≤ K plans as
+    //      WindowGroupLimit (top-K state per item, no stratum sort
+    //      materialization). sqrt is IEEE-correctly-rounded in both
+    //      engines over an exact integer product, so round(6) + the
+    //      (sim, item_b) total order replays bit-exact ----
+    "q_item_knn" -> QueryDef(
+      s"""WITH ${Interactions.duckCte},
+         |i AS (SELECT user_id, item_id FROM interactions WHERE domain = 'x'),
+         |cnt AS (SELECT item_id, COUNT(*) AS n FROM i GROUP BY item_id),
+         |f AS (SELECT user_id, i.item_id FROM i
+         |      JOIN cnt ON cnt.item_id = i.item_id WHERE n >= $MINSUP),
+         |p AS (
+         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS c_ab
+         |  FROM f a JOIN f b ON a.user_id = b.user_id AND a.item_id < b.item_id
+         |  GROUP BY 1, 2 HAVING COUNT(*) >= $MINSUP
+         |), sym AS (
+         |  SELECT item_a, item_b, c_ab FROM p
+         |  UNION ALL
+         |  SELECT item_b, item_a, c_ab FROM p
+         |), scored AS (
+         |  SELECT item_a, item_b, c_ab,
+         |    round(CAST(c_ab AS DOUBLE)
+         |          / sqrt(CAST(ca.n AS DOUBLE) * cb.n), 6) AS sim
+         |  FROM sym JOIN cnt ca ON ca.item_id = item_a
+         |           JOIN cnt cb ON cb.item_id = item_b
+         |)
+         |SELECT item_a, item_b, c_ab, sim, rn FROM (
+         |  SELECT *, CAST(row_number() OVER (PARTITION BY item_a
+         |    ORDER BY sim DESC, item_b) AS INT) AS rn
+         |  FROM scored)
+         |WHERE rn <= $KNN_K
+         |ORDER BY item_a, rn""".stripMargin) { (spark, d) =>
+      val cnt = itemCounts(spark, d)
+      val p = qualifyingPairs(spark, d)
+      val sym = p.unionAll(p.select(col("item_b").as("item_a"),
+        col("item_a").as("item_b"), col("c_ab")))
+      val scored = sym
+        .join(cnt.select(col("item_id").as("item_a"), col("n").as("na")),
+          "item_a")
+        .join(cnt.select(col("item_id").as("item_b"), col("n").as("nb")),
+          "item_b")
+        .select(col("item_a"), col("item_b"), col("c_ab"),
+          round(col("c_ab").cast("double")
+            / sqrt(col("na").cast("double") * col("nb")), 6).as("sim"))
+      scored
+        .withColumn("rn", row_number().over(Window.partitionBy("item_a")
+          .orderBy(col("sim").desc, col("item_b"))))
+        .filter(col("rn") <= KNN_K)
+        .orderBy("item_a", "rn")
     },
 
     // ---- q_markov_trans: first-order event-type transition matrix.

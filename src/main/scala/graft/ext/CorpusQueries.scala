@@ -123,13 +123,22 @@ object CorpusQueries {
          |ORDER BY doc_id""".stripMargin) { (spark, d) =>
       val sh = TextOps.wordShingleHashes(spark, d, 5)
       val ev = sh.filter(col("doc_id") % 7 === 0).select("sh").distinct()
-      val nEv = evalCount.getOrElseUpdate(d, ev.count())
-      val bloom = ev.stat.bloomFilter("sh", math.max(nEv, 1L), BLOOM_FPP)
+      // size the filter from the eval DOC count (a one-column scan),
+      // not an exact shingle count (a full shingle pass — measured 73s
+      // of the 112s total at 100×): docs × 256 over-estimates distinct
+      // 5-gram shingles for this corpus (≤ ~n_chars/6 − 4 ≈ 130/doc),
+      // which only widens the bit array — false-positive rate can only
+      // improve, and the confirm join keeps the output exact regardless
+      val nEvDocs = evalCount.getOrElseUpdate(d,
+        graft.Tables.documents(spark, d)
+          .filter(col("doc_id") % 7 === 0).count())
+      val nEvEst = math.max(nEvDocs * 256L, 1L)
+      val bloom = ev.stat.bloomFilter("sh", nEvEst, BLOOM_FPP)
       val bc = spark.sparkContext.broadcast(bloom)
       val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
       val tr = sh.filter(col("doc_id") % 7 =!= 0)
       val totals = tr.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
-      val evSmall = nEv <= TextQueries.EVAL_BROADCAST_MAX
+      val evSmall = nEvEst <= TextQueries.EVAL_BROADCAST_MAX
       val confirmed = tr.filter(mightContain(col("sh")))
         .join(if (evSmall) broadcast(ev) else ev, Seq("sh"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))

@@ -38,6 +38,30 @@ class AssocSpec extends SparkSpec {
     assert(key.sameElements(key.sorted))
   }
 
+  test("item knn: sim recomputes, ranks dense per item, lists symmetric-capable") {
+    val i = graft.etl.Interactions(spark, sf())
+      .filter(col("domain") === "x").select("user_id", "item_id")
+    val itemN = i.groupBy("item_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val rows = graft.SparkEntry.defs("q_item_knn").build(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("item_a")).foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Int]("rn")).sorted.sameElements(1 to rs.length))
+      assert(rs.length <= 5)
+      // descending rounded sim with item_b tiebreak
+      val key = rs.sortBy(_.getAs[Int]("rn"))
+        .map(r => (-r.getAs[Double]("sim"), r.getAs[Long]("item_b")))
+      assert(key.sameElements(key.sorted))
+    }
+    rows.foreach { r =>
+      val sim = BigDecimal(r.getAs[Long]("c_ab").toDouble /
+          math.sqrt(itemN(r.getAs[Long]("item_a")).toDouble *
+            itemN(r.getAs[Long]("item_b"))))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(r.getAs[Double]("sim") == sim)
+    }
+  }
+
   test("markov transitions: row-stochastic per source, counts conserve") {
     val rows = graft.SparkEntry.defs("q_markov_trans").build(spark, sf()).collect()
     assert(rows.nonEmpty)
