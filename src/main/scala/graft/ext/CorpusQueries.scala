@@ -149,6 +149,57 @@ object CorpusQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q_integrity: referential-integrity validation — the
+    //      constraint-check stage every ingest pipeline runs before
+    //      publishing a snapshot (orphaned children mean a partial or
+    //      torn upstream export). One row per FK relationship:
+    //      child count, orphan count (parent key missing), orphan
+    //      fraction. Each check is ONE left join keyed on an 8-byte
+    //      column + a 1-row aggregate; Catalyst broadcasts the small
+    //      dimension parents (nation) and shuffle-joins the fact-sized
+    //      ones — exactly the per-relationship cost floor. The DISTINCT
+    //      on parent keys makes the row-count contract independent of
+    //      parent-side duplication ----
+    "q_integrity" -> QueryDef(
+      s"""${Seq(
+           ("customer->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+           ("events->customer", "events", "user_id", "customer", "c_custkey"),
+           ("lineitem->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+           ("orders->customer", "orders", "o_custkey", "customer", "c_custkey"),
+           ("supplier->nation", "supplier", "s_nationkey", "nation", "n_nationkey"))
+        .map { case (name, c, ck, p, pk) =>
+          s"""SELECT '$name' AS rel, COUNT(*) AS n_child,
+             |  CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             |    AS n_orphan,
+             |  round(CAST(SUM(CASE WHEN pk IS NULL THEN 1 ELSE 0 END)
+             |             AS DOUBLE) / COUNT(*), 6) AS orphan_frac
+             |FROM $c LEFT JOIN (SELECT DISTINCT $pk AS pk FROM $p) par
+             |  ON par.pk = $c.$ck""".stripMargin }
+        .mkString("\nUNION ALL\n")}
+         |ORDER BY rel""".stripMargin) { (spark, d) =>
+      def check(name: String, child: org.apache.spark.sql.DataFrame,
+          ck: String, parent: org.apache.spark.sql.DataFrame, pk: String) =
+        child.select(col(ck).as("k"))
+          .join(parent.select(col(pk).as("k")).distinct()
+            .withColumn("hit", lit(1)), Seq("k"), "left")
+          .agg(count(lit(1)).as("n_child"),
+            sum(when(col("hit").isNull, 1L).otherwise(0L)).as("n_orphan"))
+          .select(lit(name).as("rel"), col("n_child"), col("n_orphan"),
+            round(col("n_orphan").cast("double") / col("n_child"), 6)
+              .as("orphan_frac"))
+      check("customer->nation", Tables.customer(spark, d), "c_nationkey",
+          Tables.nation(spark, d), "n_nationkey")
+        .unionAll(check("events->customer", Tables.events(spark, d),
+          "user_id", Tables.customer(spark, d), "c_custkey"))
+        .unionAll(check("lineitem->orders", Tables.lineitem(spark, d),
+          "l_orderkey", Tables.orders(spark, d), "o_orderkey"))
+        .unionAll(check("orders->customer", Tables.orders(spark, d),
+          "o_custkey", Tables.customer(spark, d), "c_custkey"))
+        .unionAll(check("supplier->nation", Tables.supplier(spark, d),
+          "s_nationkey", Tables.nation(spark, d), "n_nationkey"))
+        .orderBy("rel")
+    },
+
     // ---- q_drift_psi: population stability index between two corpus
     //      snapshots (here the deterministic doc_id parity split; in
     //      production, yesterday's crawl vs today's) over the n_chars

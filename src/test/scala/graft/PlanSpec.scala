@@ -225,4 +225,31 @@ class PlanSpec extends SparkSpec {
     assert(shuffles(p) <= 3, // interactions distinct + window + output sort
       s"sequence windower grew extra shuffles:\n$p")
   }
+
+  test("item cooc takes its top-100 without a full sort and never cross-joins pairs") {
+    // the only crossJoin is the broadcast 1-row user count; pair
+    // generation must stay the positional explode (one user-keyed
+    // aggregate), never a Cartesian pair join
+    val p = plan("q_item_cooc")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"top-100 must be TakeOrderedAndProject:\n$p")
+    assert(!p.contains("CartesianProduct"), s"pair cross join leaked:\n$p")
+  }
+
+  test("item knn rank filter rewrites to WindowGroupLimit") {
+    // rn <= K over billions of (item, neighbor) candidates must keep
+    // O(K) state per item — a full stratum sort is the 100 TB failure
+    val p = plan("q_item_knn")
+    assert(p.contains("WindowGroupLimit"),
+      s"knn rank filter did not rewrite to WindowGroupLimit:\n$p")
+  }
+
+  test("substring dedup shuffles fixed-width keys, never text") {
+    // every exchange below the per-doc rollup must carry (doc_id, wh)
+    // longs — the window text itself dies inside the scan's project
+    val p = plan("q_substr_dup")
+    assert(!p.contains("CartesianProduct"), s"window join degenerated:\n$p")
+    val exchanges = """Arguments: hashpartitioning\([^)]*text""".r.findAllIn(p).size
+    assert(exchanges == 0, s"text column reached a shuffle:\n$p")
+  }
 }
