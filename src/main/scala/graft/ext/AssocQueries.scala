@@ -69,12 +69,11 @@ object AssocQueries {
   val defs: Map[String, QueryDef] = Map(
 
     // ---- q_item_cooc: item-item co-occurrence + lift, domain 'x'.
-    //      Plan: per-user self-join generates ordered pairs — Σ C(d,2)
-    //      rows, keyed by user_id so Catalyst shuffles each side once on
-    //      an 8-byte key; the a-priori item prune (n ≥ MINSUP) runs
-    //      before pair-gen, and degree skew is the q_triangles class
-    //      (power users bound pair volume; the same cap/salt strategy
-    //      applies — SCALING.md). lift = c_ab·N/(n_a·n_b) is a ratio of
+    //      Plan: the memoized [[qualifyingPairs]] stream (one user-keyed
+    //      shuffle + positional C(d,2) explode; Σ C(d,2) rows of bare
+    //      16-byte keys); degree skew is the q_triangles class (power
+    //      users bound pair volume; the same cap/salt strategy applies —
+    //      SCALING.md). lift = c_ab·N/(n_a·n_b) is a ratio of
     //      exact integers, so double division + round(6) is
     //      bit-reproducible cross-engine; the final top-100 is a
     //      TakeOrderedAndProject (never a full sort) with the rounded

@@ -391,6 +391,49 @@ object SimilarityQueries {
       .orderBy("vec_id")
   }
 
+  /** Vector-count ceiling for EXACT all-pairs near-dup inside
+    * [[embedNearDupAuto]]: the O(n²d) pair scan is the r7-documented
+    * exactness anchor, but past ~10⁵ vectors the quadratic is the whole
+    * runtime (333s of q_dedup_embed_cluster's 100× probe), so the
+    * cluster assembly switches to LSH-banded candidates + exact verify —
+    * the same count-driven dial rule as q_sim_lsh/q_sim_ivf (the exact
+    * form stays the oracle-gated anchor at sf0.01-0.1).
+    */
+  val EMBED_PAIR_EXACT_MAX: Long = 100000L
+
+  /** Near-dup pairs with the candidate strategy chosen by corpus count:
+    * exact all-pairs under [[EMBED_PAIR_EXACT_MAX]] (bit-identical to
+    * the oracle), LSH-banded candidates + exact cosine verify above it.
+    * The LSH branch misses a pair only when the two vectors disagree in
+    * BOTH bands (hyperplane sign flips — unlikely at the ≥ 0.4-cosine
+    * threshold and impossible for the identical-vector duplicates that
+    * dominate real corpora); every RETURNED pair carries an exact
+    * verified cosine either way.
+    */
+  def embedNearDupAuto(spark: org.apache.spark.sql.SparkSession, d: String,
+      maxExact: Long = EMBED_PAIR_EXACT_MAX)
+      : org.apache.spark.sql.DataFrame = {
+    val n = VectorOps.corpusSize(spark, d)
+    if (n <= maxExact) return embedNearDup(spark, d)
+    val numBands = 2
+    val bandBits = VectorOps.lshBandBitsFor(n)
+    val sigs = sparkSigs(spark, d, numPlanes = bandBits * numBands)
+    val bands = sigs
+      .withColumn("bi", explode(sequence(lit(0), lit(numBands - 1))))
+      .select(col("vec_id"), col("bi"),
+        expr(s"shiftright(sig, $bandBits * bi) % ${1 << bandBits}").as("blk"))
+    val cand = bands.as("a")
+      .join(bands.as("b"),
+        col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
+      .distinct()
+    VectorOps.cosineAuto(spark, d, cand)
+      .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+      .filter(col("cos") >= NEAR_DUP_COS)
+  }
+
   /** Exact all-pairs near-dup, corpus-size aware like [[bruteForceTopK]]:
     * broadcast-matrix partition loop under the ceiling, distributed pair
     * join beyond it (LSH bucketing — q_sim_lsh's shape — is the real
@@ -791,7 +834,7 @@ object SimilarityQueries {
          |FROM comp GROUP BY cluster_id
          |ORDER BY cluster_id""".stripMargin) { (spark, d) =>
       DedupCluster.connectedComponents(
-          embedNearDup(spark, d)
+          embedNearDupAuto(spark, d)
             .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"),

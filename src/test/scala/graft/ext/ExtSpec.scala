@@ -62,6 +62,46 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("LSH near-dup branch returns only exact-verified pairs with full identical-pair recall") {
+    // force the scale branch (maxExact=0) at fixture size and compare
+    // against the exact generator: every LSH pair must appear in the
+    // exact set with the same cosine (candidates are exactly verified),
+    // and every cos=1.0 pair (identical vectors — the duplicates that
+    // dominate real corpora) must be found (identical vectors share
+    // every band signature, so the pigeonhole is deterministic)
+    val exact = SimilarityQueries.embedNearDup(spark, sf()).collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos")).toMap
+    val lsh = SimilarityQueries.embedNearDupAuto(spark, sf(), maxExact = 0L)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos")).toMap
+    assert(lsh.nonEmpty)
+    lsh.foreach { case (k, c) =>
+      assert(exact.get(k).contains(c), s"LSH pair $k not exact-verified") }
+    // identical-vector recall needs identical vectors — the sf0.001
+    // fixture has none, so build one: every base vector duplicated
+    // under a shifted id. Identical vectors share every band signature,
+    // so each (v, v+OFF) pair MUST surface with cos 1.0
+    val OFF = 100000L
+    val tmp = java.nio.file.Files.createTempDirectory("lsh_dup").toString
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    base.unionByName(base.withColumn("vec_id", col("vec_id") + OFF))
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    val dup = SimilarityQueries.embedNearDupAuto(spark, tmp, maxExact = 0L)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b")) ->
+        r.getAs[Double]("cos")).toMap
+    val nonZero = base.collect().filter { r =>
+      r.getAs[scala.collection.Seq[Float]]("embedding")
+        .exists(v => math.round(v.toDouble * 1e7) != 0L) }
+      .map(_.getAs[Long]("vec_id"))
+    assert(nonZero.nonEmpty)
+    nonZero.foreach { id =>
+      assert(dup.get((id, id + OFF)).contains(1.0),
+        s"identical pair ($id, ${id + OFF}) missed by the LSH branch") }
+  }
+
   test("LSH ANN results carry exact cosines for EVERY returned pair") {
     import spark.implicits._
     val lsh = graft.SparkEntry.defs("q_sim_lsh").build(spark, sf()).collect()
