@@ -25,6 +25,7 @@ object SparkEntry {
     ext.DedupQueries.defs,
     ext.CorpusQueries.defs,
     ext.AssocQueries.defs,
+    ext.CurateQueries.defs,
     ext.SimilarityQueries.defs,
     ext.Multimodal.defs,
     ext.MmdRbf.defs,

@@ -1,0 +1,351 @@
+package graft.ext
+
+import graft.{Hashing, QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+/** Corpus-curation operators a production training-data pipeline runs
+  * between dedup and mixture assembly: directional containment dedup
+  * (partial-copy / quote-inclusion detection — the asymmetric case
+  * Jaccard misses), temperature-smoothed per-source sampling quotas
+  * (the multilingual/domain balancing rule), Poisson-bootstrap
+  * confidence intervals (uncertainty for corpus metrics without a
+  * second pass or any data movement), and semi-supervised label
+  * propagation over the near-dup graph (metadata repair: fill missing
+  * labels from duplicate neighbors).
+  *
+  * Reference scope: the reference pipeline (ETL-master main_my.py)
+  * consumes already-curated interaction files; these operators are the
+  * corpus-side preparation stage it presupposes, re-expressed
+  * Spark-first (SURVEY.md §2.11 extension families).
+  */
+object CurateQueries {
+
+  private val M = DecimalType(18, 3)
+  private def dec(c: org.apache.spark.sql.Column) = c.cast(M)
+
+  /** Containment shingle size (word 4-grams — same granularity as
+    * q_dedup_ngram so the two ops share index economics).
+    */
+  private val CONT_K = 4
+
+  /** Candidate-index df cap: only shingles shared by 2..MAX_DF docs
+    * generate pairs (the rare-shingle inverted index; recall argument
+    * in q_dedup_ngram's scaladoc applies unchanged).
+    */
+  private val CONT_MAX_DF = 5
+
+  /** Directional containment threshold: emit (inner, outer) when ≥70%
+    * of the inner doc's shingles appear in the outer doc.
+    */
+  private val CONT_MIN = 0.7
+
+  /** Per-source sampling temperature α = 1/2 (weights ∝ n^α): the
+    * sqrt-smoothing used for multilingual/domain mixture balancing —
+    * big sources are down-weighted, small sources up-weighted,
+    * relative order preserved.
+    */
+  private val QUOTA_BUDGET_DIV = 5 // keep floor(total/5) ≈ 20% of docs
+
+  /** Bootstrap replica count. 32 replicas → CI from the 2nd/31st order
+    * statistics (≈ a 94% interval). Driver-side state is |groups|×32
+    * rows; everything else map-side combines.
+    */
+  private val BOOT_R = 32
+
+  /** Cumulative Poisson(1) CDF boundaries scaled to 2^60, so a 60-bit
+    * uniform hash draws a Poisson weight by integer comparison alone
+    * (w = #{k : h ≥ T_k}, capped at 8; P(w>8) ≈ 1.1e-6). Integer
+    * compares replay bit-exact in any engine — no float RNG parity
+    * risk.
+    */
+  private val POIS_T = Seq(
+    424136118829305329L, 848272237658610659L, 1060340297073263324L,
+    1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
+    1152825534095764625L, 1152909688087595836L)
+
+  /** Directed near-dup edges (u→v, both directions of every verified
+    * MinHash pair) — the label-propagation substrate.
+    */
+  private def dupEdges(spark: SparkSession, d: String): DataFrame = {
+    val vp = DedupQueries
+      .minhashVerifiedPairsWith(spark, d, TextOps.wordShingleHashes(spark, d, 5))
+      .select("doc_a", "doc_b")
+    vp.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionAll(vp.select(col("doc_b").as("u"), col("doc_a").as("v")))
+  }
+
+  /** One majority-vote round: unlabeled (odd doc_id) nodes take the
+    * most common label among their labeled neighbors; ties break by
+    * label ascending, so the round is deterministic.
+    */
+  private def voteRound(edges: DataFrame, labels: DataFrame): DataFrame =
+    edges.filter(col("u") % 2 === 1)
+      .join(labels.select(col("doc_id").as("v"), col("label")), "v")
+      .groupBy("u", "label").agg(count(lit(1)).as("c"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("u").orderBy(col("c").desc, col("label"))))
+      .filter(col("rn") === 1)
+      .select(col("u").as("doc_id"), col("label"))
+
+  val defs: Map[String, QueryDef] = Map(
+
+    // ---- q_dedup_containment: directional shingle containment
+    //      cont(inner→outer) = |S_inner ∩ S_outer| / |S_inner|. Catches
+    //      subset copies (a short doc embedded in a long one) that
+    //      symmetric Jaccard scores near |small|/|large| and misses.
+    //      Same two-phase rare-shingle inverted index as q_dedup_ngram
+    //      (df counts first — bare longs, map-side combinable — doc
+    //      lists only for the ≤MAX_DF buckets), then ONE arrays verify
+    //      with the native sorted-intersect; each unordered pair fans
+    //      out to its ≤2 qualifying directions post-verify. 100 TB:
+    //      identical economics to q_dedup_ngram (SCALING.md r8) — the
+    //      directional fan-out is O(pairs), not O(shingles) ----
+    "q_dedup_containment" -> QueryDef(
+      s"""WITH ${TextOps.duckWordShingleHashesCte(CONT_K)},
+         |rare AS (
+         |  SELECT sh FROM shingles GROUP BY sh
+         |  HAVING COUNT(*) BETWEEN 2 AND $CONT_MAX_DF
+         |), cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM shingles a
+         |  JOIN rare r ON a.sh = r.sh
+         |  JOIN shingles b ON b.sh = a.sh AND a.doc_id < b.doc_id
+         |), sizes AS (
+         |  SELECT doc_id, COUNT(*) AS ns FROM shingles GROUP BY doc_id
+         |), inter AS (
+         |  SELECT c.doc_a, c.doc_b, COUNT(*) AS ni
+         |  FROM cand c
+         |  JOIN shingles sa ON sa.doc_id = c.doc_a
+         |  JOIN shingles sb ON sb.doc_id = c.doc_b AND sb.sh = sa.sh
+         |  GROUP BY c.doc_a, c.doc_b
+         |), dir AS (
+         |  SELECT i.doc_a AS inner_id, i.doc_b AS outer_id, i.ni,
+         |    round(CAST(i.ni AS DOUBLE) / sa.ns, 6) AS cont
+         |  FROM inter i JOIN sizes sa ON sa.doc_id = i.doc_a
+         |  UNION ALL
+         |  SELECT i.doc_b, i.doc_a, i.ni,
+         |    round(CAST(i.ni AS DOUBLE) / sb.ns, 6)
+         |  FROM inter i JOIN sizes sb ON sb.doc_id = i.doc_b
+         |)
+         |SELECT inner_id, outer_id, ni, cont FROM dir
+         |WHERE cont >= $CONT_MIN
+         |ORDER BY inner_id, outer_id""".stripMargin) { (spark, d) =>
+      graft.functions.SortedIntersectSize.ensureRegistered(spark)
+      val sh = TextOps.wordShingleHashes(spark, d, CONT_K)
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= CONT_MAX_DF)
+        .select("sh")
+      val cand = sh.join(rare, "sh")
+        .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
+      val sets = sh.groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("shs"))
+      val inter = cand
+        .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
+        .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
+        .select(col("doc_a"), col("doc_b"),
+          expr("sorted_intersect_size(sa, sb)").as("ni"),
+          size(col("sa")).cast("long").as("na"),
+          size(col("sb")).cast("long").as("nb"))
+      inter.select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+          col("ni"), round(col("ni").cast("double") / col("na"), 6).as("cont"))
+        .unionAll(inter.select(col("doc_b").as("inner_id"),
+          col("doc_a").as("outer_id"), col("ni"),
+          round(col("ni").cast("double") / col("nb"), 6).as("cont")))
+        .filter(col("cont") >= CONT_MIN)
+        .orderBy("inner_id", "outer_id")
+    },
+
+    // ---- q_source_quota: temperature-smoothed per-source quotas
+    //      (weights ∝ √n, the α=0.5 multilingual sampling rule) over a
+    //      20% corpus budget, with the kept set chosen by deterministic
+    //      h60 order. All quota arithmetic is exact-integer: weights
+    //      fixed-point to 1e-6 (√n is correctly-rounded IEEE in every
+    //      engine, so the fixed-point values agree bit-exact), the
+    //      weight total is an integer SUM (order-independent — a
+    //      floating accumulation here would be engine-order dependent),
+    //      and quota = budget·w DIV Σw floors in int64 (valid while
+    //      budget·maxw < 2^63 ≈ 10⁹ docs at this fixed-point scale; a
+    //      larger corpus drops the scale to 1e3). 100 TB: one count
+    //      agg, a ~|sources|-row broadcast, one per-source rank window,
+    //      one final agg — the checksum proves the SELECTION (not just
+    //      the counts) is reproducible cross-engine ----
+    "q_source_quota" -> QueryDef(
+      s"""WITH cnt AS (
+         |  SELECT source, COUNT(*) AS n_docs FROM documents GROUP BY source
+         |), tot AS (
+         |  SELECT SUM(n_docs) AS n_total,
+         |    SUM(CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)) AS tw
+         |  FROM cnt
+         |), q AS (
+         |  SELECT source, n_docs,
+         |    CAST(GREATEST((n_total // $QUOTA_BUDGET_DIV)
+         |      * CAST(round(sqrt(CAST(n_docs AS DOUBLE)) * 1e6) AS BIGINT)
+         |      // tw, 1) AS BIGINT) AS quota
+         |  FROM cnt, tot
+         |), ranked AS (
+         |  SELECT d.source, d.doc_id,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY ${Hashing.duckH60("d.doc_id", "'quota'")}, d.doc_id) AS rn
+         |  FROM documents d
+         |)
+         |SELECT q.source, q.n_docs, q.quota,
+         |  CAST(COUNT(CASE WHEN r.rn <= q.quota THEN 1 END) AS BIGINT) AS kept,
+         |  CAST(COALESCE(SUM(CASE WHEN r.rn <= q.quota THEN r.doc_id END), 0)
+         |    AS BIGINT) AS checksum
+         |FROM q JOIN ranked r ON r.source = q.source
+         |GROUP BY q.source, q.n_docs, q.quota
+         |ORDER BY q.source""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d).select("source", "doc_id")
+      val wfix = round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
+      val cnt = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
+      val tot = cnt.agg(sum("n_docs").as("n_total"), sum(wfix).as("tw"))
+      val q = cnt.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"),
+          greatest(expr(s"n_total DIV $QUOTA_BUDGET_DIV")
+            .*(wfix).divide(col("tw")).cast("long"), lit(1L)).as("quota"))
+      val ranked = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(Hashing.h60(col("doc_id"), lit("quota")), col("doc_id"))))
+      broadcast(q).join(ranked, "source")
+        .groupBy("source", "n_docs", "quota")
+        .agg(count(when(col("rn") <= col("quota"), 1)).as("kept"),
+          coalesce(sum(when(col("rn") <= col("quota"), col("doc_id"))), lit(0L))
+            .cast("long").as("checksum"))
+        .orderBy("source")
+    },
+
+    // ---- q_bootstrap_ci: Poisson-bootstrap CI for mean revenue per
+    //      returnflag. Each (row, replica) draws w ~ Poisson(1) from a
+    //      60-bit hash by pure integer threshold compares (POIS_T);
+    //      replica means aggregate map-side into |flags|×32 partials —
+    //      the resampling never materializes or moves data, which is
+    //      THE reason this estimator (and not resample-and-count) is
+    //      the 100 TB bootstrap. CI = 2nd/31st order statistics of the
+    //      32 replica means (exact ranks, (mean, r) total order — no
+    //      interpolation, no float quantiles). Weighted sums stay in
+    //      DECIMAL until one final mirrored double division ----
+    "q_bootstrap_ci" -> QueryDef(
+      s"""WITH rep AS (
+         |  SELECT l_returnflag, r.r,
+         |    CAST(l_extendedprice AS DECIMAL(18,3)) AS p,
+         |    ${POIS_T.zipWithIndex.map { case (t, _) =>
+             s"(CASE WHEN ${Hashing.duckH60("l_orderkey", "l_linenumber", "r.r")} >= $t THEN 1 ELSE 0 END)"
+           }.mkString(" + ")} AS w
+         |  FROM lineitem
+         |  CROSS JOIN (SELECT unnest(generate_series(0, ${BOOT_R - 1})) AS r) r
+         |), rm AS (
+         |  SELECT l_returnflag, r,
+         |    round(CAST(SUM(p * w) AS DOUBLE) / SUM(w), 6) AS m
+         |  FROM rep GROUP BY l_returnflag, r
+         |), ranked AS (
+         |  SELECT l_returnflag, m,
+         |    row_number() OVER (PARTITION BY l_returnflag ORDER BY m, r) AS rn
+         |  FROM rm
+         |), base AS (
+         |  SELECT l_returnflag, COUNT(*) AS n,
+         |    round(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,3))) AS DOUBLE)
+         |      / COUNT(*), 6) AS mean
+         |  FROM lineitem GROUP BY l_returnflag
+         |)
+         |SELECT b.l_returnflag, b.n, b.mean,
+         |  MAX(CASE WHEN rn = 2 THEN m END) AS ci_lo,
+         |  MAX(CASE WHEN rn = ${BOOT_R - 1} THEN m END) AS ci_hi
+         |FROM base b JOIN ranked k ON k.l_returnflag = b.l_returnflag
+         |GROUP BY b.l_returnflag, b.n, b.mean
+         |ORDER BY b.l_returnflag""".stripMargin) { (spark, d) =>
+      val li = Tables.lineitem(spark, d)
+        .select(col("l_returnflag"), col("l_orderkey"), col("l_linenumber"),
+          dec(col("l_extendedprice")).as("p"))
+      val base = li.groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          round(sum("p").cast("double") / count(lit(1)), 6).as("mean"))
+      val h = Hashing.h60(col("l_orderkey"), col("l_linenumber"), col("r"))
+      val w = POIS_T.map(t => when(h >= t, 1).otherwise(0)).reduce(_ + _)
+      val rm = li
+        .select(col("l_returnflag"), col("p"),
+          explode(expr(s"sequence(0, ${BOOT_R - 1})")).as("r"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("w", w)
+        .groupBy("l_returnflag", "r")
+        .agg(sum(col("p") * col("w")).as("swx"), sum("w").as("sw"))
+        .select(col("l_returnflag"), col("r"),
+          round(col("swx").cast("double") / col("sw"), 6).as("m"))
+      val ranked = rm.withColumn("rn", row_number().over(
+        Window.partitionBy("l_returnflag").orderBy(col("m"), col("r"))))
+      base.join(
+          ranked.groupBy("l_returnflag").agg(
+            max(when(col("rn") === 2, col("m"))).as("ci_lo"),
+            max(when(col("rn") === BOOT_R - 1, col("m"))).as("ci_hi")),
+          "l_returnflag")
+        .orderBy("l_returnflag")
+    },
+
+    // ---- q_label_prop: 2-round majority-vote label propagation over
+    //      the verified MinHash near-dup graph — the metadata-repair
+    //      op (docs with missing language/quality tags inherit them
+    //      from duplicate neighbors). Even doc_ids are seeds (label =
+    //      lang), odd doc_ids are unlabeled; each round is one edge⋈
+    //      label join + one (node,label) count agg + one rank-1 window,
+    //      ties broken by label so every round is deterministic. Fixed
+    //      round count ⇒ a static plan (no driver iteration); at 100 TB
+    //      each round shuffles the edge relation once, keyed by 8-byte
+    //      node ids — the q_pagerank cost class with |labels|-bounded
+    //      agg width ----
+    "q_label_prop" -> QueryDef(
+      s"""WITH ${DedupQueries.duckMinhashPairCtes},
+         |edges AS (
+         |  SELECT doc_a AS u, doc_b AS v FROM verified
+         |  UNION ALL
+         |  SELECT doc_b, doc_a FROM verified
+         |), seeds AS (
+         |  SELECT DISTINCT e.u AS doc_id, d.lang AS label
+         |  FROM edges e JOIN documents d ON d.doc_id = e.u
+         |  WHERE e.u % 2 = 0
+         |), r1 AS (
+         |  SELECT doc_id, label FROM (
+         |    SELECT e.u AS doc_id, s.label,
+         |      row_number() OVER (PARTITION BY e.u
+         |        ORDER BY COUNT(*) DESC, s.label) AS rn
+         |    FROM edges e JOIN seeds s ON s.doc_id = e.v
+         |    WHERE e.u % 2 = 1
+         |    GROUP BY e.u, s.label)
+         |  WHERE rn = 1
+         |), l1 AS (
+         |  SELECT doc_id, label FROM seeds
+         |  UNION ALL SELECT doc_id, label FROM r1
+         |), r2 AS (
+         |  SELECT doc_id, label FROM (
+         |    SELECT e.u AS doc_id, l.label,
+         |      row_number() OVER (PARTITION BY e.u
+         |        ORDER BY COUNT(*) DESC, l.label) AS rn
+         |    FROM edges e JOIN l1 l ON l.doc_id = e.v
+         |    WHERE e.u % 2 = 1
+         |      AND e.u NOT IN (SELECT doc_id FROM r1)
+         |    GROUP BY e.u, l.label)
+         |  WHERE rn = 1
+         |)
+         |SELECT doc_id, label, 'seed' AS origin FROM seeds
+         |UNION ALL SELECT doc_id, label, 'r1' FROM r1
+         |UNION ALL SELECT doc_id, label, 'r2' FROM r2
+         |ORDER BY doc_id""".stripMargin) { (spark, d) =>
+      val edges = dupEdges(spark, d)
+      val seeds = edges.filter(col("u") % 2 === 0)
+        .select(col("u").as("doc_id")).distinct()
+        .join(Tables.documents(spark, d).select("doc_id", "lang"), "doc_id")
+        .select(col("doc_id"), col("lang").as("label"))
+      val r1 = voteRound(edges, seeds)
+      val r2 = voteRound(edges, seeds.unionAll(r1))
+        .join(r1.select("doc_id"), Seq("doc_id"), "left_anti")
+      seeds.withColumn("origin", lit("seed"))
+        .unionAll(r1.withColumn("origin", lit("r1")))
+        .unionAll(r2.withColumn("origin", lit("r2")))
+        .orderBy("doc_id")
+    })
+}

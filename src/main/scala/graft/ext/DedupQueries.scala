@@ -109,7 +109,7 @@ object DedupQueries {
     * pairs → exact-Jaccard verify. Shared by `q_dedup_minhash` (emits the
     * pairs) and `q_dedup_cluster` (closes them transitively).
     */
-  private lazy val duckMinhashPairCtes: String =
+  private[ext] lazy val duckMinhashPairCtes: String =
     s"""${TextOps.duckWordShinglesCte(5)},
        |mh AS (
        |  SELECT doc_id, f.j, MIN(${Hashing.duckH60("sh", "f.j")}) AS mh

@@ -1,0 +1,119 @@
+package graft.ext
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Invariants for the curation operators, independent of the DuckDB
+  * oracle: containment values re-derived by brute force, quota
+  * arithmetic re-derived in BigInt, bootstrap weight mass ≈ n, and the
+  * label-propagation round structure.
+  */
+class CurateSpec extends SparkSpec {
+
+  private lazy val d = sf()
+
+  test("containment rows match brute-force values and threshold") {
+    val out = graft.SparkEntry.defs("q_dedup_containment").build(spark, d)
+      .collect()
+    assert(out.nonEmpty)
+    // brute force over ALL doc pairs (sf0.001 is small): shingle sets in
+    // memory, directional containment recomputed per emitted pair
+    val sh = TextOps.wordShingleHashes(spark, d, 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).toSet }
+    out.foreach { r =>
+      val (inner, outer, ni, cont) =
+        (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))
+      val exact = (sh(inner) & sh(outer)).size
+      assert(ni == exact, s"ni mismatch for ($inner,$outer)")
+      val expect = BigDecimal(exact.toDouble / sh(inner).size)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(math.abs(cont - expect) < 1e-9)
+      assert(cont >= 0.7 && cont <= 1.0 + 1e-9)
+    }
+    // directional: a fully-contained (identical) pair appears both ways
+    val pairs = out.map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = out.filter(_.getDouble(3) == 1.0)
+      .filter(r => sh(r.getLong(0)).size == sh(r.getLong(1)).size)
+    full.foreach { r =>
+      assert(pairs.contains((r.getLong(1), r.getLong(0))),
+        "identical pair missing reverse direction")
+    }
+  }
+
+  test("source quotas re-derive in exact integer arithmetic") {
+    val rows = graft.SparkEntry.defs("q_source_quota").build(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    val counts = rows.map(r => r.getString(0) -> r.getLong(1)).toMap
+    val nTotal = counts.values.sum
+    val budget = nTotal / 5
+    def wfix(n: Long): Long = math.round(math.sqrt(n.toDouble) * 1e6)
+    val tw = counts.values.map(wfix).sum
+    rows.foreach { r =>
+      val (src, n, quota, kept) =
+        (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))
+      val expect = math.max(
+        (BigInt(budget) * BigInt(wfix(n)) / BigInt(tw)).toLong, 1L)
+      assert(quota == expect, s"quota mismatch for $src")
+      assert(kept == math.min(n, quota), s"kept != min(n, quota) for $src")
+    }
+    // budget respected up to the one-doc floor per source
+    assert(rows.map(_.getLong(3)).sum <= budget + rows.length)
+  }
+
+  test("bootstrap weights carry unit mass and CI brackets the mean") {
+    val rows = graft.SparkEntry.defs("q_bootstrap_ci").build(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mean, lo, hi) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(lo <= hi)
+      assert(lo <= mean && mean <= hi,
+        s"CI [$lo,$hi] does not bracket mean $mean")
+    }
+    // Poisson(1) thresholds: empirical mean weight ≈ 1 over n×32 draws
+    val li = graft.Tables.lineitem(spark, d)
+    val n = li.count()
+    val h = graft.Hashing.h60(col("l_orderkey"), col("l_linenumber"), col("r"))
+    val t0 = 424136118829305329L
+    val w = expr(s"CASE WHEN h >= ${t0}L THEN 1 ELSE 0 END")
+    val draws = li.select(col("l_orderkey"), col("l_linenumber"),
+        explode(expr("sequence(0, 31)")).as("r"))
+      .withColumn("h", h)
+      .agg(avg(when(col("h") >= t0, 1).otherwise(0)).as("p1plus"))
+      .head().getDouble(0)
+    // P(w >= 1) = 1 - e^-1 ≈ 0.632; 5σ tolerance at 32n draws
+    val tol = 5 * math.sqrt(0.632 * 0.368 / (32.0 * n))
+    assert(math.abs(draws - (1 - math.exp(-1))) < tol,
+      s"empirical P(w>=1)=$draws")
+  }
+
+  test("label propagation respects seed/round structure") {
+    val rows = graft.SparkEntry.defs("q_label_prop").build(spark, d)
+      .collect()
+    val byOrigin = rows.groupBy(_.getString(2))
+    val seeds = byOrigin.getOrElse("seed", Array.empty)
+    val r1 = byOrigin.getOrElse("r1", Array.empty)
+    val r2 = byOrigin.getOrElse("r2", Array.empty)
+    assert(seeds.nonEmpty)
+    seeds.foreach(r => assert(r.getLong(0) % 2 == 0))
+    (r1 ++ r2).foreach(r => assert(r.getLong(0) % 2 == 1))
+    // one label per doc across all origins
+    assert(rows.map(_.getLong(0)).distinct.length == rows.length)
+    // seed labels are the document's lang
+    val langs = graft.Tables.documents(spark, d)
+      .select("doc_id", "lang").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    seeds.foreach(r => assert(r.getString(1) == langs(r.getLong(0))))
+    // r1 docs have at least one even (seed) neighbor; r2 docs have none
+    val vp = DedupQueries
+      .minhashVerifiedPairsWith(spark, d, TextOps.wordShingleHashes(spark, d, 5))
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val nbrs = (vp ++ vp.map(_.swap)).groupBy(_._1)
+      .map { case (k, v) => k -> v.map(_._2).toSet }
+    r1.foreach(r => assert(nbrs(r.getLong(0)).exists(_ % 2 == 0)))
+    r2.foreach(r => assert(!nbrs(r.getLong(0)).exists(_ % 2 == 0)))
+  }
+}
