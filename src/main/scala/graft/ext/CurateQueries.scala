@@ -287,6 +287,82 @@ object CurateQueries {
         .orderBy("l_returnflag")
     },
 
+    // ---- q_abtest: two-proportion χ² test on exact counts — the A/B
+    //      evaluation op (variant = user_id parity; conversion = ≥1
+    //      purchase event). The entire experiment reduces to FOUR exact
+    //      integers (n_a, x_a, n_b, x_b) via one user-keyed agg + one
+    //      4-wide conditional agg, so the test statistic is ONE mirrored
+    //      IEEE expression over exact counts — at 100 TB the only
+    //      shuffle is the per-user conversion rollup; the 2×2 table is
+    //      a 1-row relation. χ² = n·(x_a(n_b−x_b) − x_b(n_a−x_a))² /
+    //      (n_a·n_b·x·(n−x)), products in DOUBLE (int64 would overflow
+    //      past ~10⁵ users; the casts are identical both engines so the
+    //      rounding replays bit-exact) ----
+    "q_abtest" -> QueryDef(
+      """WITH u AS (
+        |  SELECT user_id, user_id % 2 AS variant,
+        |    MAX(CASE WHEN event_type = 'purchase' AND value > 90
+        |      THEN 1 ELSE 0 END) AS conv
+        |  FROM events GROUP BY user_id
+        |), t AS (
+        |  SELECT
+        |    SUM(CASE WHEN variant = 0 THEN 1 ELSE 0 END) AS n_a,
+        |    SUM(CASE WHEN variant = 0 THEN conv ELSE 0 END) AS x_a,
+        |    SUM(CASE WHEN variant = 1 THEN 1 ELSE 0 END) AS n_b,
+        |    SUM(CASE WHEN variant = 1 THEN conv ELSE 0 END) AS x_b
+        |  FROM u
+        |)
+        |SELECT CAST(n_a AS BIGINT) AS n_a, CAST(x_a AS BIGINT) AS x_a,
+        |  CAST(n_b AS BIGINT) AS n_b, CAST(x_b AS BIGINT) AS x_b,
+        |  round(CAST(x_a AS DOUBLE) / n_a, 6) AS p_a,
+        |  round(CAST(x_b AS DOUBLE) / n_b, 6) AS p_b,
+        |  CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b
+        |    THEN CAST(NULL AS DOUBLE)
+        |    ELSE round((n_a + n_b)
+        |      * (CAST(x_a AS DOUBLE) * (n_b - x_b)
+        |         - CAST(x_b AS DOUBLE) * (n_a - x_a))
+        |      * (CAST(x_a AS DOUBLE) * (n_b - x_b)
+        |         - CAST(x_b AS DOUBLE) * (n_a - x_a))
+        |      / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+        |         * (n_a + n_b - x_a - x_b)), 6) END AS chi2,
+        |  CASE WHEN x_a + x_b = 0 OR x_a + x_b = n_a + n_b THEN 0
+        |    WHEN (n_a + n_b)
+        |      * (CAST(x_a AS DOUBLE) * (n_b - x_b)
+        |         - CAST(x_b AS DOUBLE) * (n_a - x_a))
+        |      * (CAST(x_a AS DOUBLE) * (n_b - x_b)
+        |         - CAST(x_b AS DOUBLE) * (n_a - x_a))
+        |      / (CAST(n_a AS DOUBLE) * n_b * (x_a + x_b)
+        |         * (n_a + n_b - x_a - x_b)) > 3.841 THEN 1 ELSE 0 END
+        |    AS significant
+        |FROM t""".stripMargin) { (spark, d) =>
+      val u = Tables.events(spark, d)
+        .groupBy("user_id")
+        .agg(max(when(col("event_type") === "purchase" && col("value") > 90,
+          1).otherwise(0)).as("conv"))
+        .withColumn("variant", col("user_id") % 2)
+      val t = u.agg(
+        sum(when(col("variant") === 0, 1).otherwise(0)).as("n_a"),
+        sum(when(col("variant") === 0, col("conv")).otherwise(0)).as("x_a"),
+        sum(when(col("variant") === 1, 1).otherwise(0)).as("n_b"),
+        sum(when(col("variant") === 1, col("conv")).otherwise(0)).as("x_b"))
+      val na = col("n_a").cast("double")
+      val xa = col("x_a").cast("double")
+      val nb = col("n_b").cast("double")
+      val xb = col("x_b").cast("double")
+      val degenerate = (col("x_a") + col("x_b") === 0) ||
+        (col("x_a") + col("x_b") === col("n_a") + col("n_b"))
+      val diff = xa * (nb - xb) - xb * (na - xa)
+      val chi2 = (na + nb) * diff * diff /
+        (na * nb * (xa + xb) * (na + nb - xa - xb))
+      t.select(col("n_a").cast("long").as("n_a"), col("x_a").cast("long").as("x_a"),
+        col("n_b").cast("long").as("n_b"), col("x_b").cast("long").as("x_b"),
+        round(xa / na, 6).as("p_a"), round(xb / nb, 6).as("p_b"),
+        when(degenerate, lit(null).cast("double"))
+          .otherwise(round(chi2, 6)).as("chi2"),
+        when(degenerate, 0).when(chi2 > 3.841, 1).otherwise(0)
+          .as("significant"))
+    },
+
     // ---- q_label_prop: 2-round majority-vote label propagation over
     //      the verified MinHash near-dup graph — the metadata-repair
     //      op (docs with missing language/quality tags inherit them

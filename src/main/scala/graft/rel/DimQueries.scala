@@ -88,6 +88,64 @@ object DimQueries {
         .orderBy("user_id", "version")
     },
 
+    // ---- point-in-time lookup against the SCD2 dimension (the join
+    //      q_scd2's intervals exist to serve): attribute every purchase
+    //      event to the user-state version active at its timestamp —
+    //      user_id equi-join + half-open interval predicate
+    //      [valid_from, valid_to). 100 TB: BOTH sides shuffle once on
+    //      user_id (SortMergeJoin with the range as a residual — never
+    //      a broadcast-nested-loop; versions-per-user is small so the
+    //      per-key cross is bounded); revenue stays DECIMAL to the one
+    //      rounded cast. The dimension tracks the NON-purchase stream
+    //      (a purchase would otherwise open its own interval and every
+    //      lookup would self-attribute) ----
+    "q_scd2_lookup" -> QueryDef(
+      """WITH ordered AS (
+        |  SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS prev_type
+        |  FROM events
+        |  WHERE event_type <> 'purchase'
+        |), changes AS (
+        |  SELECT user_id, event_type, ts, event_id FROM ordered
+        |  WHERE prev_type IS NULL OR prev_type <> event_type
+        |), dim AS (
+        |  SELECT user_id, event_type AS state, ts AS valid_from,
+        |    lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+        |  FROM changes
+        |)
+        |SELECT d.state, COUNT(*) AS n_purchases,
+        |  CAST(COUNT(DISTINCT p.user_id) AS BIGINT) AS n_users,
+        |  CAST(round(SUM(CAST(p.value AS DECIMAL(18,3))), 2) AS DOUBLE) AS total_value
+        |FROM events p
+        |JOIN dim d ON d.user_id = p.user_id
+        |  AND p.ts >= d.valid_from
+        |  AND (d.valid_to IS NULL OR p.ts < d.valid_to)
+        |WHERE p.event_type = 'purchase'
+        |GROUP BY d.state
+        |ORDER BY d.state""".stripMargin) { (spark, d) =>
+      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val dim = Tables.events(spark, d)
+        .filter(col("event_type") =!= "purchase")
+        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
+        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
+        .select(col("user_id"), col("event_type").as("state"),
+          col("ts").as("valid_from"),
+          lead(col("ts"), 1).over(byUser).as("valid_to"))
+      val purchases = Tables.events(spark, d)
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("value"))
+      purchases.join(dim,
+          purchases("user_id") === dim("user_id") &&
+            col("ts") >= col("valid_from") &&
+            (col("valid_to").isNull || col("ts") < col("valid_to")))
+        .groupBy("state")
+        .agg(count(lit(1)).as("n_purchases"),
+          countDistinct(purchases("user_id")).as("n_users"),
+          round(sum(dec(col("value"))), 2).cast("double").as("total_value"))
+        .orderBy("state")
+    },
+
     // ---- per-group closed-form OLS (extendedprice ~ quantity): the six
     //      moments (n, Σx, Σy, Σxx, Σyy, Σxy) accumulate EXACTLY in
     //      DECIMAL — order-independent, map-side combinable, one shuffle

@@ -89,6 +89,59 @@ class CurateSpec extends SparkSpec {
       s"empirical P(w>=1)=$draws")
   }
 
+  test("abtest chi2 recomputes from the 2x2 table") {
+    val r = graft.SparkEntry.defs("q_abtest").build(spark, d).head()
+    val (na, xa, nb, xb) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    // variants partition the user population
+    val users = graft.Tables.events(spark, d)
+      .select("user_id").distinct().count()
+    assert(na + nb == users)
+    assert(xa <= na && xb <= nb)
+    val x = xa + xb
+    if (x > 0 && x < na + nb) {
+      val diff = xa.toDouble * (nb - xb) - xb.toDouble * (na - xa)
+      val chi2 = (na + nb) * diff * diff /
+        (na.toDouble * nb * x * (na + nb - x))
+      assert(math.abs(r.getDouble(6) - chi2) < 1e-4)
+      assert(r.getInt(7) == (if (chi2 > 3.841) 1 else 0))
+    } else assert(r.isNullAt(6) && r.getInt(7) == 0)
+  }
+
+  test("scd2 lookup attributes every coverable purchase exactly once") {
+    val out = graft.SparkEntry.defs("q_scd2_lookup").build(spark, d).collect()
+    assert(out.nonEmpty)
+    // brute force: replay each user's non-purchase state timeline
+    val ev = graft.Tables.events(spark, d)
+      .select("user_id", "event_type", "ts", "event_id", "value").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getTimestamp(2).getTime,
+        r.getLong(3), r.getDouble(4)))
+    val byUser = ev.groupBy(_._1)
+    var attributed = 0L
+    val stateCount = scala.collection.mutable.Map.empty[String, Long]
+    byUser.foreach { case (_, rows) =>
+      val sorted = rows.sortBy(r => (r._3, r._4))
+      val changes = sorted.filter(_._2 != "purchase")
+        .foldLeft(Vector.empty[(String, Long)]) { (acc, r) =>
+          if (acc.isEmpty || acc.last._1 != r._2) acc :+ (r._2, r._3) else acc
+        }
+      sorted.filter(_._2 == "purchase").foreach { p =>
+        val covering = changes.zipWithIndex.filter { case ((_, from), i) =>
+          p._3 >= from &&
+            (i == changes.length - 1 || p._3 < changes(i + 1)._2)
+        }
+        // intervals partition [first_change, ∞): at most one covers
+        assert(covering.size <= 1)
+        covering.foreach { case ((st, _), _) =>
+          attributed += 1
+          stateCount(st) = stateCount.getOrElse(st, 0L) + 1
+        }
+      }
+    }
+    assert(out.map(_.getLong(1)).sum == attributed)
+    out.foreach(r => assert(stateCount(r.getString(0)) == r.getLong(1)))
+  }
+
   test("label propagation respects seed/round structure") {
     val rows = graft.SparkEntry.defs("q_label_prop").build(spark, d)
       .collect()
