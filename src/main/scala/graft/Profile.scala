@@ -60,6 +60,41 @@ object Profile {
       // bucket/candidate stage alone (collect_list buckets + pair explode)
       case "dev:ngram_sh" =>
         time("dev:ngram_sh", ext.TextOps.wordShingleHashes(spark, sfDir, 4))
+      case "dev:ngram_df_nocoal" =>
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+        time("dev:ngram_df_nocoal", {
+          import org.apache.spark.sql.functions._
+          ext.TextOps.wordShingleHashes(spark, sfDir, 4)
+            .groupBy("sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2 && col("df") <= 5)
+            .select("sh")
+        })
+        spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      case "dev:ngram_df" =>
+        time("dev:ngram_df", {
+          import org.apache.spark.sql.functions._
+          ext.TextOps.wordShingleHashes(spark, sfDir, 4)
+            .groupBy("sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2 && col("df") <= 5)
+            .select("sh")
+        })
+      case "dev:ngram_buckets" =>
+        time("dev:ngram_buckets", {
+          import org.apache.spark.sql.functions._
+          val sh = ext.TextOps.wordShingleHashes(spark, sfDir, 4)
+          val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") >= 2 && col("df") <= 5)
+            .select("sh")
+          sh.join(rare, "sh")
+            .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        })
+      case "dev:ngram_sets" =>
+        time("dev:ngram_sets", {
+          import org.apache.spark.sql.functions._
+          ext.TextOps.wordShingleHashes(spark, sfDir, 4)
+            .groupBy("doc_id")
+            .agg(sort_array(collect_list(col("sh"))).as("shs"))
+        })
       case "dev:ngram_cand" =>
         time("dev:ngram_cand", {
           import org.apache.spark.sql.functions._

@@ -26,16 +26,18 @@ object CurateQueries {
   private val M = DecimalType(18, 3)
   private def dec(c: org.apache.spark.sql.Column) = c.cast(M)
 
-  /** Containment shingle size (word 4-grams — same granularity as
-    * q_dedup_ngram so the two ops share index economics).
+  /** Containment shingle size (word 4-grams — the SAME memoized index
+    * as q_dedup_ngram: DedupQueries.ngramCandPairs/ngramShingleSets).
     */
-  private val CONT_K = 4
+  private val CONT_K = DedupQueries.NGRAM_K
 
   /** Candidate-index df cap: only shingles shared by 2..MAX_DF docs
     * generate pairs (the rare-shingle inverted index; recall argument
-    * in q_dedup_ngram's scaladoc applies unchanged).
+    * in q_dedup_ngram's scaladoc applies unchanged). Pinned to the
+    * shared index's cap — the oracle SQL interpolates these, so the
+    * shared subtree and the SQL stay in lockstep by construction.
     */
-  private val CONT_MAX_DF = 5
+  private val CONT_MAX_DF = DedupQueries.MAX_DF
 
   /** Directional containment threshold: emit (inner, outer) when ≥70%
     * of the inner doc's shingles appear in the outer doc.
@@ -67,15 +69,25 @@ object CurateQueries {
     1152825534095764625L, 1152909688087595836L)
 
   /** Directed near-dup edges (u→v, both directions of every verified
-    * MinHash pair) — the label-propagation substrate.
+    * MinHash pair) — the label-propagation substrate. PERSISTED once
+    * per (session, scale dir): the propagation consumes the edge
+    * relation in every round plus the seed scan, and without the pin
+    * each consumer would re-run the whole MinHash band+verify pipeline
+    * (measured 120s → ~8s at the 30× probe; the q_candidates
+    * memoization rule).
     */
-  private def dupEdges(spark: SparkSession, d: String): DataFrame = {
-    val vp = DedupQueries
-      .minhashVerifiedPairsWith(spark, d, TextOps.wordShingleHashes(spark, d, 5))
-      .select("doc_a", "doc_b")
-    vp.select(col("doc_a").as("u"), col("doc_b").as("v"))
-      .unionAll(vp.select(col("doc_b").as("u"), col("doc_a").as("v")))
-  }
+  private def dupEdges(spark: SparkSession, d: String): DataFrame =
+    edgeCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d", {
+      val vp = DedupQueries
+        .minhashVerifiedPairsWith(spark, d, TextOps.wordShingleHashes(spark, d, 5))
+        .select("doc_a", "doc_b")
+      vp.select(col("doc_a").as("u"), col("doc_b").as("v"))
+        .unionAll(vp.select(col("doc_b").as("u"), col("doc_a").as("v")))
+        .persist()
+    })
+
+  private val edgeCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
 
   /** One majority-vote round: unlabeled (odd doc_id) nodes take the
     * most common label among their labeled neighbors; ties break by
@@ -134,30 +146,29 @@ object CurateQueries {
          |WHERE cont >= $CONT_MIN
          |ORDER BY inner_id, outer_id""".stripMargin) { (spark, d) =>
       graft.functions.SortedIntersectSize.ensureRegistered(spark)
-      val sh = TextOps.wordShingleHashes(spark, d, CONT_K)
-      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= CONT_MAX_DF)
-        .select("sh")
-      val cand = sh.join(rare, "sh")
-        .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .select(explode(col("ds")).as("doc_a"), col("ds"))
-        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .distinct()
-      val sets = sh.groupBy("doc_id")
-        .agg(sort_array(collect_list(col("sh"))).as("shs"))
-      val inter = cand
+      // the candidate pairs and per-doc arrays are the memoized k=4
+      // rare-shingle index shared with q_dedup_ngram (CONT_K = NGRAM_K,
+      // CONT_MAX_DF = MAX_DF — the require in this object's initializer
+      // pins the contract)
+      val cand = DedupQueries.ngramCandPairs(spark, d)
+      val sets = DedupQueries.ngramShingleSets(spark, d)
+      // ONE verify pass per unordered pair; the ≤2 qualifying directed
+      // rows explode from an in-row array (a union of two selects here
+      // would execute the whole candidate+verify subtree twice)
+      cand
         .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
         .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
         .select(col("doc_a"), col("doc_b"),
           expr("sorted_intersect_size(sa, sb)").as("ni"),
           size(col("sa")).cast("long").as("na"),
           size(col("sb")).cast("long").as("nb"))
-      inter.select(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
-          col("ni"), round(col("ni").cast("double") / col("na"), 6).as("cont"))
-        .unionAll(inter.select(col("doc_b").as("inner_id"),
-          col("doc_a").as("outer_id"), col("ni"),
-          round(col("ni").cast("double") / col("nb"), 6).as("cont")))
+        .select(explode(array(
+          struct(col("doc_a").as("inner_id"), col("doc_b").as("outer_id"),
+            col("ni"), round(col("ni").cast("double") / col("na"), 6).as("cont")),
+          struct(col("doc_b").as("inner_id"), col("doc_a").as("outer_id"),
+            col("ni"), round(col("ni").cast("double") / col("nb"), 6).as("cont"))))
+          .as("r"))
+        .select("r.*")
         .filter(col("cont") >= CONT_MIN)
         .orderBy("inner_id", "outer_id")
     },

@@ -29,8 +29,8 @@ object DedupQueries {
     * pairs and still covers every pair with Jaccard ≥ 0.5 (measured);
     * 3-grams at df ≤ 10 ballooned to ~460k pairs (37s → ~4s).
     */
-  private val MAX_DF = 5
-  private val NGRAM_K = 4
+  private[ext] val MAX_DF = 5
+  private[ext] val NGRAM_K = 4
   private val SIMHASH_BITS = 32
   private val MAX_HAMMING = 3
 
@@ -71,9 +71,18 @@ object DedupQueries {
     */
   private def jaccardVerifyArrays(cand: DataFrame, shingles: DataFrame,
       minJac: Double): DataFrame = {
-    graft.functions.SortedIntersectSize.ensureRegistered(cand.sparkSession)
     val sets = shingles.groupBy("doc_id")
       .agg(sort_array(collect_list(col("sh"))).as("shs"))
+    jaccardVerifyWithSets(cand, sets, minJac)
+  }
+
+  /** [[jaccardVerifyArrays]] with a prebuilt (doc_id, shs) relation — so
+    * consumers sharing the k=4 index ([[ngramCandPairs]] /
+    * [[ngramShingleSets]]) verify against the memoized arrays.
+    */
+  private[ext] def jaccardVerifyWithSets(cand: DataFrame, sets: DataFrame,
+      minJac: Double): DataFrame = {
+    graft.functions.SortedIntersectSize.ensureRegistered(cand.sparkSession)
     cand
       .join(sets.select(col("doc_id").as("doc_a"), col("shs").as("sa")), "doc_a")
       .join(sets.select(col("doc_id").as("doc_b"), col("shs").as("sb")), "doc_b")
@@ -85,6 +94,45 @@ object DedupQueries {
       .filter(col("jac") >= minJac)
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Rare-shingle (df 2..MAX_DF) candidate pairs over the word-4-gram
+    * h60 index, PERSISTED once per (session, scale dir): q_dedup_ngram
+    * and q_dedup_containment consume the IDENTICAL subtree (same k,
+    * same df window) — the q_candidates memoization rule. Two-phase
+    * build: df counts first (bare longs, map-side combinable), doc
+    * lists only for the ≤MAX_DF rare buckets, exploded positionally.
+    */
+  private[ext] def ngramCandPairs(spark: SparkSession, d: String): DataFrame =
+    candCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d", {
+      val sh = TextOps.wordShingleHashes(spark, d, NGRAM_K)
+      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+        .filter(col("df") >= 2 && col("df") <= MAX_DF)
+        .select("sh")
+      sh.join(rare, "sh")
+        .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .select(explode(col("ds")).as("doc_a"), col("ds"))
+        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+        .filter(col("doc_a") < col("doc_b"))
+        .distinct()
+        .persist()
+    })
+
+  /** Per-doc sorted word-4-gram h60 arrays (doc_id, shs), persisted once
+    * per (session, scale dir) — the verify side shared by the same two
+    * consumers.
+    */
+  private[ext] def ngramShingleSets(spark: SparkSession, d: String): DataFrame =
+    setsCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d", {
+      TextOps.wordShingleHashes(spark, d, NGRAM_K)
+        .groupBy("doc_id")
+        .agg(sort_array(collect_list(col("sh"))).as("shs"))
+        .persist()
+    })
+
+  private val candCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
+  private val setsCache =
+    new scala.collection.concurrent.TrieMap[String, DataFrame]
 
   private def duckJaccardVerify(minJac: Double, shTable: String = "shingles"): String =
     s"""sizes AS (
@@ -700,21 +748,14 @@ object DedupQueries {
       // the two costs that held q_dedup_ngram at 123s in the 100× probe
       // (SCALING.md r8). Pair set and (ni, jac) are unchanged, so the
       // oracle SQL keeps the join formulation.
-      val sh = TextOps.wordShingleHashes(spark, d, NGRAM_K)
       // df counts FIRST (map-side-combinable longs — collecting doc
       // lists up front builds thousand-element arrays for every hot
-      // shingle just to discard them at the size filter: 91s vs this
+      // shingle just to discard them at the size filter: 91s vs the
       // two-phase form at the 100× probe), then doc lists only for the
-      // ≤MAX_DF rare buckets, exploded into pairs
-      val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
-        .filter(col("df") >= 2 && col("df") <= MAX_DF)
-        .select("sh")
-      val cand = sh.join(rare, "sh")
-        .groupBy("sh").agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-        .select(explode(col("ds")).as("doc_a"), col("ds"))
-        .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-        .filter(col("doc_a") < col("doc_b"))
-        .distinct()
-      jaccardVerifyArrays(cand, sh, NGRAM_JAC)
+      // ≤MAX_DF rare buckets, exploded into pairs; both the pair set
+      // and the per-doc arrays are memoized and shared with
+      // q_dedup_containment
+      jaccardVerifyWithSets(ngramCandPairs(spark, d),
+        ngramShingleSets(spark, d), NGRAM_JAC)
     })
 }

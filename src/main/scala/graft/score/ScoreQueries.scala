@@ -246,5 +246,69 @@ object ScoreQueries {
           expr("aggregate(zip_with(e, code, (x, c) -> abs(x * 127 - c * s)), 0L, (a, x) -> a + x)")
             .as("sum_err_q"))
         .orderBy("vec_id")
+    },
+
+    // ---- q_auc: exact distributed ROC-AUC of a deterministic linear
+    //      score against binary labels, midrank tie handling (the
+    //      Mann–Whitney U formulation). The WHOLE computation is
+    //      integer-exact: embeddings fixed-pointed (1e7), probe weights
+    //      a Knuth multiplicative hash of the dimension index, the
+    //      score an exact BIGINT dot, and the tie-aware midrank doubled
+    //      (2·rank + c − 1) so no halves appear before the ONE final
+    //      double division. 100 TB: the global rank is the op's honest
+    //      price — ONE range-partitioned sort of (score, label) pairs
+    //      (16 bytes/row, never the vectors); everything after is a
+    //      1-row aggregate. The pairwise O(n²) formulation this
+    //      replaces never materializes ----
+    "q_auc" -> QueryDef(
+      """WITH scored AS (
+        |  SELECT vec_id, label % 2 AS y,
+        |    SUM(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+        |        * ((i * 2654435761) % 2001 - 1000)) AS s
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label
+        |), ranked AS (
+        |  SELECT y,
+        |    2 * rank() OVER (ORDER BY s)
+        |      + COUNT(*) OVER (PARTITION BY s) - 1 AS mr2
+        |  FROM scored
+        |), agg AS (
+        |  SELECT CAST(SUM(y) AS BIGINT) AS n_pos,
+        |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+        |    CAST(SUM(CASE WHEN y = 1 THEN mr2 ELSE 0 END) AS BIGINT) AS pr2
+        |  FROM ranked
+        |)
+        |SELECT n_pos, n_neg,
+        |  round(CAST(pr2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / (2.0 * n_pos * n_neg), 6) AS auc,
+        |  round(CAST(pr2 - n_pos * (n_pos + 1) AS DOUBLE)
+        |    / (n_pos * CAST(n_neg AS DOUBLE)) - 1.0, 6) AS gini
+        |FROM agg""".stripMargin) { (spark, d) =>
+      graft.functions.FixedDot.ensureRegistered(spark)
+      val scored = Tables.embeddings(spark, d)
+        .select((col("label") % 2).as("y"),
+          expr("""fixed_dot(
+            |  transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint)),
+            |  transform(sequence(1, size(embedding)),
+            |            i -> (cast(i as bigint) * 2654435761L) % 2001 - 1000))"""
+            .stripMargin).as("s"))
+      val ranked = scored.select(col("y"),
+        (lit(2) * rank().over(
+            org.apache.spark.sql.expressions.Window.orderBy("s"))
+          + count(lit(1)).over(
+            org.apache.spark.sql.expressions.Window.partitionBy("s"))
+          - 1).as("mr2"))
+      ranked.agg(
+          sum("y").cast("long").as("n_pos"),
+          (count(lit(1)) - sum("y")).cast("long").as("n_neg"),
+          sum(when(col("y") === 1, col("mr2")).otherwise(0L)).cast("long")
+            .as("pr2"))
+        .select(col("n_pos"), col("n_neg"),
+          round((col("pr2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+            / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
+          round((col("pr2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
+            / (col("n_pos") * col("n_neg").cast("double")) - 1.0, 6).as("gini"))
     })
 }

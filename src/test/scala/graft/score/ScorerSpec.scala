@@ -54,6 +54,34 @@ class ScorerSpec extends SparkSpec {
     assert(sig(v2) != sig(v3))
   }
 
+  test("auc matches the O(n^2) pairwise definition") {
+    val r = graft.SparkEntry.defs("q_auc").build(spark, sf()).head()
+    val (nPos, nNeg, auc) = (r.getLong(0), r.getLong(1), r.getDouble(2))
+    // brute force: recompute the same fixed-point scores, then count
+    // concordant pairs (ties count half) over every pos×neg pair
+    val rows = graft.Tables.embeddings(spark, sf())
+      .select("label", "embedding").collect()
+      .map { row =>
+        val y = row.getInt(0) % 2
+        val e = row.getSeq[Float](1)
+        val s = e.zipWithIndex.map { case (x, i0) =>
+          val fx = math.round(x.toDouble * 1e7)
+          val w = (i0 + 1).toLong * 2654435761L % 2001 - 1000
+          fx * w
+        }.sum
+        (y, s)
+      }
+    val pos = rows.filter(_._1 == 1).map(_._2)
+    val neg = rows.filter(_._1 == 0).map(_._2)
+    assert(pos.length == nPos && neg.length == nNeg)
+    var num2 = 0L // doubled concordance count (ties = 1, wins = 2)
+    for (p <- pos; n <- neg)
+      num2 += (if (p > n) 2L else if (p == n) 1L else 0L)
+    val expect = num2.toDouble / (2.0 * nPos * nNeg)
+    assert(math.abs(auc - expect) < 1e-6, s"auc=$auc expect=$expect")
+    assert(math.abs(r.getDouble(3) - (2 * expect - 1)) < 1e-5) // gini
+  }
+
   test("v1 orthogonal map uses W transposed for the reverse direction") {
     // matVec with transpose(W) must equal the row-vector product h·W
     val h = Array.tabulate(Scorer.K)(i => 0.1 * (i + 1))
