@@ -51,6 +51,13 @@ object CorpusQueries {
   private val PSI_BUCKETS = 16
   private val PSI_WIDTH = 64
 
+  /** Paragraph-dedup unit width (words per tile). 16 words ≈ a long
+    * sentence; the synthetic corpus has no sentence boundaries, so the
+    * unit is a fixed tile — a real deployment swaps the splitter, the
+    * keep-first/reassemble machinery is unchanged.
+    */
+  private val PARA_W = 16
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- q_substr_dup: exact cross-document repeated-substring scan.
@@ -252,6 +259,63 @@ object CorpusQueries {
             "CAST(round((pa - pb) * ln(pa / pb) * 1e6) AS BIGINT)"))
             .over(Window.partitionBy(lit(1))) / 1e6, 6).as("psi_total"))
         .orderBy("bucket")
+    },
+
+    // ---- q_para_dedup: paragraph-unit exact dedup with keep-first
+    //      semantics — the C4/RefinedWeb curation step that removes
+    //      REPEATED PASSAGES from otherwise-distinct documents (whole-doc
+    //      MinHash keeps both docs; this removes the shared boilerplate
+    //      from the later one). Unit = consecutive 16-word tile (the
+    //      corpus has no sentence boundaries); the GLOBAL first
+    //      occurrence of each unit (min packed (doc_id, unit_idx)) is
+    //      kept, every later copy is dropped, and each doc reports its
+    //      surviving-unit signature. Plan: one narrow tile+hash pass
+    //      emits (doc_id, unit_idx, uh) — 8-byte unit hashes, NEVER
+    //      text, cross the wire; keeper = ONE map-side-combinable
+    //      min-aggregate per uh (no window sort); one uh-key join tags
+    //      survivors; one doc_id rollup builds the ordered signature
+    //      from unit hashes (so reassembly is verified without moving a
+    //      byte of text). Linear in corpus tokens at any scale ----
+    "q_para_dedup" -> QueryDef(
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS w FROM documents
+         |  WHERE text IS NOT NULL
+         |), u AS (
+         |  SELECT doc_id,
+         |    unnest(generate_series(0, (len(w) - 1) // $PARA_W)) AS unit_idx,
+         |    unnest(list_transform(generate_series(0, (len(w) - 1) // $PARA_W),
+         |      ui -> ${Hashing.duckH60(
+                      s"array_to_string(list_slice(w, ui * $PARA_W + 1, ui * $PARA_W + $PARA_W), ' ')")}))
+         |      AS uh
+         |  FROM w
+         |), keeper AS (
+         |  SELECT uh, MIN(doc_id * 1048576 + unit_idx) AS kk FROM u GROUP BY uh
+         |)
+         |SELECT u.doc_id, COUNT(*) AS n_units,
+         |  CAST(SUM(CASE WHEN u.doc_id * 1048576 + u.unit_idx = k.kk
+         |           THEN 1 ELSE 0 END) AS BIGINT) AS kept_units,
+         |  ${Hashing.duckH60(
+              """COALESCE(string_agg(CASE WHEN u.doc_id * 1048576 + u.unit_idx = k.kk
+                |             THEN CAST(u.uh AS VARCHAR) END, ':' ORDER BY u.unit_idx), '')"""
+                .stripMargin)} AS residual_sig
+         |FROM u JOIN keeper k USING (uh)
+         |GROUP BY u.doc_id
+         |ORDER BY u.doc_id""".stripMargin) { (spark, d) =>
+      val units = paraUnits(spark, d)
+      val keeper = units.groupBy("uh")
+        .agg(min(col("doc_id") * 1048576L + col("unit_idx")).as("kk"))
+      units.join(keeper, "uh")
+        .withColumn("kept",
+          col("doc_id") * 1048576L + col("unit_idx") === col("kk"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_units"),
+          sum(when(col("kept"), 1L).otherwise(0L)).as("kept_units"),
+          Hashing.h60(array_join(transform(
+              sort_array(collect_list(when(col("kept"),
+                struct(col("unit_idx"), col("uh"))))),
+              s => s.getField("uh").cast("string")), ":"))
+            .as("residual_sig"))
+        .orderBy("doc_id")
     })
 
   /** Distinct (doc_id, window-hash) rows: width-[[SUB_W]] stride-
@@ -259,6 +323,23 @@ object CorpusQueries {
     * stage. Shared so specs can brute-force against the same window
     * definition.
     */
+  /** (doc_id, unit_idx, uh) rows: consecutive [[PARA_W]]-word tiles
+    * h60-hashed in the scan's codegen stage — the q_para_dedup unit
+    * relation (text never leaves the narrow pass). Shared so specs can
+    * brute-force against the same tiling.
+    */
+  def paraUnits(spark: SparkSession, d: String) =
+    Tables.documents(spark, d)
+      .filter(col("text").isNotNull)
+      .select(col("doc_id"), split(col("text"), " ", -1).as("w"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, (size(w) - 1) div $PARA_W),
+             |  ui -> array_join(slice(w, ui * $PARA_W + 1, $PARA_W), ' '))"""
+            .stripMargin)).as(Seq("unit_idx", "unit")))
+      .select(col("doc_id"), col("unit_idx").cast("long").as("unit_idx"),
+        Hashing.h60(col("unit")).as("uh"))
+
   def substrWindows(spark: SparkSession, d: String) =
     Tables.documents(spark, d)
       .filter(col("text").isNotNull && length(col("text")) >= SUB_W)

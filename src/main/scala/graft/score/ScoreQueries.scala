@@ -310,5 +310,149 @@ object ScoreQueries {
             / (lit(2.0) * col("n_pos") * col("n_neg")), 6).as("auc"),
           round((col("pr2") - col("n_pos") * (col("n_pos") + 1)).cast("double")
             / (col("n_pos") * col("n_neg").cast("double")) - 1.0, 6).as("gini"))
+    },
+
+    // ---- q_score_deciles: decile lift / calibration table for the same
+    //      deterministic linear scorer q_auc evaluates — the ranking-model
+    //      eval a training pipeline reads next to AUC (which deciles carry
+    //      the positives, and how monotone is the score). Equal-FREQUENCY
+    //      bins via ntile(10) over the exact BIGINT score with vec_id as
+    //      the total tiebreaker, so bin membership is deterministic
+    //      cross-engine (equal-width bins would leave most bins empty
+    //      under a heavy-tailed score). 100 TB: the global sort is the
+    //      same 16-byte/row (s, y, vec_id) rank q_auc pays; everything
+    //      after is a 10-row aggregate + one window sum over 10 rows.
+    //      All arithmetic integer-exact to the final divisions. ----
+    "q_score_deciles" -> QueryDef(
+      """WITH scored AS (
+        |  SELECT vec_id, label % 2 AS y,
+        |    SUM(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+        |        * ((i * 2654435761) % 2001 - 1000)) AS s
+        |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+        |        generate_subscripts(embedding, 1) AS i
+        |        FROM embeddings)
+        |  GROUP BY vec_id, label
+        |), binned AS (
+        |  SELECT y, s, ntile(10) OVER (ORDER BY s DESC, vec_id) AS decile
+        |  FROM scored
+        |), per_bin AS (
+        |  SELECT decile, COUNT(*) AS n, CAST(SUM(y) AS BIGINT) AS pos,
+        |    CAST(SUM(s) AS BIGINT) AS sum_s
+        |  FROM binned GROUP BY decile
+        |)
+        |SELECT decile, n, pos,
+        |  round(CAST(sum_s AS DOUBLE) / n / 10000000.0, 6) AS mean_score,
+        |  round(CAST(pos AS DOUBLE) / n, 6) AS pos_rate,
+        |  round((CAST(pos AS DOUBLE) / n)
+        |    / (CAST(SUM(pos) OVER () AS DOUBLE) / SUM(n) OVER ()), 6) AS lift
+        |FROM per_bin
+        |ORDER BY decile""".stripMargin) { (spark, d) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.FixedDot.ensureRegistered(spark)
+      val scored = Tables.embeddings(spark, d)
+        .select(col("vec_id"), (col("label") % 2).as("y"),
+          expr("""fixed_dot(
+            |  transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint)),
+            |  transform(sequence(1, size(embedding)),
+            |            i -> (cast(i as bigint) * 2654435761L) % 2001 - 1000))"""
+            .stripMargin).as("s"))
+      val binned = scored.select(col("y"), col("s"),
+        ntile(10).over(Window.orderBy(col("s").desc, col("vec_id"))).as("decile"))
+      val perBin = binned.groupBy("decile").agg(
+        count(lit(1)).as("n"),
+        sum("y").cast("long").as("pos"),
+        sum("s").cast("long").as("sum_s"))
+      val all = Window.partitionBy()
+      perBin.select(col("decile"), col("n"), col("pos"),
+          round(col("sum_s").cast("double") / col("n") / 1e7, 6).as("mean_score"),
+          round(col("pos").cast("double") / col("n"), 6).as("pos_rate"),
+          round((col("pos").cast("double") / col("n"))
+            / (sum("pos").over(all).cast("double") / sum("n").over(all)), 6)
+            .as("lift"))
+        .orderBy("decile")
+    },
+
+    // ---- q_embed_gram: the distributed Gram / second-moment matrix
+    //      E[x xᵀ] over the embedding corpus — the primitive behind PCA,
+    //      ZCA whitening, and covariance drift monitoring. The 100 TB
+    //      shape is the point: each task accumulates a LOCAL dim×dim
+    //      upper triangle over its partition (fixed-point BIGINT cell
+    //      sums, flushed into arbitrary-precision accumulators every 4k
+    //      rows so no row volume can overflow), then emits exactly 2080
+    //      cells — the shuffle carries partitions×2080 tiny rows, never
+    //      vectors, and the final merge is one hash agg over DECIMAL(38,0)
+    //      partials. Row count rides on the same cells (each partition
+    //      stamps its count once per cell), so the whole statistic is ONE
+    //      job with no separate count action. Integer-exact to the final
+    //      mirrored double division ----
+    "q_embed_gram" -> QueryDef(
+      """WITH q AS (
+        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS q
+        |  FROM embeddings
+        |), n AS (SELECT COUNT(*) AS n FROM embeddings),
+        |g AS (
+        |  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s
+        |  FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
+        |  GROUP BY a.i, b.i
+        |)
+        |SELECT i, j, round(CAST(s AS DOUBLE) / n / 1e14, 6) AS cogram
+        |FROM g, n ORDER BY i, j""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      val dim = 64
+      val cells = dim * (dim + 1) / 2
+      val partials = Tables.embeddings(spark, d)
+        .select(expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+          .as("q"))
+        .as[Array[Long]]
+        .mapPartitions { it =>
+          val acc = Array.fill(cells)(java.math.BigInteger.ZERO)
+          val loc = new Array[Long](cells)
+          var rows = 0L
+          var sinceFlush = 0
+          def flush(): Unit = {
+            var c = 0
+            while (c < cells) {
+              if (loc(c) != 0L) {
+                acc(c) = acc(c).add(java.math.BigInteger.valueOf(loc(c)))
+                loc(c) = 0L
+              }
+              c += 1
+            }
+            sinceFlush = 0
+          }
+          it.foreach { qv =>
+            var c = 0
+            var i = 0
+            while (i < dim) {
+              val qi = qv(i)
+              var j = i
+              while (j < dim) { loc(c) += qi * qv(j); j += 1; c += 1 }
+              i += 1
+            }
+            rows += 1L
+            sinceFlush += 1
+            if (sinceFlush == 4096) flush()
+          }
+          flush()
+          if (rows == 0L) Iterator.empty
+          else Iterator.range(0, dim).flatMap { i =>
+            // cell (i, j) lives at linear index i·dim − i(i−1)/2 + (j − i)
+            val base = i * dim - i * (i - 1) / 2 - i
+            Iterator.range(i, dim).map { j =>
+              (i + 1L, j + 1L, acc(base + j).toString, rows)
+            }
+          }
+        }
+        .toDF("i", "j", "s", "rows")
+        .select(col("i"), col("j"),
+          col("s").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s"),
+          col("rows"))
+      partials.groupBy("i", "j")
+        .agg(sum("s").as("s"), sum("rows").as("n"))
+        .select(col("i"), col("j"),
+          round(col("s").cast("double") / col("n") / 1e14, 6).as("cogram"))
+        .orderBy("i", "j")
     })
 }

@@ -76,4 +76,38 @@ class CorpusSpec extends SparkSpec {
     val t6 = rows.map(r => math.round(r.getAs[Double]("psi_term") * 1e6)).sum
     assert(math.abs(rows.head.getAs[Double]("psi_total") - t6 / 1e6) < 2e-5)
   }
+
+  test("q_para_dedup matches a JVM keep-first brute force, signature included") {
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .sortBy(_._1)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    // units in global (doc_id, unit_idx) order; first occurrence keeps
+    val firstSeen = new scala.collection.mutable.HashMap[String, (Long, Int)]
+    val units = docs.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val us = (0 to (w.length - 1) / 16)
+        .map(u => w.slice(u * 16, u * 16 + 16).mkString(" "))
+      us.zipWithIndex.foreach { case (u, i) =>
+        if (!firstSeen.contains(u)) firstSeen(u) = (id, i)
+      }
+      id -> us
+    }
+    val expected = units.map { case (id, us) =>
+      val keptUh = us.zipWithIndex.collect {
+        case (u, i) if firstSeen(u) == (id, i) => graft.Hashing.h60Jvm(md, u)
+      }
+      (id, us.size.toLong, keptUh.size.toLong,
+        graft.Hashing.h60Jvm(md, keptUh.mkString(":")))
+    }.toSet
+    val got = graft.SparkEntry.defs("q_para_dedup").build(spark, sf())
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_units"),
+        r.getAs[Long]("kept_units"), r.getAs[Long]("residual_sig"))).toSet
+    assert(got == expected)
+    // the fixture must actually exercise the drop path
+    assert(expected.exists { case (_, n, k, _) => k < n },
+      "fixture should contain at least one cross-doc duplicated unit")
+  }
 }

@@ -82,6 +82,49 @@ class ScorerSpec extends SparkSpec {
     assert(math.abs(r.getDouble(3) - (2 * expect - 1)) < 1e-5) // gini
   }
 
+  test("q_score_deciles partitions the corpus and lift averages to 1") {
+    val rows = graft.SparkEntry.defs("q_score_deciles")
+      .build(spark, sf()).collect()
+    assert(rows.map(_.getAs[Int]("decile")).toSeq == (1 to 10))
+    val total = spark.read.parquet(sf() + "/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // ntile DESC: mean score must be non-increasing down the deciles
+    val means = rows.sortBy(_.getAs[Int]("decile")).map(_.getAs[Double]("mean_score"))
+    means.sliding(2).foreach { case Array(a, b) => assert(a >= b) }
+    // n-weighted mean of lift is 1 by construction
+    val wLift = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("lift")).sum
+    assert(math.abs(wLift / total - 1.0) < 1e-4)
+    // pos_rate consistent with pos/n
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Double]("pos_rate")
+        - r.getAs[Long]("pos").toDouble / r.getAs[Long]("n")) < 1e-6)
+    }
+  }
+
+  test("q_embed_gram matches a single-JVM fixed-point brute force") {
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .selectExpr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint)) AS q")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length
+    val dim = vecs.head.length
+    val expect = Array.tabulate(dim, dim) { (i, j) =>
+      var s = BigInt(0)
+      vecs.foreach(v => s += BigInt(v(i)) * v(j))
+      math.round(s.toDouble / n / 1e14 * 1e6) / 1e6
+    }
+    val got = graft.SparkEntry.defs("q_embed_gram").build(spark, sf())
+      .collect()
+      .map(r => ((r.getAs[Long]("i").toInt - 1, r.getAs[Long]("j").toInt - 1),
+        r.getAs[Double]("cogram"))).toMap
+    assert(got.size == dim * (dim + 1) / 2)
+    got.foreach { case ((i, j), g) =>
+      assert(i <= j && g == expect(i)(j), s"cell ($i,$j): $g != ${expect(i)(j)}")
+    }
+    // diagonal = mean squared element values: strictly positive
+    (0 until dim).foreach(i => assert(got((i, i)) > 0.0))
+  }
+
   test("v1 orthogonal map uses W transposed for the reverse direction") {
     // matVec with transpose(W) must equal the row-vector product h·W
     val h = Array.tabulate(Scorer.K)(i => 0.1 * (i + 1))
