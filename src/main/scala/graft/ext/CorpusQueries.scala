@@ -301,10 +301,14 @@ object CorpusQueries {
          |FROM u JOIN keeper k USING (uh)
          |GROUP BY u.doc_id
          |ORDER BY u.doc_id""".stripMargin) { (spark, d) =>
-      val units = paraUnits(spark, d)
-      val keeper = units.groupBy("uh")
-        .agg(min(col("doc_id") * 1048576L + col("unit_idx")).as("kk"))
-      units.join(keeper, "uh")
+      // window-min instead of agg+self-join: ONE scan of the unit
+      // relation and ONE uh-keyed exchange tag every row with its
+      // unit's global first occurrence (the join form re-ran the whole
+      // tile+hash pass for the probe side — 2× the narrow work)
+      paraUnits(spark, d)
+        .withColumn("kk",
+          min(col("doc_id") * 1048576L + col("unit_idx"))
+            .over(Window.partitionBy("uh")))
         .withColumn("kept",
           col("doc_id") * 1048576L + col("unit_idx") === col("kk"))
         .groupBy("doc_id")

@@ -36,6 +36,20 @@ object SimilarityQueries {
     */
   private val NUM_PLANES = 8
 
+  /** Sparse tf-idf cosine (q_sim_sparse): hashed feature-space size
+    * (fixed → df/idf tables broadcast at any corpus scale), features
+    * kept per doc, posting-list cap for pair generation (features whose
+    * top-list appears in more docs are too common to discriminate —
+    * the rare-shingle recall contract), idf fixed-point scale
+    * (milli-nats: keeps w² and cross products far inside BIGINT for any
+    * realistic tf), and the emit threshold on the ROUNDED cosine.
+    */
+  private val SP_BUCKETS = 8192
+  private val SP_TOP = 8
+  private val SP_CAP = 50
+  private val SP_RATE = 1000
+  private val SP_TAU = 0.5
+
   private def duckPlanesCte(numPlanes: Int = NUM_PLANES): String =
     s"""planes AS (
        |  SELECT j.j, i.i,
@@ -881,5 +895,138 @@ object SimilarityQueries {
             / 1e14, 9).as("mmd2")
         }
         .orderBy("label_a", "label_b")
+    },
+
+    // ---- q_sim_sparse: all-pairs SPARSE tf-idf cosine over documents —
+    //      the lexical/weighted member of the similarity family (dense
+    //      twins: q_dedup_embed / q_sim_lsh; unweighted lexical twin:
+    //      q_dedup_ngram's Jaccard). The AllPairs/prefix-filter shape
+    //      re-expressed relationally: tokens hash into a FIXED 8192-bucket
+    //      feature space (the DSIR trick — df/idf tables are O(8k) and
+    //      broadcastable at any corpus size), idf is fixed-pointed ONCE
+    //      per feature (milli-nats, BIGINT) so doc weights and all dot
+    //      products are integer-exact; each doc keeps its top-8 features
+    //      (WindowGroupLimit, deterministic w DESC/f ASC order), and only
+    //      features with 2..SP_CAP top-list postings generate candidate
+    //      pairs — the posting-cap recall contract of the rare-shingle
+    //      index, replayed identically by the oracle. Pair volume is
+    //      Σ C(postings,2) over capped lists, never corpus². cos =
+    //      exact-BIGINT dot / (sqrt·sqrt of exact norms) — two
+    //      correctly-rounded IEEE ops, mirrored ----
+    "q_sim_sparse" -> QueryDef(
+      s"""WITH ${TextOps.duckTokensCte},
+         |tf AS (
+         |  SELECT doc_id, ${Hashing.duckH60("tok")} % $SP_BUCKETS AS f,
+         |         COUNT(*) AS tf
+         |  FROM tokens GROUP BY 1, 2
+         |), nd AS (SELECT COUNT(*) AS n FROM documents),
+         |rate AS (
+         |  SELECT f, CAST(round(ln(CAST(n AS DOUBLE) / df) * $SP_RATE) AS BIGINT)
+         |           AS rate
+         |  FROM (SELECT f, COUNT(*) AS df FROM tf GROUP BY f), nd
+         |), w AS (
+         |  SELECT tf.doc_id, tf.f, tf.tf * r.rate AS w
+         |  FROM tf JOIN rate r USING (f)
+         |), top AS (
+         |  SELECT doc_id, f, w FROM (
+         |    SELECT doc_id, f, w,
+         |      row_number() OVER (PARTITION BY doc_id ORDER BY w DESC, f) AS rn
+         |    FROM w) WHERE rn <= $SP_TOP
+         |), norms AS (
+         |  SELECT doc_id, CAST(SUM(w * w) AS BIGINT) AS n2 FROM top GROUP BY doc_id
+         |), posts AS (
+         |  SELECT f FROM top GROUP BY f HAVING COUNT(*) BETWEEN 2 AND $SP_CAP
+         |), pairs AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(SUM(a.w * b.w) AS BIGINT) AS dot
+         |  FROM top a
+         |  JOIN posts p ON p.f = a.f
+         |  JOIN top b ON b.f = a.f AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2
+         |)
+         |SELECT doc_a, doc_b,
+         |  round(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+         |    AS cos
+         |FROM pairs
+         |JOIN norms na ON na.doc_id = doc_a
+         |JOIN norms nb ON nb.doc_id = doc_b
+         |WHERE round(CAST(dot AS DOUBLE)
+         |    / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))), 6)
+         |    >= $SP_TAU
+         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
+      // Two fused doc-local passes (the q_text_repetition /
+      // q_select_dsir discipline): pass A computes per-doc hashed tf IN
+      // MEMORY (bounded by doc length) and ships only type-level
+      // (doc, f) feature rows into the ≤8192-group df aggregate; the
+      // rate table is then a ≤8192-row collect (bounded by the FIXED
+      // feature space, never the corpus) broadcast into pass B, which
+      // re-derives tf doc-locally and emits ONLY each doc's top-8
+      // (f, w, n2) rows — the token-level shuffle of the naive
+      // relational form (30M rows at the 30× probe) never happens; the
+      // first shuffle in the plan is the 8-row-per-doc posting agg.
+      import spark.implicits._
+      def docTf(it: Iterator[(Long, String)]) = {
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, t) =>
+          val m = new java.util.HashMap[java.lang.Long, Array[Long]]()
+          t.split(" ", -1).foreach { tok =>
+            val f = java.lang.Long.valueOf(Hashing.h60Jvm(md, tok) % SP_BUCKETS)
+            val c = m.get(f)
+            if (c == null) m.put(f, Array(1L)) else c(0) += 1L
+          }
+          (id, m)
+        }
+      }
+      val docs = Tables.documents(spark, d)
+        .filter(col("text").isNotNull)
+        .select(col("doc_id"), col("text")).as[(Long, String)]
+      val feats = docs.mapPartitions { it =>
+        docTf(it).flatMap { case (_, m) =>
+          import scala.jdk.CollectionConverters._
+          m.keySet().asScala.iterator.map(_.longValue())
+        }
+      }.toDF("f")
+      val nDocs = Tables.documents(spark, d).count()
+      val rateMap = feats.groupBy("f").agg(count(lit(1)).as("df"))
+        .collect() // bounded: ≤ SP_BUCKETS rows by construction
+        .map(r => r.getLong(0) ->
+          math.round(math.log(nDocs.toDouble / r.getLong(1)) * SP_RATE))
+        .toMap
+      val rateB = spark.sparkContext.broadcast(rateMap)
+      val top = docs.mapPartitions { it =>
+        val rate = rateB.value
+        docTf(it).flatMap { case (id, m) =>
+          import scala.jdk.CollectionConverters._
+          val ws = m.asScala.iterator
+            .map { case (f, c) => (f.longValue(), c(0) * rate(f.longValue())) }
+            .toSeq.sortBy { case (f, w) => (-w, f) }.take(SP_TOP)
+          val n2 = ws.iterator.map { case (_, w) => w * w }.sum
+          ws.iterator.map { case (f, w) => (id, f, w, n2) }
+        }
+      }.toDF("doc_id", "f", "w", "n2")
+      val pairs = top
+        .groupBy("f")
+        .agg(sort_array(collect_list(
+          struct(col("doc_id"), col("w"), col("n2")))).as("ds"))
+        .filter(size(col("ds")).between(2, SP_CAP))
+        .select(explode(expr(
+          """flatten(transform(ds, (x, ix) ->
+            |  transform(slice(ds, ix + 2, size(ds) - ix - 1),
+            |            y -> named_struct('doc_a', x.doc_id, 'doc_b', y.doc_id,
+            |                              'p', x.w * y.w,
+            |                              'n2a', x.n2, 'n2b', y.n2))))"""
+            .stripMargin))
+          .as("pr"))
+        .select(col("pr.doc_a"), col("pr.doc_b"), col("pr.p"),
+          col("pr.n2a"), col("pr.n2b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(sum("p").as("dot"), min("n2a").as("n2a"), min("n2b").as("n2b"))
+      val cosCol = round(col("dot").cast("double")
+        / (sqrt(col("n2a").cast("double")) * sqrt(col("n2b").cast("double"))), 6)
+      pairs
+        .filter(cosCol >= SP_TAU)
+        .select(col("doc_a"), col("doc_b"), cosCol.as("cos"))
+        .orderBy("doc_a", "doc_b")
     })
 }

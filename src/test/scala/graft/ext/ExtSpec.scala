@@ -290,4 +290,45 @@ class ExtSpec extends SparkSpec {
     assert(arrayForm.nonEmpty)
     assert(arrayForm == joinForm)
   }
+
+  test("q_sim_sparse matches a single-JVM tf-idf cosine brute force") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val docs = spark.read.parquet(sf() + "/documents.parquet")
+      .select("doc_id", "text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val n = docs.length
+    // tf over the 8192-bucket hashed feature space
+    val tf = docs.map { case (id, t) =>
+      id -> t.split(" ").toSeq
+        .groupMapReduce(tok => graft.Hashing.h60Jvm(md, tok) % 8192)(_ => 1L)(_ + _)
+    }.toMap
+    val df = tf.values.flatMap(_.keys).groupMapReduce(identity)(_ => 1L)(_ + _)
+    val rate = df.map { case (f, d) =>
+      f -> math.round(math.log(n.toDouble / d) * 1000)
+    }
+    // top-8 features per doc by (w desc, f asc); norms over the kept set
+    val top = tf.map { case (id, m) =>
+      id -> m.toSeq.map { case (f, c) => (f, c * rate(f)) }
+        .sortBy { case (f, w) => (-w, f) }.take(8).toMap
+    }
+    val n2 = top.map { case (id, m) => id -> m.values.map(w => w * w).sum }
+    val posted = top.values.flatMap(_.keys)
+      .groupMapReduce(identity)(_ => 1L)(_ + _)
+      .collect { case (f, c) if c >= 2 && c <= 50 => f }.toSet
+    val ids = top.keys.toSeq.sorted
+    val expected = (for {
+      ai <- ids.indices; bi <- (ai + 1) until ids.length
+      a = ids(ai); b = ids(bi)
+      shared = top(a).keySet intersect top(b).keySet intersect posted
+      if shared.nonEmpty
+      dot = shared.toSeq.map(f => top(a)(f) * top(b)(f)).sum
+      cos = math.round(dot.toDouble
+        / (math.sqrt(n2(a).toDouble) * math.sqrt(n2(b).toDouble)) * 1e6) / 1e6
+      if cos >= 0.5
+    } yield (a, b, cos)).toSet
+    val got = graft.SparkEntry.defs("q_sim_sparse").build(spark, sf())
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == expected)
+    assert(got.nonEmpty, "fixture should produce at least one sparse-cosine pair")
+  }
 }
