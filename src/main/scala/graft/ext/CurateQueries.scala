@@ -63,6 +63,13 @@ object CurateQueries {
     * compares replay bit-exact in any engine — no float RNG parity
     * risk.
     */
+  /** CUPED pre/post boundary — the same date q_incr_agg splits on, so
+    * the "experiment start" is consistent across the event-analytics
+    * suite. Pre-period covariate = event count before; metric =
+    * purchase value after.
+    */
+  private val CUPED_CUTOFF = "2024-01-20 00:00:00"
+
   private val POIS_T = Seq(
     424136118829305329L, 848272237658610659L, 1060340297073263324L,
     1131029650211480879L, 1148701988496035267L, 1152236456152946145L,
@@ -434,5 +441,109 @@ object CurateQueries {
         .unionAll(r1.withColumn("origin", lit("r1")))
         .unionAll(r2.withColumn("origin", lit("r2")))
         .orderBy("doc_id")
+    },
+
+    // ---- q_cuped: CUPED variance-reduced A/B estimation (Deng et al.
+    //      2013) — the modern-experimentation companion to q_abtest's
+    //      χ². Metric y = post-cutoff purchase value per user (mills,
+    //      exact BIGINT); covariate x = PRE-cutoff event count (the
+    //      pre-experiment signal unaffected by treatment). The key
+    //      scale/parity move: the adjusted arm mean is NEVER computed
+    //      per user (a float sum would be order-dependent) — algebra
+    //      reduces it to arm MOMENTS: mean(y_adj) = ȳ_arm − θ·(x̄_arm −
+    //      x̄); θ = (n·Σxy − Σx·Σy)/(n·Σxx − Σx²); variance reduction =
+    //      ρ² = (n·Σxy − Σx·Σy)² / ((n·Σxx − Σx²)(n·Σyy − Σy²)). So the
+    //      whole estimator is ONE user-keyed rollup + one 2-row
+    //      conditional agg + mirrored IEEE expressions over exact
+    //      integer moments (products in DOUBLE — the q_abtest rule).
+    //      Degenerate var(x)=0 → θ NULL, adjusted = unadjusted ----
+    "q_cuped" -> QueryDef(
+      s"""WITH u AS (
+         |  SELECT user_id, user_id % 2 AS variant,
+         |    CAST(SUM(CASE WHEN ts < TIMESTAMP '$CUPED_CUTOFF' THEN 1 ELSE 0 END)
+         |      AS BIGINT) AS x,
+         |    CAST(SUM(CASE WHEN ts >= TIMESTAMP '$CUPED_CUTOFF'
+         |      AND event_type = 'purchase'
+         |      THEN CAST(round(value * 1000) AS BIGINT) ELSE 0 END)
+         |      AS BIGINT) AS y
+         |  FROM events GROUP BY user_id
+         |), m AS (
+         |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+         |    CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+         |    CAST(SUM(x * x) AS BIGINT) AS sxx,
+         |    CAST(SUM(x * y) AS BIGINT) AS sxy,
+         |    CAST(SUM(y * y) AS HUGEINT) AS syy
+         |  FROM u
+         |), g AS (
+         |  SELECT
+         |    CASE WHEN CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx = 0
+         |      THEN CAST(NULL AS DOUBLE)
+         |      ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |        / (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) END
+         |      AS theta,
+         |    CASE WHEN (CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |        * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy) = 0
+         |      THEN CAST(NULL AS DOUBLE)
+         |      ELSE (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |        * (CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+         |        / ((CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+         |           * (CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)) END
+         |      AS var_red,
+         |    CAST(sx AS DOUBLE) / n AS xbar
+         |  FROM m
+         |), arms AS (
+         |  SELECT variant, CAST(COUNT(*) AS BIGINT) AS n_v,
+         |    CAST(SUM(x) AS BIGINT) AS sx_v, CAST(SUM(y) AS BIGINT) AS sy_v
+         |  FROM u GROUP BY variant
+         |)
+         |SELECT variant, n_v AS n,
+         |  round(CAST(sy_v AS DOUBLE) / n_v / 1000.0, 6) AS mean_y,
+         |  round((CAST(sy_v AS DOUBLE) / n_v
+         |    - COALESCE(theta, 0.0) * (CAST(sx_v AS DOUBLE) / n_v - xbar))
+         |    / 1000.0, 6) AS mean_y_adj,
+         |  round(theta, 6) AS theta, round(var_red, 6) AS var_red
+         |FROM arms, g
+         |ORDER BY variant""".stripMargin) { (spark, d) =>
+      val u = Tables.events(spark, d)
+        .groupBy("user_id")
+        .agg(
+          sum(when(col("ts") < to_timestamp(lit(CUPED_CUTOFF)), 1L)
+            .otherwise(0L)).as("x"),
+          sum(when(col("ts") >= to_timestamp(lit(CUPED_CUTOFF))
+              && col("event_type") === "purchase",
+            expr("CAST(round(value * 1000) AS BIGINT)")).otherwise(0L))
+            .as("y"))
+        .withColumn("variant", col("user_id") % 2)
+      val m = u.agg(count(lit(1)).cast("long").as("n"),
+        sum("x").cast("long").as("sx"), sum("y").cast("long").as("sy"),
+        sum(col("x") * col("x")).cast("long").as("sxx"),
+        sum(col("x") * col("y")).cast("long").as("sxy"),
+        sum(col("y").cast(DecimalType(38, 0)) * col("y")).as("syy"))
+      val nD = col("n").cast("double")
+      val sxD = col("sx").cast("double")
+      val syD = col("sy").cast("double")
+      val vx = nD * col("sxx") - sxD * col("sx")
+      val cxy = nD * col("sxy") - sxD * col("sy")
+      val vy = nD * col("syy").cast("double") - syD * col("sy")
+      val g = m.select(
+        when(vx === 0.0, lit(null).cast("double"))
+          .otherwise(cxy / vx).as("theta"),
+        when(vx * vy === 0.0, lit(null).cast("double"))
+          .otherwise(cxy * cxy / (vx * vy)).as("var_red"),
+        (sxD / col("n")).as("xbar"))
+      val arms = u.groupBy("variant")
+        .agg(count(lit(1)).cast("long").as("n_v"),
+          sum("x").cast("long").as("sx_v"), sum("y").cast("long").as("sy_v"))
+      arms.crossJoin(broadcast(g))
+        .select(col("variant"), col("n_v").as("n"),
+          round(col("sy_v").cast("double") / col("n_v") / 1000.0, 6)
+            .as("mean_y"),
+          round((col("sy_v").cast("double") / col("n_v")
+            - coalesce(col("theta"), lit(0.0))
+              * (col("sx_v").cast("double") / col("n_v") - col("xbar")))
+            / 1000.0, 6).as("mean_y_adj"),
+          round(col("theta"), 6).as("theta"),
+          round(col("var_red"), 6).as("var_red"))
+        .orderBy("variant")
     })
 }

@@ -844,6 +844,64 @@ object TextQueries {
     //      absorbed by round(...,6) (same contract as tf-idf/NDCG). ----
     "q_text_bm25" -> QueryDef(bm25Sql) { (spark, d) => bm25(spark, d) },
 
+    // ---- q_rrf_fusion: reciprocal-rank fusion of the LEXICAL (BM25,
+    //      q_text_bm25's exact subtree) and DENSE (fixed-point embedding
+    //      dot, q_auc's probe trick) retrieval lists — the standard
+    //      hybrid-RAG merge (Cormack et al.: score = Σ 1/(60+rank)).
+    //      Ranks, not scores, cross the fusion boundary, so the two
+    //      retrievers' incomparable scales never mix; each list is a
+    //      top-50 TakeOrderedAndProject with a total tiebreak, the full
+    //      outer join runs over ≤100 rows, and the fused score is at
+    //      most two IEEE divisions + one add in a fixed written order —
+    //      bit-reproducible cross-engine. 100 TB: each retriever keeps
+    //      its own documented scale path; fusion cost is O(k) always ----
+    "q_rrf_fusion" -> QueryDef(
+      s"""WITH lex AS (
+         |  SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rl
+         |  FROM ($bm25Sql)
+         |), dense AS (
+         |  SELECT vec_id AS doc_id,
+         |    row_number() OVER (ORDER BY s DESC, vec_id) AS rd
+         |  FROM (
+         |    SELECT vec_id,
+         |      SUM(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+         |          * ((i * 2654435761) % 2001 - 1000)) AS s
+         |    FROM (SELECT vec_id, unnest(embedding) AS x,
+         |          generate_subscripts(embedding, 1) AS i FROM embeddings)
+         |    GROUP BY vec_id
+         |    ORDER BY s DESC, vec_id LIMIT 50)
+         |)
+         |SELECT COALESCE(l.doc_id, e.doc_id) AS doc_id,
+         |  l.rl AS lex_rank, e.rd AS dense_rank,
+         |  round(COALESCE(1.0 / (60 + l.rl), 0.0)
+         |      + COALESCE(1.0 / (60 + e.rd), 0.0), 6) AS rrf
+         |FROM lex l FULL JOIN dense e ON e.doc_id = l.doc_id
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin) { (spark, d) =>
+      graft.functions.FixedDot.ensureRegistered(spark)
+      val w50 = Window.orderBy(col("bm25").desc, col("doc_id"))
+      val lex = bm25(spark, d)
+        .select(col("doc_id"), row_number().over(w50).cast("long").as("rl"))
+      val dense = graft.Tables.embeddings(spark, d)
+        .select(col("vec_id"),
+          expr("""fixed_dot(
+            |  transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint)),
+            |  transform(sequence(1, size(embedding)),
+            |            i -> (cast(i as bigint) * 2654435761L) % 2001 - 1000))"""
+            .stripMargin).as("s"))
+        .orderBy(col("s").desc, col("vec_id")).limit(50)
+        .select(col("vec_id").as("doc_id"),
+          row_number().over(Window.orderBy(col("s").desc, col("vec_id")))
+            .cast("long").as("rd"))
+      lex.as("l").join(dense.as("e"), col("l.doc_id") === col("e.doc_id"),
+          "full_outer")
+        .select(coalesce(col("l.doc_id"), col("e.doc_id")).as("doc_id"),
+          col("l.rl").as("lex_rank"), col("e.rd").as("dense_rank"),
+          round(coalesce(lit(1.0) / (lit(60) + col("l.rl")), lit(0.0))
+            + coalesce(lit(1.0) / (lit(60) + col("e.rd")), lit(0.0)), 6)
+            .as("rrf"))
+        .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+    },
+
     // ---- DSIR-style importance scoring: rank out-of-domain docs by how
     //      target-like their hashed-bigram distribution is (data
     //      selection via importance resampling — the standard "pick

@@ -110,4 +110,27 @@ class CorpusSpec extends SparkSpec {
     assert(expected.exists { case (_, n, k, _) => k < n },
       "fixture should contain at least one cross-doc duplicated unit")
   }
+
+  test("q_rrf_fusion fuses exactly the reciprocal ranks of its two lists") {
+    val rows = graft.SparkEntry.defs("q_rrf_fusion").build(spark, sf())
+      .collect()
+    assert(rows.length == 20)
+    rows.foreach { r =>
+      val rl = Option(r.getAs[java.lang.Long]("lex_rank")).map(_.toLong)
+      val rd = Option(r.getAs[java.lang.Long]("dense_rank")).map(_.toLong)
+      assert(rl.nonEmpty || rd.nonEmpty)
+      (rl.toSeq ++ rd).foreach(k => assert(k >= 1 && k <= 50))
+      val expect = rl.map(k => 1.0 / (60 + k)).getOrElse(0.0) +
+        rd.map(k => 1.0 / (60 + k)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+    // output sorted by fused score desc with doc_id tiebreak
+    val key = rows.map(r => (-r.getAs[Double]("rrf"), r.getAs[Long]("doc_id")))
+    assert(key.sameElements(key.sorted))
+    // a doc present in BOTH lists must outrank one at the same lex rank
+    // only in one list — the fusion property worth locking: both-list
+    // membership occurs in the fixture
+    assert(rows.exists(r => r.getAs[java.lang.Long]("lex_rank") != null
+      && r.getAs[java.lang.Long]("dense_rank") != null))
+  }
 }

@@ -169,4 +169,45 @@ class CurateSpec extends SparkSpec {
     r1.foreach(r => assert(nbrs(r.getLong(0)).exists(_ % 2 == 0)))
     r2.foreach(r => assert(!nbrs(r.getLong(0)).exists(_ % 2 == 0)))
   }
+
+  test("q_cuped matches a per-user moment brute force") {
+    import java.sql.Timestamp
+    val cutoff = Timestamp.valueOf("2024-01-20 00:00:00")
+    val ev = graft.Tables.events(spark, sf())
+      .select("user_id", "ts", "event_type", "value").collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getString(2), r.getDouble(3)))
+    val byUser = ev.groupBy(_._1).map { case (u, es) =>
+      val x = es.count(_._2.before(cutoff)).toLong
+      val y = es.collect {
+        case (_, t, "purchase", v) if !t.before(cutoff) => math.round(v * 1000)
+      }.sum
+      (u, u % 2, x, y)
+    }.toSeq
+    val n = byUser.size.toDouble
+    val sx = byUser.map(_._3).sum.toDouble
+    val sy = byUser.map(_._4).sum.toDouble
+    val sxx = byUser.map(u => u._3 * u._3).sum.toDouble
+    val sxy = byUser.map(u => u._3 * u._4).sum.toDouble
+    val syy = byUser.map(u => BigInt(u._4) * u._4).sum.toDouble
+    val vx = n * sxx - sx * sx
+    val theta = (n * sxy - sx * sy) / vx
+    val varRed = math.pow(n * sxy - sx * sy, 2) / (vx * (n * syy - sy * sy))
+    val xbar = sx / n
+    val rows = graft.SparkEntry.defs("q_cuped").build(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("variant")).toSeq == Seq(0L, 1L))
+    rows.foreach { r =>
+      val arm = byUser.filter(_._2 == r.getAs[Long]("variant"))
+      val nv = arm.size.toDouble
+      val my = arm.map(_._4).sum / nv
+      val mx = arm.map(_._3).sum / nv
+      assert(r.getAs[Long]("n") == arm.size)
+      assert(math.abs(r.getAs[Double]("mean_y") - my / 1000.0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("mean_y_adj")
+        - (my - theta * (mx - xbar)) / 1000.0) < 1e-5)
+      assert(math.abs(r.getAs[Double]("theta") - theta) < 1e-5)
+      assert(r.getAs[Double]("var_red") >= 0.0
+        && r.getAs[Double]("var_red") <= 1.0)
+      assert(math.abs(r.getAs[Double]("var_red") - varRed) < 1e-5)
+    }
+  }
 }
