@@ -252,4 +252,47 @@ class PlanSpec extends SparkSpec {
     val exchanges = """Arguments: hashpartitioning\([^)]*text""".r.findAllIn(p).size
     assert(exchanges == 0, s"text column reached a shuffle:\n$p")
   }
+
+  test("para dedup is two exchanges of hash keys, text never shuffles") {
+    // window-min by unit hash + doc rollup: the narrow tile+hash pass
+    // must run ONCE (no self-join rebuild) and only (doc_id, unit_idx,
+    // uh) longs may cross the wire
+    val p = plan("q_para_dedup")
+    assert(!p.contains("Join"), s"keeper reverted to an agg+self-join:\n$p")
+    val textShuffles =
+      """Arguments: hashpartitioning\([^)]*text""".r.findAllIn(p).size
+    assert(textShuffles == 0, s"text column reached a shuffle:\n$p")
+    assert(shuffles(p) <= 3,
+      s"expected uh window + doc rollup + output sort only:\n$p")
+  }
+
+  test("sparse cosine plans no token-level shuffle and no sort-merge join") {
+    // both tf passes are doc-local mapPartitions against the broadcast
+    // rate table: the first exchange in the plan must already be the
+    // 8-rows-per-doc posting aggregate
+    val p = plan("q_sim_sparse")
+    assert(!p.contains("SortMergeJoin"), s"norm join reappeared:\n$p")
+    assert(shuffles(p) <= 3,
+      s"expected posting agg + pair agg (+ output sort) only:\n$p")
+  }
+
+  test("gram matrix shuffles only per-partition cells") {
+    // the exchange below the (i, j) merge carries partitions×2080 cell
+    // rows; the vectors themselves stay in the narrow pass
+    val p = plan("q_embed_gram")
+    assert(shuffles(p) <= 2, s"expected cell merge (+ output sort) only:\n$p")
+    val vecShuffles =
+      """Arguments: hashpartitioning\([^)]*embedding""".r.findAllIn(p).size
+    assert(vecShuffles == 0, s"embedding column reached a shuffle:\n$p")
+  }
+
+  test("cuped is one user rollup plus broadcast moments") {
+    // the global-moment and arm relations are 1-2 rows; they must reach
+    // the final select as broadcasts, leaving the user-keyed rollup as
+    // the only data-sized exchange
+    val p = plan("q_cuped")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"moment row must broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"scalar join degenerated:\n$p")
+  }
 }
