@@ -386,73 +386,174 @@ object ScoreQueries {
     //      job with no separate count action. Integer-exact to the final
     //      mirrored double division ----
     "q_embed_gram" -> QueryDef(
-      """WITH q AS (
-        |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
-        |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS q
-        |  FROM embeddings
-        |), n AS (SELECT COUNT(*) AS n FROM embeddings),
-        |g AS (
-        |  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s
-        |  FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
-        |  GROUP BY a.i, b.i
-        |)
-        |SELECT i, j, round(CAST(s AS DOUBLE) / n / 1e14, 6) AS cogram
-        |FROM g, n ORDER BY i, j""".stripMargin) { (spark, d) =>
-      import spark.implicits._
-      val dim = 64
-      val cells = dim * (dim + 1) / 2
-      val partials = Tables.embeddings(spark, d)
-        .select(expr(
-          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
-          .as("q"))
-        .as[Array[Long]]
-        .mapPartitions { it =>
-          val acc = Array.fill(cells)(java.math.BigInteger.ZERO)
-          val loc = new Array[Long](cells)
-          var rows = 0L
-          var sinceFlush = 0
-          def flush(): Unit = {
-            var c = 0
-            while (c < cells) {
-              if (loc(c) != 0L) {
-                acc(c) = acc(c).add(java.math.BigInteger.valueOf(loc(c)))
-                loc(c) = 0L
-              }
-              c += 1
-            }
-            sinceFlush = 0
-          }
-          it.foreach { qv =>
-            var c = 0
-            var i = 0
-            while (i < dim) {
-              val qi = qv(i)
-              var j = i
-              while (j < dim) { loc(c) += qi * qv(j); j += 1; c += 1 }
-              i += 1
-            }
-            rows += 1L
-            sinceFlush += 1
-            if (sinceFlush == 4096) flush()
-          }
-          flush()
-          if (rows == 0L) Iterator.empty
-          else Iterator.range(0, dim).flatMap { i =>
-            // cell (i, j) lives at linear index i·dim − i(i−1)/2 + (j − i)
-            val base = i * dim - i * (i - 1) / 2 - i
-            Iterator.range(i, dim).map { j =>
-              (i + 1L, j + 1L, acc(base + j).toString, rows)
-            }
-          }
-        }
-        .toDF("i", "j", "s", "rows")
-        .select(col("i"), col("j"),
-          col("s").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s"),
-          col("rows"))
-      partials.groupBy("i", "j")
-        .agg(sum("s").as("s"), sum("rows").as("n"))
+      s"""WITH $duckGramCtes
+         |SELECT i, j, round(CAST(s AS DOUBLE) / n / 1e14, 6) AS cogram
+         |FROM g, n ORDER BY i, j""".stripMargin) { (spark, d) =>
+      gramCells(spark, d)
         .select(col("i"), col("j"),
           round(col("s").cast("double") / col("n") / 1e14, 6).as("cogram"))
         .orderBy("i", "j")
+    },
+
+    // ---- q_embed_pca: dominant principal direction + explained second
+    //      moment via POWER ITERATION on the Gram matrix — PCA the way
+    //      it actually runs at 100 TB: the corpus-sized work is exactly
+    //      q_embed_gram's one-pass cell reduce; the eigensolve happens
+    //      on the COLLECTED 2080-cell matrix (bounded by dim², never the
+    //      corpus — the safe-collect contract). Cross-engine parity for
+    //      an iterative float algorithm comes from the q_kmeans
+    //      discipline: the matvec u = S·v runs in EXACT integers (BigInt
+    //      / HUGEINT — order-free), and each iteration re-projects onto
+    //      a 1e6 fixed-point grid via ONE mirrored double divide+round
+    //      (∞-norm normalization — max|u| is an exact integer, where an
+    //      L2 norm would square u into overflow). 6 iterations unrolled
+    //      in the oracle; λ = Rayleigh quotient of exact integer
+    //      quadratic forms, one final mirrored division chain ----
+    "q_embed_pca" -> QueryDef(
+      s"""WITH $duckGramCtes,
+         |sym AS (
+         |  SELECT i, j, s FROM g
+         |  UNION ALL SELECT j AS i, i AS j, s FROM g WHERE i < j
+         |),
+         |v0 AS (SELECT unnest(generate_series(1, $PCA_DIM)) AS i,
+         |       CAST(1000000 AS BIGINT) AS v),
+         |${(1 to PCA_ITERS).map(duckPcaIter).mkString(",\n")},
+         |num AS (
+         |  SELECT SUM(a.v * sym.s * b.v) AS num
+         |  FROM sym JOIN v$PCA_ITERS a ON a.i = sym.i
+         |           JOIN v$PCA_ITERS b ON b.i = sym.j
+         |), den AS (SELECT SUM(v * v) AS den FROM v$PCA_ITERS)
+         |SELECT v$PCA_ITERS.i, CAST(v AS DOUBLE) / 1000000.0 AS component,
+         |  round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE) / n / 1e14, 6)
+         |    AS eigval
+         |FROM v$PCA_ITERS, num, den, n ORDER BY i""".stripMargin) { (spark, d) =>
+      // bounded collect: dim(dim+1)/2 cells + the row count — never the corpus
+      val cells = gramCells(spark, d).collect()
+      val n = cells.head.getAs[Long]("n")
+      val S = Array.ofDim[BigInt](PCA_DIM + 1, PCA_DIM + 1)
+      cells.foreach { r =>
+        val (i, j) = (r.getAs[Long]("i").toInt, r.getAs[Long]("j").toInt)
+        val s = BigInt(r.getAs[java.math.BigDecimal]("s").toBigInteger)
+        S(i)(j) = s; S(j)(i) = s
+      }
+      var v = Array.fill(PCA_DIM + 1)(BigInt(1000000)); v(0) = BigInt(0)
+      for (_ <- 1 to PCA_ITERS) {
+        val u = Array.tabulate(PCA_DIM + 1) { i =>
+          if (i == 0) BigInt(0)
+          else (1 to PCA_DIM).map(j => S(i)(j) * v(j)).sum
+        }
+        val mx = u.map(_.abs).max
+        v = u.map(ui => BigInt(math.round(ui.toDouble * 1000000 / mx.toDouble)))
+      }
+      val num = (for (i <- 1 to PCA_DIM; j <- 1 to PCA_DIM)
+        yield v(i) * S(i)(j) * v(j)).sum
+      val den = (1 to PCA_DIM).map(i => v(i) * v(i)).sum
+      // round through the ENGINE's round(), not driver BigDecimal — the
+      // same function the oracle's round() is paired with everywhere
+      val eigRaw = num.toDouble / den.toDouble / n / 1e14
+      import spark.implicits._
+      (1 to PCA_DIM).map(i => (i.toLong, v(i).toDouble / 1000000.0, eigRaw))
+        .toDF("i", "component", "eig_raw")
+        .select(col("i"), col("component"), round(col("eig_raw"), 6).as("eigval"))
+        .orderBy("i")
     })
+
+  /** PCA dims/iterations (q_embed_pca). 6 power iterations from the
+    * all-ones start: enough to separate the dominant direction on any
+    * non-degenerate spectrum while keeping the oracle's unrolled CTE
+    * chain readable; the spec checks convergence against a
+    * long-iteration reference.
+    */
+  private lazy val PCA_DIM = 64
+  private lazy val PCA_ITERS = 6
+
+  /** One unrolled power-iteration CTE pair: exact-integer matvec, then
+    * the mirrored ∞-norm re-projection onto the 1e6 grid.
+    */
+  private def duckPcaIter(k: Int): String =
+    s"""u$k AS (
+       |  SELECT sym.i, SUM(sym.s * p.v) AS u
+       |  FROM sym JOIN v${k - 1} p ON p.i = sym.j GROUP BY sym.i
+       |), m$k AS (SELECT MAX(abs(u)) AS mx FROM u$k),
+       |v$k AS (
+       |  SELECT i, CAST(round(CAST(u AS DOUBLE) * 1000000
+       |                       / CAST(mx AS DOUBLE)) AS BIGINT) AS v
+       |  FROM u$k, m$k
+       |)""".stripMargin
+
+  /** Shared oracle CTEs for the Gram family: fixed-point elements `q`,
+    * corpus count `n`, and the upper-triangle exact cell sums `g`.
+    */
+  private lazy val duckGramCtes: String =
+    """q AS (
+      |  SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+      |    CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000) AS BIGINT) AS q
+      |  FROM embeddings
+      |), n AS (SELECT COUNT(*) AS n FROM embeddings),
+      |g AS (
+      |  SELECT a.i AS i, b.i AS j, SUM(a.q * b.q) AS s
+      |  FROM q a JOIN q b ON b.vec_id = a.vec_id AND b.i >= a.i
+      |  GROUP BY a.i, b.i
+      |)""".stripMargin
+
+  /** The distributed Gram reduce shared by q_embed_gram and q_embed_pca:
+    * (i, j, s DECIMAL(38,0), n) for the upper triangle — per-partition
+    * local fixed-point accumulation, shuffle = partitions × 2080 cells.
+    */
+  private def gramCells(spark: org.apache.spark.sql.SparkSession,
+      d: String): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val dim = PCA_DIM
+    val cells = dim * (dim + 1) / 2
+    val partials = Tables.embeddings(spark, d)
+      .select(expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("q"))
+      .as[Array[Long]]
+      .mapPartitions { it =>
+        val acc = Array.fill(cells)(java.math.BigInteger.ZERO)
+        val loc = new Array[Long](cells)
+        var rows = 0L
+        var sinceFlush = 0
+        def flush(): Unit = {
+          var c = 0
+          while (c < cells) {
+            if (loc(c) != 0L) {
+              acc(c) = acc(c).add(java.math.BigInteger.valueOf(loc(c)))
+              loc(c) = 0L
+            }
+            c += 1
+          }
+          sinceFlush = 0
+        }
+        it.foreach { qv =>
+          var c = 0
+          var i = 0
+          while (i < dim) {
+            val qi = qv(i)
+            var j = i
+            while (j < dim) { loc(c) += qi * qv(j); j += 1; c += 1 }
+            i += 1
+          }
+          rows += 1L
+          sinceFlush += 1
+          if (sinceFlush == 4096) flush()
+        }
+        flush()
+        if (rows == 0L) Iterator.empty
+        else Iterator.range(0, dim).flatMap { i =>
+          // cell (i, j) lives at linear index i·dim − i(i−1)/2 + (j − i)
+          val base = i * dim - i * (i - 1) / 2 - i
+          Iterator.range(i, dim).map { j =>
+            (i + 1L, j + 1L, acc(base + j).toString, rows)
+          }
+        }
+      }
+      .toDF("i", "j", "s", "rows")
+      .select(col("i"), col("j"),
+        col("s").cast(org.apache.spark.sql.types.DecimalType(38, 0)).as("s"),
+        col("rows"))
+    partials.groupBy("i", "j")
+      .agg(sum("s").as("s"), sum("rows").as("n"))
+  }
 }

@@ -125,6 +125,43 @@ class ScorerSpec extends SparkSpec {
     (0 until dim).foreach(i => assert(got((i, i)) > 0.0))
   }
 
+  test("q_embed_pca approximates the dominant eigenpair of the exact Gram") {
+    val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
+      .selectExpr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint)) AS q")
+      .collect().map(_.getSeq[Long](0).toArray)
+    val n = vecs.length
+    val dim = vecs.head.length
+    val m = Array.tabulate(dim, dim) { (i, j) =>
+      vecs.map(v => BigInt(v(i)) * v(j)).sum.toDouble / n / 1e14
+    }
+    // long-run double power iteration as the convergence reference
+    var ref = Array.fill(dim)(1.0)
+    for (_ <- 1 to 200) {
+      val u = Array.tabulate(dim)(i => (0 until dim).map(j => m(i)(j) * ref(j)).sum)
+      val nrm = math.sqrt(u.map(x => x * x).sum)
+      ref = u.map(_ / nrm)
+    }
+    val lamRef = (for (i <- 0 until dim; j <- 0 until dim)
+      yield ref(i) * m(i)(j) * ref(j)).sum
+    val rows = graft.SparkEntry.defs("q_embed_pca").build(spark, sf()).collect()
+    assert(rows.length == dim)
+    val comp = rows.sortBy(_.getAs[Long]("i")).map(_.getAs[Double]("component"))
+    assert(comp.map(math.abs).max == 1.0, "infinity-norm projection must pin max|v| to 1")
+    val lam = rows.head.getAs[Double]("eigval")
+    // the Rayleigh quotient of ANY vector is ≤ λmax (exact math — the
+    // upper bound holds to fixed-point grid precision), and 6 power
+    // iterations must recover most of the dominant mass even on this
+    // near-isotropic fixture (small eigengap ⇒ full convergence is not
+    // a fair ask at sf0.001)
+    assert(lam <= lamRef * 1.001, s"Rayleigh $lam exceeded λmax $lamRef")
+    assert(lam >= lamRef * 0.8, s"Rayleigh $lam too far below λmax $lamRef")
+    // no direction assert: the fixture's top eigenvalues are nearly
+    // degenerate (isotropic random embeddings), so the dominant
+    // DIRECTION is ill-conditioned while the dominant VALUE is stable —
+    // the λ bracket above is the meaningful convergence check
+  }
+
   test("v1 orthogonal map uses W transposed for the reverse direction") {
     // matVec with transpose(W) must equal the row-vector product h·W
     val h = Array.tabulate(Scorer.K)(i => 0.1 * (i + 1))
