@@ -750,6 +750,92 @@ object SimilarityQueries {
         .orderBy("label", "i")
     },
 
+    // ---- q_nearest_centroid: nearest-centroid classification +
+    //      confusion matrix — the eval loop that closes the prototype
+    //      family (q_embed_centroids builds the model, this scores it;
+    //      Rocchio / prototypical-network inference). Scoring key:
+    //      argmax over labels of dot(v, c_l)/‖c_l‖ — ‖v‖ is constant per
+    //      vector so true cosine argmax without ever computing it. The
+    //      centroid is the exact per-label MEAN re-projected onto the
+    //      1e7 grid (one mirrored round per cell), so every dot term
+    //      stays far inside BIGINT and the model is |labels|×dim longs.
+    //      100 TB: the model COLLECTS (bounded by labels·dim, never the
+    //      corpus) and broadcasts into ONE fused narrow pass scoring all
+    //      |labels| dots per vector in-memory, emitting only (true,
+    //      pred) — no element explode, no vector-sized shuffle; the
+    //      first exchange is the |labels|² confusion rollup. Exact
+    //      integer dots; the only floats are the mirrored sqrt + divide;
+    //      ties broken by label ----
+    "q_nearest_centroid" -> QueryDef(
+      s"""WITH ${VectorOps.duckElemsCte},
+         |cents AS (
+         |  SELECT label AS cand, i,
+         |    CAST(round(CAST(SUM(e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+         |  FROM elems GROUP BY label, i
+         |), cnorm AS (
+         |  SELECT cand, sqrt(CAST(SUM(c * c) AS DOUBLE)) AS nrm
+         |  FROM cents GROUP BY cand
+         |), scores AS (
+         |  SELECT e.vec_id, e.label AS true_label, c.cand,
+         |    CAST(SUM(e.e * c.c) AS DOUBLE) / MIN(n.nrm) AS score
+         |  FROM elems e
+         |  JOIN cents c ON c.i = e.i
+         |  JOIN cnorm n ON n.cand = c.cand AND n.nrm > 0
+         |  GROUP BY e.vec_id, e.label, c.cand
+         |), pred AS (
+         |  SELECT vec_id, true_label, cand AS pred_label FROM (
+         |    SELECT vec_id, true_label, cand,
+         |      row_number() OVER (PARTITION BY vec_id
+         |        ORDER BY score DESC, cand) AS rn
+         |    FROM scores)
+         |  WHERE rn = 1
+         |)
+         |SELECT true_label, pred_label, COUNT(*) AS n
+         |FROM pred GROUP BY true_label, pred_label
+         |ORDER BY true_label, pred_label""".stripMargin) { (spark, d) =>
+      import spark.implicits._
+      // model build: one (label, i) hash agg + a bounded collect —
+      // |labels|·dim cells, never the corpus
+      val cents = VectorOps.elems(spark, d)
+        .groupBy(col("label").as("cand"), col("i"))
+        .agg(expr("CAST(round(CAST(SUM(e) AS DOUBLE) / COUNT(*), 0) AS BIGINT)")
+          .as("c"))
+        .collect()
+      val labels = cents.map(_.getAs[Int]("cand")).distinct.sorted
+      val dim = cents.map(_.getAs[Number]("i").intValue).max
+      val model = labels.map { l =>
+        val v = new Array[Long](dim + 1)
+        cents.filter(_.getAs[Int]("cand") == l)
+          .foreach(r => v(r.getAs[Number]("i").intValue) = r.getAs[Long]("c"))
+        (l, v, math.sqrt(v.map(x => x.toDouble * x).sum))
+      }.filter(_._3 > 0)
+      val bc = spark.sparkContext.broadcast(model)
+      Tables.embeddings(spark, d)
+        .select(col("label"),
+          expr("transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+            .as("q"))
+        .as[(Int, Array[Long])]
+        .mapPartitions { it =>
+          val m = bc.value
+          it.map { case (trueL, q) =>
+            var bestL = Int.MaxValue
+            var bestS = Double.NegativeInfinity
+            m.foreach { case (l, c, nrm) =>
+              var dot = 0L
+              var i = 0
+              while (i < q.length) { dot += q(i) * c(i + 1); i += 1 }
+              val s = dot.toDouble / nrm
+              if (s > bestS || (s == bestS && l < bestL)) { bestS = s; bestL = l }
+            }
+            (trueL, bestL)
+          }
+        }
+        .toDF("true_label", "pred_label")
+        .groupBy("true_label", "pred_label")
+        .agg(count(lit(1)).as("n"))
+        .orderBy("true_label", "pred_label")
+    },
+
     // ---- SEMANTIC decontamination: best-eval-match cosine flagging
     //      (the paraphrase-leakage complement to q_decontaminate's
     //      verbatim shingle overlap). Eval side broadcast, count-gated;

@@ -331,4 +331,37 @@ class ExtSpec extends SparkSpec {
     assert(got == expected)
     assert(got.nonEmpty, "fixture should produce at least one sparse-cosine pair")
   }
+
+  test("q_nearest_centroid matches a single-JVM classifier brute force") {
+    val rows = spark.read.parquet(sf() + "/embeddings.parquet")
+      .selectExpr("vec_id", "label",
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint)) AS q")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getSeq[Long](2).toArray))
+    val dim = rows.head._3.length
+    // rounded-mean centroids — the query's 1e7-grid model, not raw sums
+    val cents = rows.groupBy(_._2).map { case (l, vs) =>
+      l -> Array.tabulate(dim) { i =>
+        BigInt(math.round(vs.map(v => BigInt(v._3(i))).sum.toDouble / vs.length))
+      }
+    }
+    val cnorm = cents.map { case (l, s) =>
+      l -> math.sqrt(s.map(x => (x * x).toDouble).sum)
+    }.filter(_._2 > 0)
+    val expected = rows.map { case (_, trueL, v) =>
+      val pred = cnorm.keys.toSeq.map { l =>
+        val dot = (0 until dim).map(i => cents(l)(i) * v(i)).sum
+        (l, dot.toDouble / cnorm(l))
+      }.minBy { case (l, s) => (-s, l) }._1
+      (trueL, pred)
+    }.groupBy(identity).map { case ((t, p), xs) => (t, p, xs.length.toLong) }
+      .toSet
+    val got = graft.SparkEntry.defs("q_nearest_centroid").build(spark, sf())
+      .collect()
+      .map(r => (r.getAs[Int]("true_label"), r.getAs[Int]("pred_label"),
+        r.getAs[Long]("n"))).toSet
+    assert(got == expected)
+    assert(got.iterator.map(_._3).sum == rows.length,
+      "every vector classified exactly once")
+  }
 }
