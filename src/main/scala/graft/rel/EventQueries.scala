@@ -349,6 +349,118 @@ object EventQueries {
         .orderBy("error_id")
     },
 
+    // ---- q_attribution: multi-touch marketing attribution — each
+    //      purchase's value splits LINEARLY across the user's clicks in
+    //      the trailing 24h (campaign = click's props.k % 4, a synthetic
+    //      campaign id), with LAST-TOUCH attribution emitted beside it
+    //      (the two standard models, comparable per campaign) and a
+    //      campaign −1 bucket for unattributed purchases so value is
+    //      conserved. Plan: the q_events_range_join bin-bucket shape
+    //      (bin = window width — each click lands in ONE (user, bin)
+    //      bucket, each purchase probes TWO); per-purchase credit is
+    //      fixed-pointed ONCE via a non-negative integer floor division
+    //      ((v_m·c_n·1e6) div n — Spark DIV = DuckDB // on non-negative
+    //      operands), so campaign totals are exact BIGINT sums — never
+    //      an order-dependent float accumulation. Last-touch pick =
+    //      min_by on (−c_us, click_id): deterministic tiebreak ----
+    "q_attribution" -> QueryDef(
+      """WITH p AS (
+        |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
+        |    CAST(round(value * 1000) AS BIGINT) AS v_m
+        |  FROM events WHERE event_type = 'purchase'
+        |), c AS (
+        |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS campaign
+        |  FROM events WHERE event_type = 'click'
+        |), m AS (
+        |  SELECT p.purchase_id, p.v_m, c.campaign, c.c_us, c.click_id
+        |  FROM p JOIN c ON c.user_id = p.user_id
+        |    AND c.c_us < p.p_us AND c.c_us >= p.p_us - 86400000000
+        |), per_p AS (
+        |  SELECT purchase_id, COUNT(*) AS n FROM m GROUP BY purchase_id
+        |), linear_credit AS (
+        |  SELECT cnt.campaign,
+        |    CAST(SUM((cnt.v_m * cnt.c_n * 1000000) // per_p.n) AS BIGINT) AS cr,
+        |    CAST(SUM(cnt.c_n) AS BIGINT) AS touches
+        |  FROM (SELECT purchase_id, campaign, MIN(v_m) AS v_m,
+        |          COUNT(*) AS c_n
+        |        FROM m GROUP BY purchase_id, campaign) cnt
+        |  JOIN per_p ON per_p.purchase_id = cnt.purchase_id
+        |  GROUP BY cnt.campaign
+        |), last_t AS (
+        |  SELECT campaign, CAST(SUM(v_m) AS BIGINT) AS lv FROM (
+        |    SELECT purchase_id, v_m, campaign,
+        |      row_number() OVER (PARTITION BY purchase_id
+        |        ORDER BY c_us DESC, click_id) AS rn
+        |    FROM m) WHERE rn = 1 GROUP BY campaign
+        |), unattr AS (
+        |  SELECT CAST(-1 AS BIGINT) AS campaign,
+        |    CAST(0 AS BIGINT) AS touches,
+        |    CAST(SUM(v_m * 1000000) AS BIGINT) AS cr,
+        |    CAST(SUM(v_m) AS BIGINT) AS lv
+        |  FROM p WHERE purchase_id NOT IN (SELECT purchase_id FROM m)
+        |)
+        |SELECT l.campaign, l.touches,
+        |  round(CAST(l.cr AS DOUBLE) / 1e9, 6) AS linear_value,
+        |  round(CAST(t.lv AS DOUBLE) / 1e3, 6) AS last_touch_value
+        |FROM linear_credit l JOIN last_t t ON t.campaign = l.campaign
+        |UNION ALL
+        |SELECT campaign, touches, round(CAST(cr AS DOUBLE) / 1e9, 6),
+        |  round(CAST(lv AS DOUBLE) / 1e3, 6)
+        |FROM unattr WHERE lv IS NOT NULL
+        |ORDER BY campaign""".stripMargin) { (spark, d) =>
+      val winUs = 24L * 3600 * 1000000
+      val ev = Tables.events(spark, d)
+      val p = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"),
+          unix_micros(col("ts")).as("p_us"),
+          expr("CAST(round(value * 1000) AS BIGINT)").as("v_m"))
+      val c = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("event_id").as("click_id"),
+          unix_micros(col("ts")).as("c_us"),
+          (get_json_object(col("props"), "$.k").cast("long") % 4)
+            .as("campaign"))
+        .withColumn("bin", expr(floorDiv("c_us", winUs)))
+      val probes = p.withColumn("bin",
+        explode(array(expr(floorDiv("p_us", winUs)) - 1,
+          expr(floorDiv("p_us", winUs)))))
+      // four consumers (per-purchase counts, campaign counts, last-touch
+      // window, unattributed anti-join) read the match relation —
+      // materialize it once (bounded: trailing-window pairs, not events)
+      val m = probes.join(c, Seq("user_id", "bin"))
+        .filter(col("c_us") < col("p_us")
+          && col("c_us") >= col("p_us") - winUs)
+        .select("purchase_id", "v_m", "campaign", "c_us", "click_id")
+        .localCheckpoint()
+      val perP = m.groupBy("purchase_id").agg(count(lit(1)).as("n"))
+      val cnt = m.groupBy("purchase_id", "campaign")
+        .agg(min("v_m").as("v_m"), count(lit(1)).as("c_n"))
+      val linear = cnt.join(perP, "purchase_id")
+        .groupBy("campaign")
+        .agg(sum(expr("(v_m * c_n * 1000000) DIV n")).cast("long").as("cr"),
+          sum("c_n").cast("long").as("touches"))
+      val lastT = m
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("purchase_id")
+            .orderBy(col("c_us").desc, col("click_id"))))
+        .filter(col("rn") === 1)
+        .groupBy("campaign").agg(sum("v_m").cast("long").as("lv"))
+      val unattr = p.join(m.select("purchase_id").distinct(),
+          Seq("purchase_id"), "left_anti")
+        .agg(sum(col("v_m") * 1000000L).cast("long").as("cr"),
+          sum("v_m").cast("long").as("lv"))
+        .select(lit(-1L).as("campaign"), lit(0L).as("touches"),
+          col("cr"), col("lv"))
+        .filter(col("lv").isNotNull)
+      linear.join(lastT, "campaign")
+        .select(col("campaign"), col("touches"), col("cr"), col("lv"))
+        .unionAll(unattr.select("campaign", "touches", "cr", "lv"))
+        .select(col("campaign"), col("touches"),
+          round(col("cr").cast("double") / 1e9, 6).as("linear_value"),
+          round(col("lv").cast("double") / 1e3, 6).as("last_touch_value"))
+        .orderBy("campaign")
+    },
+
     // ---- funnel analysis: ordered signup → click → purchase
     //      progression per user (each stage's earliest event STRICTLY
     //      after the previous stage's). Three aggregates chained by

@@ -46,4 +46,54 @@ class FunnelSpec extends SparkSpec {
     assert(counts == counts.sorted.reverse, s"funnel must narrow: $counts")
     assert(counts.head > 0)
   }
+
+  test("q_attribution conserves purchase value and matches a JVM brute force") {
+    val ev = graft.Tables.events(spark, sf())
+      .selectExpr("event_id", "user_id", "unix_micros(ts) AS us", "event_type",
+        "CAST(round(value * 1000) AS BIGINT) AS v_m",
+        "CAST(get_json_object(props, '$.k') AS BIGINT) % 4 AS campaign")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3),
+        r.getLong(4), if (r.isNullAt(5)) -999L else r.getLong(5)))
+    val w = 24L * 3600 * 1000000
+    val clicks = ev.filter(_._4 == "click")
+    val purchases = ev.filter(_._4 == "purchase")
+    // brute-force per-campaign credits
+    val linear = new scala.collection.mutable.HashMap[Long, BigInt]
+    val last = new scala.collection.mutable.HashMap[Long, Long]
+    val touches = new scala.collection.mutable.HashMap[Long, Long]
+    purchases.foreach { case (_, u, pus, _, vm, _) =>
+      val ts = clicks.filter(c => c._2 == u && c._3 < pus && c._3 >= pus - w)
+      if (ts.isEmpty) {
+        linear(-1L) = linear.getOrElse(-1L, BigInt(0)) + BigInt(vm) * 1000000
+        last(-1L) = last.getOrElse(-1L, 0L) + vm
+      } else {
+        val n = ts.length
+        ts.groupBy(_._6).foreach { case (cmp, cs) =>
+          linear(cmp) = linear.getOrElse(cmp, BigInt(0)) +
+            BigInt(vm) * cs.length * 1000000 / n
+          touches(cmp) = touches.getOrElse(cmp, 0L) + cs.length
+        }
+        val lt = ts.maxBy(c => (c._3, -c._1))._6
+        last(lt) = last.getOrElse(lt, 0L) + vm
+      }
+    }
+    val rows = graft.SparkEntry.defs("q_attribution").build(spark, sf())
+      .collect()
+    rows.foreach { r =>
+      val cmp = r.getAs[Long]("campaign")
+      assert(math.abs(r.getAs[Double]("linear_value")
+        - linear.getOrElse(cmp, BigInt(0)).toDouble / 1e9) < 1e-5, s"linear $cmp")
+      assert(r.getAs[Long]("touches") == touches.getOrElse(cmp, 0L), s"touches $cmp")
+    }
+    // last-touch totals conserve purchase value exactly
+    val lastTotal = rows.map(_.getAs[Double]("last_touch_value")).sum
+    val pv = purchases.map(_._5).sum / 1e3
+    assert(math.abs(lastTotal - pv) < 1e-4, s"last-touch $lastTotal vs $pv")
+    // linear totals conserve up to micro-unit floor truncation
+    val linTotal = rows.map(_.getAs[Double]("linear_value")).sum
+    assert(linTotal <= pv + 1e-4 && linTotal >= pv - 0.001 * purchases.length,
+      s"linear $linTotal vs $pv")
+    assert(rows.exists(_.getAs[Long]("campaign") >= 0), "attributed campaigns present")
+  }
 }
