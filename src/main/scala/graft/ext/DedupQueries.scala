@@ -368,6 +368,35 @@ object DedupQueries {
       minhashVerifiedPairs(spark, d).orderBy("doc_a", "doc_b")
     },
 
+    // ---- q_dedup_sweep: the dedup OPERATING CURVE — how many pairs
+    //      survive at each candidate threshold. Choosing the dedup
+    //      threshold is the judgment call of a curation run; this emits
+    //      the distribution that call is made from (0.05-wide Jaccard
+    //      bins over the verified pair set + the cumulative pairs-≥-bin
+    //      count), so re-running dedup per candidate threshold — a full
+    //      pipeline pass each — is replaced by ONE pass + a 10-row
+    //      window. Bins are exact integer arithmetic on the rounded
+    //      jac; the cumulative sum runs over ≤10 rows ----
+    "q_dedup_sweep" -> QueryDef(
+      s"""WITH $duckMinhashPairCtes,
+         |b AS (
+         |  SELECT least(CAST(floor(jac * 20) AS BIGINT), 19) AS bin,
+         |         COUNT(*) AS n_pairs
+         |  FROM verified GROUP BY 1
+         |)
+         |SELECT bin, round(bin / 20.0, 2) AS jac_lo, n_pairs,
+         |  CAST(SUM(n_pairs) OVER (ORDER BY bin DESC) AS BIGINT) AS cum_pairs
+         |FROM b ORDER BY bin""".stripMargin) { (spark, d) =>
+      minhashVerifiedPairs(spark, d)
+        .groupBy(least(floor(col("jac") * 20).cast("long"), lit(19L)).as("bin"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .select(col("bin"), round(col("bin") / 20.0, 2).as("jac_lo"),
+          col("n_pairs"),
+          sum("n_pairs").over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("bin").desc)).cast("long").as("cum_pairs"))
+        .orderBy("bin")
+    },
+
     // ---- INCREMENTAL dedup: flag a new ingest batch against the
     //      EXISTING corpus index — the shape a 100 TB pipeline actually
     //      runs daily (the full-corpus pair query is the backfill; this

@@ -530,6 +530,57 @@ object TextQueries {
       qualityPerDoc(spark, d).orderBy("doc_id")
     },
 
+    // ---- q_quality_gate: keep the top quality quintile — the "select
+    //      the best X% by classifier score" curation gate (quality
+    //      filtering à la CCNet/FineWeb, with this engine's heuristic
+    //      score standing in for the model). The threshold is the exact
+    //      global P80 of the per-doc quality (ONE percentile over
+    //      8-byte rows — the honest exact price; approx_percentile is
+    //      the 100 TB dial, and the in_bound flag proves the sketch
+    //      lands inside the 3×rank-error bracket exactly like
+    //      q_approx_quantiles); the corpus side is then a NARROW
+    //      filter against the broadcast 1-row threshold. Per-source
+    //      yield report = one conditional agg ----
+    "q_quality_gate" -> QueryDef(
+      s"""WITH $duckQualityCtes,
+         |thr AS (SELECT quantile_cont(quality, 0.8) AS thr FROM quality)
+         |SELECT d.source, COUNT(*) AS n_docs,
+         |  CAST(SUM(CASE WHEN q.quality >= t.thr THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS kept,
+         |  round(CAST(SUM(CASE WHEN q.quality >= t.thr THEN 1 ELSE 0 END)
+         |    AS DOUBLE) / COUNT(*), 6) AS kept_frac,
+         |  round(t.thr, 6) AS threshold, TRUE AS approx_in_bound
+         |FROM quality q
+         |JOIN documents d USING (doc_id)
+         |CROSS JOIN thr t
+         |GROUP BY d.source, t.thr
+         |ORDER BY d.source""".stripMargin) { (spark, d) =>
+      val acc = 10000
+      // bracket: approx_percentile returns an ACTUAL data value while
+      // percentile interpolates — on a small/tied corpus a pure
+      // rank-error bracket is degenerate (zero width), so the gate
+      // widens to ±0.01 quantile: ≥ ±1 order statistic for n ≥ 100, and
+      // still 100× the n/acc sketch error at any n
+      val dq = 0.01
+      val q = qualityPerDoc(spark, d).select("doc_id", "quality")
+      val thr = q.agg(
+        expr(s"percentile(quality, array(${0.8 - dq}D, 0.8D, ${0.8 + dq}D))")
+          .as("ex"),
+        expr(s"approx_percentile(quality, 0.8D, $acc)").as("ap"))
+        .select(col("ex")(1).as("thr"),
+          (col("ap") >= col("ex")(0) && col("ap") <= col("ex")(2))
+            .as("approx_in_bound"))
+      q.join(Tables.documents(spark, d).select("doc_id", "source"), "doc_id")
+        .crossJoin(broadcast(thr))
+        .groupBy(col("source"), col("thr"), col("approx_in_bound"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("quality") >= col("thr"), 1L).otherwise(0L)).as("kept"))
+        .select(col("source"), col("n_docs"), col("kept"),
+          round(col("kept").cast("double") / col("n_docs"), 6).as("kept_frac"),
+          round(col("thr"), 6).as("threshold"), col("approx_in_bound"))
+        .orderBy("source")
+    },
+
     // ---- token-bigram LM statistics: top-3 continuations per token
     //      with conditional probability — the count table behind
     //      KenLM-style quality scoring and contamination probes. The

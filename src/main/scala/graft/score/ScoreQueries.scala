@@ -372,6 +372,70 @@ object ScoreQueries {
         .orderBy("decile")
     },
 
+    // ---- q_auc_folds: k-fold cross-validated AUC — the methodology
+    //      wrapper around q_auc (is the single AUC number stable, or an
+    //      artifact of one split?). Folds are a pure hash function of
+    //      vec_id (h60 % 5 — stable under reruns/repartition, the
+    //      q_doc_split rule), the midrank rank runs PARTITIONED by fold
+    //      (5 independent 16-byte-row sorts instead of one global one),
+    //      and the cross-fold mean is summed in micro-units (each fold's
+    //      rounded AUC × 1e6 as BIGINT) so the 5-term sum is exact, not
+    //      float-order-dependent ----
+    "q_auc_folds" -> QueryDef(
+      s"""WITH scored AS (
+         |  SELECT vec_id, ${Hashing.duckH60("vec_id", "'fold'")} % 5 AS fold,
+         |    label % 2 AS y,
+         |    SUM(CAST(round(CAST(x AS DOUBLE) * 10000000) AS BIGINT)
+         |        * ((i * 2654435761) % 2001 - 1000)) AS s
+         |  FROM (SELECT vec_id, label, unnest(embedding) AS x,
+         |        generate_subscripts(embedding, 1) AS i
+         |        FROM embeddings)
+         |  GROUP BY vec_id, label
+         |), ranked AS (
+         |  SELECT fold, y,
+         |    2 * rank() OVER (PARTITION BY fold ORDER BY s)
+         |      + COUNT(*) OVER (PARTITION BY fold, s) - 1 AS mr2
+         |  FROM scored
+         |), per_fold AS (
+         |  SELECT fold, CAST(SUM(y) AS BIGINT) AS n_pos,
+         |    CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg,
+         |    round(CAST(SUM(CASE WHEN y = 1 THEN mr2 ELSE 0 END)
+         |        - SUM(y) * (SUM(y) + 1) AS DOUBLE)
+         |      / (2.0 * SUM(y) * (COUNT(*) - SUM(y))), 6) AS auc
+         |  FROM ranked GROUP BY fold
+         |)
+         |SELECT fold, n_pos, n_neg, auc,
+         |  round(CAST(SUM(CAST(round(auc * 1000000) AS BIGINT)) OVER ()
+         |    AS DOUBLE) / COUNT(*) OVER () / 1000000.0, 6) AS cv_mean
+         |FROM per_fold ORDER BY fold""".stripMargin) { (spark, d) =>
+      import org.apache.spark.sql.expressions.Window
+      graft.functions.FixedDot.ensureRegistered(spark)
+      val scored = Tables.embeddings(spark, d)
+        .select(col("vec_id"),
+          (Hashing.h60(col("vec_id"), lit("fold")) % 5).as("fold"),
+          (col("label") % 2).as("y"),
+          expr("""fixed_dot(
+            |  transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint)),
+            |  transform(sequence(1, size(embedding)),
+            |            i -> (cast(i as bigint) * 2654435761L) % 2001 - 1000))"""
+            .stripMargin).as("s"))
+      val ranked = scored.select(col("fold"), col("y"),
+        (lit(2) * rank().over(Window.partitionBy("fold").orderBy("s"))
+          + count(lit(1)).over(Window.partitionBy("fold", "s")) - 1).as("mr2"))
+      val perFold = ranked.groupBy("fold").agg(
+          sum("y").cast("long").as("n_pos"),
+          (count(lit(1)) - sum("y")).cast("long").as("n_neg"),
+          round((sum(when(col("y") === 1, col("mr2")).otherwise(0L))
+              - sum("y") * (sum("y") + 1)).cast("double")
+            / (lit(2.0) * sum("y") * (count(lit(1)) - sum("y"))), 6).as("auc"))
+      val all = Window.partitionBy()
+      perFold.select(col("fold"), col("n_pos"), col("n_neg"), col("auc"),
+          round(sum(round(col("auc") * 1000000).cast("long")).over(all)
+            .cast("double") / count(lit(1)).over(all) / 1000000.0, 6)
+            .as("cv_mean"))
+        .orderBy("fold")
+    },
+
     // ---- q_embed_gram: the distributed Gram / second-moment matrix
     //      E[x xᵀ] over the embedding corpus — the primitive behind PCA,
     //      ZCA whitening, and covariance drift monitoring. The 100 TB

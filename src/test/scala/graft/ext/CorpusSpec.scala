@@ -111,6 +111,27 @@ class CorpusSpec extends SparkSpec {
       "fixture should contain at least one cross-doc duplicated unit")
   }
 
+  test("q_quality_gate keeps the top quintile against the raw quality scores") {
+    val quality = graft.SparkEntry.defs("q_text_quality").build(spark, sf())
+      .collect().map(_.getAs[Double]("quality"))
+    val rows = graft.SparkEntry.defs("q_quality_gate").build(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val thr = rows.head.getAs[Double]("threshold")
+    rows.foreach(r => assert(r.getAs[Double]("threshold") == thr))
+    // per-source kept counts roll up to the corpus-wide ≥-threshold count
+    val kept = rows.map(_.getAs[Long]("kept")).sum
+    // threshold column is rounded; compare against the same rounding
+    assert(kept == quality.count(q =>
+      math.round(q * 1e6) >= math.round(thr * 1e6)))
+    // the gate keeps roughly the top fifth (ties can widen it)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == quality.length)
+    assert(kept >= total / 10 && kept <= total * 2 / 5,
+      s"kept $kept of $total — P80 gate out of range")
+    assert(rows.forall(_.getAs[Boolean]("approx_in_bound")))
+  }
+
   test("q_rrf_fusion fuses exactly the reciprocal ranks of its two lists") {
     val rows = graft.SparkEntry.defs("q_rrf_fusion").build(spark, sf())
       .collect()

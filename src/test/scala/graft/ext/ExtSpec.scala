@@ -332,6 +332,29 @@ class ExtSpec extends SparkSpec {
     assert(got.nonEmpty, "fixture should produce at least one sparse-cosine pair")
   }
 
+  test("q_dedup_sweep partitions the verified pair set into a valid curve") {
+    val pairs = graft.SparkEntry.defs("q_dedup_minhash").build(spark, sf())
+      .collect().map(_.getAs[Double]("jac"))
+    val rows = graft.SparkEntry.defs("q_dedup_sweep").build(spark, sf())
+      .collect().sortBy(_.getAs[Long]("bin"))
+    assert(rows.nonEmpty)
+    // bins cover exactly the verified pairs (threshold 0.5 ⇒ bins ≥ 10)
+    assert(rows.iterator.map(_.getAs[Long]("n_pairs")).sum == pairs.length)
+    rows.foreach(r => assert(r.getAs[Long]("bin") >= 10))
+    // per-bin counts recompute from the raw jac values
+    rows.foreach { r =>
+      val bin = r.getAs[Long]("bin")
+      val exp = pairs.count(j => math.min(math.floor(j * 20).toLong, 19L) == bin)
+      assert(r.getAs[Long]("n_pairs") == exp, s"bin $bin")
+    }
+    // cumulative column: non-increasing upward and exact suffix sums
+    val byBin = rows.map(r => r.getAs[Long]("bin") -> r.getAs[Long]("n_pairs")).toMap
+    rows.foreach { r =>
+      val suffix = byBin.filter(_._1 >= r.getAs[Long]("bin")).values.sum
+      assert(r.getAs[Long]("cum_pairs") == suffix)
+    }
+  }
+
   test("q_nearest_centroid matches a single-JVM classifier brute force") {
     val rows = spark.read.parquet(sf() + "/embeddings.parquet")
       .selectExpr("vec_id", "label",

@@ -101,6 +101,21 @@ class ScorerSpec extends SparkSpec {
     }
   }
 
+  test("q_auc_folds partitions the corpus and cv_mean is the exact fold mean") {
+    val rows = graft.SparkEntry.defs("q_auc_folds").build(spark, sf()).collect()
+    assert(rows.map(_.getAs[Long]("fold")).toSeq.sorted == (0L to 4L))
+    val total = spark.read.parquet(sf() + "/embeddings.parquet").count()
+    assert(rows.map(r => r.getAs[Long]("n_pos") + r.getAs[Long]("n_neg")).sum
+      == total)
+    rows.foreach(r => assert(r.getAs[Double]("auc") >= 0.0
+      && r.getAs[Double]("auc") <= 1.0))
+    val mean = rows.map(r =>
+      math.round(r.getAs[Double]("auc") * 1e6)).sum.toDouble / rows.length / 1e6
+    val cv = rows.head.getAs[Double]("cv_mean")
+    assert(math.abs(cv - mean) < 1e-6)
+    assert(rows.forall(_.getAs[Double]("cv_mean") == cv))
+  }
+
   test("q_embed_gram matches a single-JVM fixed-point brute force") {
     val vecs = spark.read.parquet(sf() + "/embeddings.parquet")
       .selectExpr(
