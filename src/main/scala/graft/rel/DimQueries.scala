@@ -213,6 +213,65 @@ object DimQueries {
     //      100 TB: the per-group sort is the exact-quantile price — the
     //      production dial is q_approx_quantiles' mergeable sketch; this
     //      is the correctness anchor. Bounds (3 rows) broadcast back ----
+    // ---- q_winsorized: winsorized (P5/P95-clamped) robust mean per
+    //      group — the outlier-resistant aggregate reported beside the
+    //      raw mean when heavy tails would swamp it (the clamping twin
+    //      of q_outliers' fence REPORT: there the tails are counted,
+    //      here they are pulled in). Fences are exact ceil-rank order
+    //      statistics (pure integers, q_outliers' machinery); clamped
+    //      values stay integer cents so both means are exact BIGINT
+    //      sums to one final mirrored division. The per-group sort is
+    //      the exact-quantile price; q_approx_quantiles is the dial ----
+    "q_winsorized" -> QueryDef(
+      """WITH c AS (
+        |  SELECT l_returnflag,
+        |    CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * 100 AS BIGINT) AS cents,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * 100 AS BIGINT),
+        |               l_orderkey, l_linenumber) AS rn,
+        |    COUNT(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem
+        |), q AS (
+        |  SELECT l_returnflag, MAX(n) AS n,
+        |    MAX(CASE WHEN rn <= (n + 19) // 20 THEN cents END) AS p5_cents,
+        |    MAX(CASE WHEN rn <= (19 * n + 19) // 20 THEN cents END) AS p95_cents
+        |  FROM c GROUP BY l_returnflag
+        |)
+        |SELECT c.l_returnflag, MAX(q.n) AS n,
+        |  MAX(q.p5_cents) AS p5_cents, MAX(q.p95_cents) AS p95_cents,
+        |  round(CAST(SUM(c.cents) AS DOUBLE) / MAX(q.n) / 100.0, 6) AS mean_raw,
+        |  round(CAST(SUM(least(greatest(c.cents, q.p5_cents), q.p95_cents))
+        |      AS DOUBLE) / MAX(q.n) / 100.0, 6) AS mean_winsor
+        |FROM c JOIN q ON q.l_returnflag = c.l_returnflag
+        |GROUP BY c.l_returnflag
+        |ORDER BY c.l_returnflag""".stripMargin) { (spark, d) =>
+      val cents = (dec(col("l_extendedprice")) * 100).cast("long")
+      val byFlag = Window.partitionBy("l_returnflag")
+      val c = Tables.lineitem(spark, d)
+        .select(col("l_returnflag"), cents.as("cents"),
+          col("l_orderkey"), col("l_linenumber"))
+        .withColumn("rn", row_number().over(
+          byFlag.orderBy(col("cents"), col("l_orderkey"), col("l_linenumber"))))
+        .withColumn("n", count(lit(1)).over(byFlag))
+      val q = c.groupBy("l_returnflag").agg(
+        max(col("n")).as("n"),
+        max(when(col("rn") <= expr("(n + 19) DIV 20"), col("cents")))
+          .as("p5_cents"),
+        max(when(col("rn") <= expr("(19 * n + 19) DIV 20"), col("cents")))
+          .as("p95_cents"))
+      c.select("l_returnflag", "cents").join(broadcast(q), "l_returnflag")
+        .groupBy(col("l_returnflag"))
+        .agg(max(col("n")).as("n"),
+          max(col("p5_cents")).as("p5_cents"),
+          max(col("p95_cents")).as("p95_cents"),
+          round(sum(col("cents")).cast("double") / max(col("n")) / 100.0, 6)
+            .as("mean_raw"),
+          round(sum(least(greatest(col("cents"), col("p5_cents")),
+              col("p95_cents"))).cast("double") / max(col("n")) / 100.0, 6)
+            .as("mean_winsor"))
+        .orderBy("l_returnflag")
+    },
+
     "q_outliers" -> QueryDef(
       """WITH c AS (
         |  SELECT l_returnflag,

@@ -38,6 +38,37 @@ object SeriesQueries {
 
   val defs: Map[String, QueryDef] = Map(
 
+    // ---- q_seasonality: hour-of-day seasonal profile of event value —
+    //      the decomposition a metric dashboard applies before calling
+    //      an anomaly (is 3am low traffic or an outage?). Per hour
+    //      0..23: exact mills count/sum in ONE map-side-combinable agg;
+    //      the seasonal index mean_h / mean_global is computed from the
+    //      24-row relation's window totals — exact integers to two
+    //      mirrored double divisions. One events pass at any scale ----
+    "q_seasonality" -> QueryDef(
+      """WITH h AS (
+        |  SELECT EXTRACT(hour FROM ts) AS hour, COUNT(*) AS n,
+        |    CAST(SUM(CAST(round(value * 1000) AS BIGINT)) AS BIGINT) AS s
+        |  FROM events GROUP BY 1
+        |)
+        |SELECT hour, n, round(CAST(s AS DOUBLE) / n / 1000.0, 6) AS mean_value,
+        |  round((CAST(s AS DOUBLE) / n)
+        |    / (CAST(SUM(s) OVER () AS DOUBLE) / SUM(n) OVER ()), 6)
+        |    AS seasonal_index
+        |FROM h ORDER BY hour""".stripMargin) { (spark, d) =>
+      val all = Window.partitionBy(lit(1))
+      Tables.events(spark, d)
+        .groupBy(hour(col("ts")).cast("long").as("hour"))
+        .agg(count(lit(1)).as("n"),
+          sum(expr("CAST(round(value * 1000) AS BIGINT)")).cast("long").as("s"))
+        .select(col("hour"), col("n"),
+          round(col("s").cast("double") / col("n") / 1000.0, 6).as("mean_value"),
+          round((col("s").cast("double") / col("n"))
+            / (sum("s").over(all).cast("double") / sum("n").over(all)), 6)
+            .as("seasonal_index"))
+        .orderBy("hour")
+    },
+
     // ---- q_gap_fill: per-user daily close, densified over each user's
     //      [first_day, last_day] date spine, gaps forward-filled from the
     //      last observed day. 100 TB: ONE shuffle on user_id; the spine

@@ -112,4 +112,29 @@ class DimSpec extends SparkSpec {
         s"suppkey span too wide in bucket ${row.getLong(0)}")
     }
   }
+
+  test("q_winsorized clamps exactly at the P5/P95 order statistics") {
+    val raw = spark.read.parquet(sf() + "/lineitem.parquet")
+      .selectExpr("l_returnflag",
+        "CAST(CAST(l_extendedprice AS DECIMAL(18,3)) * 100 AS BIGINT) AS cents")
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val rows = graft.SparkEntry.defs("q_winsorized").build(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val flag = r.getString(0)
+      val cents = raw.filter(_._1 == flag).map(_._2).sorted
+      val n = cents.length
+      assert(r.getAs[Long]("n") == n)
+      val p5 = cents((n + 19) / 20 - 1)
+      val p95 = cents((19 * n + 19) / 20 - 1)
+      assert(r.getAs[Long]("p5_cents") == p5 && r.getAs[Long]("p95_cents") == p95)
+      val meanW = cents.map(c => math.min(math.max(c, p5), p95))
+        .map(BigInt(_)).sum.toDouble / n / 100.0
+      assert(math.abs(r.getAs[Double]("mean_winsor") - meanW) < 1e-5)
+      // clamped mean lies inside the fences
+      assert(r.getAs[Double]("mean_winsor") * 100 >= p5
+        && r.getAs[Double]("mean_winsor") * 100 <= p95)
+    }
+  }
 }

@@ -126,4 +126,16 @@ class SeriesSpec extends SparkSpec {
     assert(out.agg(sum("n")).head().getLong(0) == nToks)
     out.unpersist()
   }
+
+  test("q_seasonality indices average to 1 and partition the event log") {
+    val rows = graft.SparkEntry.defs("q_seasonality").build(spark, sf())
+      .collect()
+    assert(rows.map(_.getAs[Long]("hour")).toSeq.sorted == (0L to 23L))
+    val total = graft.Tables.events(spark, sf()).count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    // n-weighted mean of the seasonal index is 1 by construction
+    val w = rows.map(r => r.getAs[Long]("n") * r.getAs[Double]("seasonal_index")).sum
+    assert(math.abs(w / total - 1.0) < 1e-4)
+    rows.foreach(r => assert(r.getAs[Double]("seasonal_index") > 0.0))
+  }
 }
