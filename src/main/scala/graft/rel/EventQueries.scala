@@ -505,6 +505,74 @@ object EventQueries {
             .as("sum_funnel_us")))
     },
 
+    // ---- q_funnel_latency: time-to-convert percentiles per funnel leg
+    //      — the question after q_events_funnel's "how many convert" is
+    //      "how fast". Latencies are exact integer microseconds from
+    //      the same chained-MIN stage relations; p50/p90 are exact
+    //      ceil-rank order statistics (the q_outliers machinery) over
+    //      per-LEG partitions — the rank sort runs on converting users
+    //      only (orders of magnitude below event volume), so the
+    //      exact-percentile price is honest at any scale ----
+    "q_funnel_latency" -> QueryDef(
+      """WITH s AS (
+        |  SELECT user_id, MIN(ts) AS t1 FROM events
+        |  WHERE event_type = 'signup' GROUP BY user_id
+        |), c AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+        |  JOIN s ON s.user_id = e.user_id AND e.ts > s.t1
+        |  WHERE e.event_type = 'click' GROUP BY e.user_id
+        |), p AS (
+        |  SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+        |  JOIN c ON c.user_id = e.user_id AND e.ts > c.t2
+        |  WHERE e.event_type = 'purchase' GROUP BY e.user_id
+        |), lat AS (
+        |  SELECT 'signup_click' AS leg,
+        |    epoch_us(c.t2) - epoch_us(s.t1) AS us
+        |  FROM c JOIN s USING (user_id)
+        |  UNION ALL
+        |  SELECT 'click_purchase', epoch_us(p.t3) - epoch_us(c.t2)
+        |  FROM p JOIN c USING (user_id)
+        |  UNION ALL
+        |  SELECT 'signup_purchase', epoch_us(p.t3) - epoch_us(s.t1)
+        |  FROM p JOIN s USING (user_id)
+        |), r AS (
+        |  SELECT leg, us,
+        |    row_number() OVER (PARTITION BY leg ORDER BY us) AS rn,
+        |    COUNT(*) OVER (PARTITION BY leg) AS n
+        |  FROM lat
+        |)
+        |SELECT leg, MAX(n) AS n,
+        |  MAX(CASE WHEN rn <= (n + 1) // 2 THEN us END) AS p50_us,
+        |  MAX(CASE WHEN rn <= (9 * n + 9) // 10 THEN us END) AS p90_us
+        |FROM r GROUP BY leg ORDER BY leg""".stripMargin) { (spark, d) =>
+      val ev = Tables.events(spark, d)
+      def stage(t: String) = ev.filter(col("event_type") === t)
+      val s = stage("signup").groupBy("user_id").agg(min(col("ts")).as("t1"))
+      val c = stage("click").join(s, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+      val p = stage("purchase").join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val lat = c.join(s, "user_id")
+        .select(lit("signup_click").as("leg"),
+          (unix_micros(col("t2")) - unix_micros(col("t1"))).as("us"))
+        .unionAll(p.join(c, "user_id")
+          .select(lit("click_purchase").as("leg"),
+            (unix_micros(col("t3")) - unix_micros(col("t2"))).as("us")))
+        .unionAll(p.join(s, "user_id")
+          .select(lit("signup_purchase").as("leg"),
+            (unix_micros(col("t3")) - unix_micros(col("t1"))).as("us")))
+      val byLeg = org.apache.spark.sql.expressions.Window.partitionBy("leg")
+      lat
+        .withColumn("rn", row_number().over(byLeg.orderBy("us")))
+        .withColumn("n", count(lit(1)).over(byLeg))
+        .groupBy("leg")
+        .agg(max(col("n")).as("n"),
+          max(when(col("rn") <= expr("(n + 1) DIV 2"), col("us"))).as("p50_us"),
+          max(when(col("rn") <= expr("(9 * n + 9) DIV 10"), col("us")))
+            .as("p90_us"))
+        .orderBy("leg")
+    },
+
     // ---- arbitrary-length funnel: the generalized operator. One
     //      user_id shuffle + one per-group SORTED pass (flatMapSortedGroups
     //      — Spark sorts within groups during the shuffle, state per

@@ -372,6 +372,50 @@ object ScoreQueries {
         .orderBy("decile")
     },
 
+    // ---- q_embed_health: the data-quality check a pipeline runs on a
+    //      new embedding drop before anything consumes it — per label:
+    //      row count, zero-vector count, NaN-bearing count, dimension
+    //      constancy (min=max or the drop is malformed), and the norm²
+    //      distribution (min/mean/max on the exact 1e14 fixed-point
+    //      grid). ONE narrow per-vector pass + one map-side-combinable
+    //      label agg; every statistic integer-exact to the final
+    //      mirrored mean division ----
+    "q_embed_health" -> QueryDef(
+      """WITH v AS (
+        |  SELECT label, len(embedding) AS dim,
+        |    CASE WHEN len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)))) > 0
+        |         THEN 1 ELSE 0 END AS has_nan,
+        |    (SELECT CAST(SUM(q * q) AS BIGINT) FROM (
+        |       SELECT CAST(round(CAST(unnest(embedding) AS DOUBLE) * 10000000)
+        |         AS BIGINT) AS q)) AS nrm2
+        |  FROM embeddings
+        |)
+        |SELECT label, COUNT(*) AS n,
+        |  CAST(SUM(CASE WHEN nrm2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |  CAST(SUM(has_nan) AS BIGINT) AS n_nan,
+        |  MIN(dim) AS dim_min, MAX(dim) AS dim_max,
+        |  MIN(nrm2) AS nrm2_min, MAX(nrm2) AS nrm2_max,
+        |  round(CAST(SUM(nrm2) AS DOUBLE) / COUNT(*) / 1e14, 6) AS mean_nrm2
+        |FROM v GROUP BY label ORDER BY label""".stripMargin) { (spark, d) =>
+      Tables.embeddings(spark, d)
+        .select(col("label"), size(col("embedding")).cast("long").as("dim"),
+          expr("""CASE WHEN exists(embedding, x -> isnan(CAST(x AS DOUBLE)))
+                 |THEN 1L ELSE 0L END""".stripMargin).as("has_nan"),
+          expr("""aggregate(
+                 |  transform(embedding,
+                 |    x -> cast(round(cast(x as double) * 10000000, 0) as bigint)),
+                 |  0L, (s, q) -> s + q * q)""".stripMargin).as("nrm2"))
+        .groupBy("label")
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("nrm2") === 0, 1L).otherwise(0L)).as("n_zero"),
+          sum("has_nan").cast("long").as("n_nan"),
+          min("dim").as("dim_min"), max("dim").as("dim_max"),
+          min("nrm2").as("nrm2_min"), max("nrm2").as("nrm2_max"),
+          round(sum("nrm2").cast("double") / count(lit(1)) / 1e14, 6)
+            .as("mean_nrm2"))
+        .orderBy("label")
+    },
+
     // ---- q_auc_folds: k-fold cross-validated AUC — the methodology
     //      wrapper around q_auc (is the single AUC number stable, or an
     //      artifact of one split?). Folds are a pure hash function of

@@ -47,6 +47,34 @@ class FunnelSpec extends SparkSpec {
     assert(counts.head > 0)
   }
 
+  test("q_funnel_latency percentiles match a JVM chained-MIN brute force") {
+    val ev = graft.Tables.events(spark, sf())
+      .selectExpr("user_id", "unix_micros(ts) AS us", "event_type").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    def firstAfter(t: String, prev: Map[Long, Long]): Map[Long, Long] =
+      ev.filter(e => e._3 == t && prev.get(e._1).exists(e._2 > _))
+        .groupBy(_._1).map { case (u, es) => u -> es.map(_._2).min }
+    val s = ev.filter(_._3 == "signup").groupBy(_._1)
+      .map { case (u, es) => u -> es.map(_._2).min }
+    val c = firstAfter("click", s)
+    val p = firstAfter("purchase", c)
+    val legs = Map(
+      "signup_click" -> c.toSeq.map { case (u, t) => t - s(u) },
+      "click_purchase" -> p.toSeq.map { case (u, t) => t - c(u) },
+      "signup_purchase" -> p.toSeq.map { case (u, t) => t - s(u) })
+    val rows = graft.SparkEntry.defs("q_funnel_latency").build(spark, sf())
+      .collect()
+    assert(rows.length == 3)
+    rows.foreach { r =>
+      val xs = legs(r.getString(0))
+      assert(r.getAs[Long]("n") == xs.length)
+      val sorted = xs.sorted
+      assert(r.getAs[Long]("p50_us") == sorted((xs.length + 1) / 2 - 1))
+      assert(r.getAs[Long]("p90_us") == sorted((9 * xs.length + 9) / 10 - 1))
+      assert(r.getAs[Long]("p50_us") <= r.getAs[Long]("p90_us"))
+    }
+  }
+
   test("q_attribution conserves purchase value and matches a JVM brute force") {
     val ev = graft.Tables.events(spark, sf())
       .selectExpr("event_id", "user_id", "unix_micros(ts) AS us", "event_type",

@@ -101,6 +101,23 @@ class ScorerSpec extends SparkSpec {
     }
   }
 
+  test("q_embed_health reports a well-formed drop for the fixture") {
+    val rows = graft.SparkEntry.defs("q_embed_health").build(spark, sf())
+      .collect()
+    val total = spark.read.parquet(sf() + "/embeddings.parquet").count()
+    assert(rows.map(_.getAs[Long]("n")).sum == total)
+    rows.foreach { r =>
+      // fixture embeddings are dense 64-dim floats with no NaN/zero rows
+      assert(r.getAs[Long]("dim_min") == 64 && r.getAs[Long]("dim_max") == 64)
+      assert(r.getAs[Long]("n_nan") == 0 && r.getAs[Long]("n_zero") == 0)
+      assert(r.getAs[Long]("nrm2_min") > 0
+        && r.getAs[Long]("nrm2_min") <= r.getAs[Long]("nrm2_max"))
+      val mean = r.getAs[Double]("mean_nrm2")
+      assert(mean * 1e14 >= r.getAs[Long]("nrm2_min")
+        && mean * 1e14 <= r.getAs[Long]("nrm2_max"))
+    }
+  }
+
   test("q_auc_folds partitions the corpus and cv_mean is the exact fold mean") {
     val rows = graft.SparkEntry.defs("q_auc_folds").build(spark, sf()).collect()
     assert(rows.map(_.getAs[Long]("fold")).toSeq.sorted == (0L to 4L))
