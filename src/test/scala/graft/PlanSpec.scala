@@ -286,6 +286,31 @@ class PlanSpec extends SparkSpec {
     assert(vecShuffles == 0, s"embedding column reached a shuffle:\n$p")
   }
 
+  test("quality gate broadcasts the 1-row threshold; corpus side stays narrow") {
+    val p = plan("q_quality_gate")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"threshold row must broadcast:\n$p")
+    assert(!p.contains("CartesianProduct"), s"threshold join degenerated:\n$p")
+  }
+
+  test("attribution plans no cartesian product and one checkpointed match scan") {
+    val p = plan("q_attribution")
+    assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
+    // four consumers must read the checkpointed RDD, not rebuild the join
+    val rddScans = "Scan ExistingRDD".r.findAllIn(p).size
+    assert(rddScans >= 4, s"match relation not shared across consumers:\n$p")
+  }
+
+  test("rrf retrievers and the fused output all end in bounded top-k") {
+    // the fusion join itself is a FULL OUTER over <=100 rows — Spark
+    // cannot broadcast full-outer, and a sort-merge over 100 rows is
+    // irrelevant; what must hold is that NO unbounded sort feeds it:
+    // each retriever ends in TakeOrderedAndProject, as does the output
+    val p = plan("q_rrf_fusion")
+    val topks = "TakeOrderedAndProject".r.findAllIn(p).size
+    assert(topks >= 2, s"retriever top-50s must be TakeOrderedAndProject:\n$p")
+  }
+
   test("cuped is one user rollup plus broadcast moments") {
     // the global-moment and arm relations are 1-2 rows; they must reach
     // the final select as broadcasts, leaving the user-keyed rollup as
