@@ -443,6 +443,61 @@ object CurateQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q_ks_test: exact two-sample Kolmogorov–Smirnov test — the
+    //      unbinned distribution-drift statistic beside q_drift_psi's
+    //      binned PSI (and the χ²/CUPED family's continuous-metric
+    //      member): D = sup|F_a − F_b| over event values by variant.
+    //      Exactness: values fixed-pointed to mills and aggregated to
+    //      the TYPE level first (one map-side hash agg — the window
+    //      then runs over distinct values, bounded by the value domain,
+    //      not the corpus); the CDF gap is the cross-multiplied integer
+    //      |c_a·n_b − c_b·n_a| so the sup is an exact BIGINT max with
+    //      ONE final division; significance = D against the α=0.05
+    //      large-sample critical value (mirrored sqrt expression) ----
+    "q_ks_test" -> QueryDef(
+      """WITH v AS (
+        |  SELECT CAST(round(value * 1000) AS BIGINT) AS v_m,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS da,
+        |    CAST(SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+        |      AS db
+        |  FROM events GROUP BY 1
+        |), c AS (
+        |  SELECT v_m,
+        |    SUM(da) OVER (ORDER BY v_m) AS ca,
+        |    SUM(db) OVER (ORDER BY v_m) AS cb,
+        |    SUM(da) OVER () AS na, SUM(db) OVER () AS nb
+        |  FROM v
+        |)
+        |SELECT CAST(MAX(na) AS BIGINT) AS n_a, CAST(MAX(nb) AS BIGINT) AS n_b,
+        |  round(CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+        |    / (CAST(MAX(na) AS DOUBLE) * MAX(nb)), 6) AS ks_d,
+        |  CASE WHEN CAST(MAX(abs(ca * nb - cb * na)) AS DOUBLE)
+        |      / (CAST(MAX(na) AS DOUBLE) * MAX(nb))
+        |    > 1.358 * sqrt((CAST(MAX(na) AS DOUBLE) + MAX(nb))
+        |                   / (CAST(MAX(na) AS DOUBLE) * MAX(nb)))
+        |    THEN 1 ELSE 0 END AS significant
+        |FROM c""".stripMargin) { (spark, d) =>
+      val v = Tables.events(spark, d)
+        .groupBy(expr("CAST(round(value * 1000) AS BIGINT)").as("v_m"))
+        .agg(sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("da"),
+          sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("db"))
+      val byV = Window.orderBy("v_m")
+      val all = Window.partitionBy(lit(1))
+      val c = v.select(col("v_m"),
+        sum("da").over(byV).as("ca"), sum("db").over(byV).as("cb"),
+        sum("da").over(all).as("na"), sum("db").over(all).as("nb"))
+      val dScaled = max(abs(col("ca") * col("nb") - col("cb") * col("na")))
+      val ksD = dScaled.cast("double") / (max(col("na")).cast("double") * max(col("nb")))
+      val crit = lit(1.358) * sqrt((max(col("na")).cast("double") + max(col("nb")))
+        / (max(col("na")).cast("double") * max(col("nb"))))
+      c.agg(max(col("na")).cast("long").as("n_a"),
+          max(col("nb")).cast("long").as("n_b"),
+          round(ksD, 6).as("ks_d"),
+          when(ksD > crit, 1).otherwise(0).as("significant"))
+        .select(col("n_a"), col("n_b"), col("ks_d"), col("significant"))
+    },
+
     // ---- q_cuped: CUPED variance-reduced A/B estimation (Deng et al.
     //      2013) — the modern-experimentation companion to q_abtest's
     //      χ². Metric y = post-cutoff purchase value per user (mills,

@@ -170,6 +170,28 @@ class CurateSpec extends SparkSpec {
     r2.foreach(r => assert(!nbrs(r.getLong(0)).exists(_ % 2 == 0)))
   }
 
+  test("q_ks_test matches a JVM empirical-CDF brute force") {
+    val ev = graft.Tables.events(spark, sf())
+      .selectExpr("user_id % 2 AS variant",
+        "CAST(round(value * 1000) AS BIGINT) AS v_m").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val a = ev.filter(_._1 == 0).map(_._2).sorted
+    val b = ev.filter(_._1 == 1).map(_._2).sorted
+    val values = (a ++ b).distinct.sorted
+    val dScaled = values.map { v =>
+      val ca = a.count(_ <= v).toLong
+      val cb = b.count(_ <= v).toLong
+      math.abs(ca * b.length - cb * a.length)
+    }.max
+    val expect = dScaled.toDouble / (a.length.toDouble * b.length)
+    val r = graft.SparkEntry.defs("q_ks_test").build(spark, sf()).head()
+    assert(r.getAs[Long]("n_a") == a.length && r.getAs[Long]("n_b") == b.length)
+    assert(math.abs(r.getAs[Double]("ks_d") - expect) < 1e-6)
+    val crit = 1.358 * math.sqrt((a.length.toDouble + b.length)
+      / (a.length.toDouble * b.length))
+    assert(r.getAs[Int]("significant") == (if (expect > crit) 1 else 0))
+  }
+
   test("q_cuped matches a per-user moment brute force") {
     import java.sql.Timestamp
     val cutoff = Timestamp.valueOf("2024-01-20 00:00:00")
