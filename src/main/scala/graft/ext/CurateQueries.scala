@@ -51,6 +51,9 @@ object CurateQueries {
     */
   private val QUOTA_BUDGET_DIV = 5 // keep floor(total/5) ≈ 20% of docs
 
+  /** Neyman-allocation eval budget: floor(total/10) ≈ 10% of docs. */
+  private val NEYMAN_BUDGET_DIV = 10
+
   /** Bootstrap replica count. 32 replicas → CI from the 2nd/31st order
     * statistics (≈ a 94% interval). Driver-side state is |groups|×32
     * rows; everything else map-side combines.
@@ -235,6 +238,77 @@ object CurateQueries {
         .groupBy("source", "n_docs", "quota")
         .agg(count(when(col("rn") <= col("quota"), 1)).as("kept"),
           coalesce(sum(when(col("rn") <= col("quota"), col("doc_id"))), lit(0L))
+            .cast("long").as("checksum"))
+        .orderBy("source")
+    },
+
+    // ---- q_neyman_alloc: Neyman-optimal stratified sampling — the
+    //      statistically principled upgrade of q_source_quota's
+    //      temperature rule: the eval-set budget allocates per stratum
+    //      ∝ N_h·σ_h (high-variance strata get proportionally more
+    //      rows, minimizing the stratified estimator's variance at
+    //      fixed budget). The algebra gift: N_h·σ_h = √(n·Σxx − Σx²)
+    //      exactly, so the weight is ONE sqrt of an exact DECIMAL
+    //      moment — no mean subtraction, no float accumulation.
+    //      Allocation = exact integer floor division of fixed-point
+    //      weights (the quota discipline), capped at N_h; selection =
+    //      the same deterministic h60 rank. ONE stats agg + ONE ranked
+    //      pass at any scale ----
+    "q_neyman_alloc" -> QueryDef(
+      s"""WITH st AS (
+         |  SELECT source, COUNT(*) AS n_docs,
+         |    CAST(SUM(n_chars) AS HUGEINT) AS sx,
+         |    CAST(SUM(CAST(n_chars AS HUGEINT) * n_chars) AS HUGEINT) AS sxx
+         |  FROM documents GROUP BY source
+         |), w AS (
+         |  SELECT source, n_docs,
+         |    round(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)) / n_docs, 6)
+         |      AS sigma,
+         |    CAST(round(sqrt(CAST(n_docs * sxx - sx * sx AS DOUBLE)))
+         |      AS BIGINT) AS wfix
+         |  FROM st
+         |), tot AS (
+         |  SELECT SUM(n_docs) AS n_total, SUM(wfix) AS tw FROM w
+         |), q AS (
+         |  SELECT source, n_docs, sigma,
+         |    LEAST(GREATEST((n_total // $NEYMAN_BUDGET_DIV) * wfix // tw, 1),
+         |          n_docs) AS alloc
+         |  FROM w, tot
+         |), ranked AS (
+         |  SELECT d.source, d.doc_id,
+         |    row_number() OVER (PARTITION BY d.source
+         |      ORDER BY ${Hashing.duckH60("d.doc_id", "'neyman'")}, d.doc_id) AS rn
+         |  FROM documents d
+         |)
+         |SELECT q.source, q.n_docs, q.sigma, CAST(q.alloc AS BIGINT) AS alloc,
+         |  CAST(COUNT(CASE WHEN r.rn <= q.alloc THEN 1 END) AS BIGINT) AS kept,
+         |  CAST(COALESCE(SUM(CASE WHEN r.rn <= q.alloc THEN r.doc_id END), 0)
+         |    AS BIGINT) AS checksum
+         |FROM q JOIN ranked r ON r.source = q.source
+         |GROUP BY q.source, q.n_docs, q.sigma, q.alloc
+         |ORDER BY q.source""".stripMargin) { (spark, d) =>
+      import org.apache.spark.sql.types.{DecimalType => DT}
+      val docs = Tables.documents(spark, d).select("source", "doc_id", "n_chars")
+      val st = docs.groupBy("source").agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast(DT(38, 0)).as("sx"),
+        sum(col("n_chars").cast(DT(38, 0)) * col("n_chars")).as("sxx"))
+      val s2 = (col("n_docs") * col("sxx") - col("sx") * col("sx")).cast("double")
+      val w = st.select(col("source"), col("n_docs"),
+        round(sqrt(s2) / col("n_docs"), 6).as("sigma"),
+        round(sqrt(s2)).cast("long").as("wfix"))
+      val tot = w.agg(sum("n_docs").as("n_total"), sum("wfix").as("tw"))
+      val q = w.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_docs"), col("sigma"),
+          least(greatest(
+            expr(s"(n_total DIV $NEYMAN_BUDGET_DIV) * wfix DIV tw"), lit(1L)),
+            col("n_docs")).as("alloc"))
+      val ranked = docs.withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(Hashing.h60(col("doc_id"), lit("neyman")), col("doc_id"))))
+      broadcast(q).join(ranked, "source")
+        .groupBy("source", "n_docs", "sigma", "alloc")
+        .agg(count(when(col("rn") <= col("alloc"), 1)).as("kept"),
+          coalesce(sum(when(col("rn") <= col("alloc"), col("doc_id"))), lit(0L))
             .cast("long").as("checksum"))
         .orderBy("source")
     },

@@ -170,6 +170,47 @@ class CurateSpec extends SparkSpec {
     r2.foreach(r => assert(!nbrs(r.getLong(0)).exists(_ % 2 == 0)))
   }
 
+  test("q_neyman_alloc weights strata by exact N_h*sigma_h") {
+    val docs = graft.Tables.documents(spark, sf())
+      .select("source", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val stats = docs.groupBy(_._1).map { case (s, xs) =>
+      val n = BigInt(xs.length)
+      val sx = xs.map(x => BigInt(x._2)).sum
+      val sxx = xs.map(x => BigInt(x._2) * x._2).sum
+      s -> (xs.length.toLong, n * sxx - sx * sx)
+    }
+    val wfix = stats.map { case (s, (_, s2)) =>
+      s -> math.round(math.sqrt(s2.toDouble))
+    }
+    val tw = wfix.values.map(BigInt(_)).sum
+    val nTotal = docs.length
+    val budget = nTotal / 10
+    val rows = graft.SparkEntry.defs("q_neyman_alloc").build(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val src = r.getString(0)
+      val (n, s2) = stats(src)
+      assert(r.getAs[Long]("n_docs") == n)
+      val expAlloc = math.min(n,
+        math.max((BigInt(budget) * wfix(src) / tw).toLong, 1L))
+      assert(r.getAs[Long]("alloc") == expAlloc, s"alloc mismatch for $src")
+      assert(r.getAs[Long]("kept") == expAlloc)
+      assert(math.abs(r.getAs[Double]("sigma")
+        - math.sqrt(s2.toDouble) / n) < 1e-5)
+    }
+    // variance-proportionality: higher N*sigma never gets a smaller alloc
+    // (modulo the 1-doc floor and the N_h cap)
+    val byW = rows.filter(r => r.getAs[Long]("alloc") > 1
+        && r.getAs[Long]("alloc") < r.getAs[Long]("n_docs"))
+      .sortBy(r => wfix(r.getString(0)))
+    byW.map(_.getAs[Long]("alloc")).sliding(2).foreach {
+      case Array(a, b) => assert(a <= b)
+      case _ =>
+    }
+  }
+
   test("q_ks_test matches a JVM empirical-CDF brute force") {
     val ev = graft.Tables.events(spark, sf())
       .selectExpr("user_id % 2 AS variant",
