@@ -517,6 +517,62 @@ object CurateQueries {
         .orderBy("doc_id")
     },
 
+    // ---- q_quantile_norm: quantile normalization — map every source's
+    //      doc-length distribution onto the GLOBAL distribution (the
+    //      batch-effect correction standard: after it, every source has
+    //      the same marginal, so cross-source comparisons see content,
+    //      not collection artifacts). Exact construction: a doc at
+    //      within-source rank rn of n_h maps to the global value at
+    //      rank ceil(rn·N/n_h) — pure integer arithmetic (non-negative
+    //      floor division) joined against the globally ranked relation
+    //      on an 8-byte rank key. Cost: one per-source rank window +
+    //      ONE global rank (16 B/row — the q_auc price; sketch
+    //      quantiles are the approximation dial) + one equi-join.
+    //      Report: per source, raw vs normalized mean (exact BIGINT
+    //      sums) + the normalized checksum ----
+    "q_quantile_norm" -> QueryDef(
+      """WITH d AS (
+        |  SELECT source, doc_id, n_chars,
+        |    row_number() OVER (PARTITION BY source
+        |      ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY source) AS nh,
+        |    COUNT(*) OVER () AS n
+        |  FROM documents
+        |), g AS (
+        |  SELECT n_chars AS norm_chars,
+        |    row_number() OVER (ORDER BY n_chars, doc_id) AS grank
+        |  FROM documents
+        |), m AS (
+        |  SELECT d.source, d.n_chars, g.norm_chars
+        |  FROM d JOIN g ON g.grank = (d.rn * d.n + d.nh - 1) // d.nh
+        |)
+        |SELECT source, COUNT(*) AS n,
+        |  round(CAST(SUM(n_chars) AS DOUBLE) / COUNT(*), 6) AS mean_raw,
+        |  round(CAST(SUM(norm_chars) AS DOUBLE) / COUNT(*), 6) AS mean_norm,
+        |  CAST(SUM(norm_chars) AS BIGINT) AS checksum
+        |FROM m GROUP BY source ORDER BY source""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d).select("source", "doc_id", "n_chars")
+      val bySrc = Window.partitionBy("source")
+      val dd = docs
+        .withColumn("rn",
+          row_number().over(bySrc.orderBy(col("n_chars"), col("doc_id"))))
+        .withColumn("nh", count(lit(1)).over(bySrc))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy(lit(1))))
+      val g = docs.select(col("n_chars").as("norm_chars"),
+        row_number().over(Window.orderBy(col("n_chars"), col("doc_id")))
+          .cast("long").as("grank"))
+      dd.withColumn("grank",
+          expr("(rn * n + nh - 1) DIV nh").cast("long"))
+        .join(g, "grank")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n"),
+          round(sum("n_chars").cast("double") / count(lit(1)), 6).as("mean_raw"),
+          round(sum("norm_chars").cast("double") / count(lit(1)), 6)
+            .as("mean_norm"),
+          sum("norm_chars").cast("long").as("checksum"))
+        .orderBy("source")
+    },
+
     // ---- q_ks_test: exact two-sample Kolmogorov–Smirnov test — the
     //      unbinned distribution-drift statistic beside q_drift_psi's
     //      binned PSI (and the χ²/CUPED family's continuous-metric

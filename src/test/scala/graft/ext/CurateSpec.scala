@@ -170,6 +170,37 @@ class CurateSpec extends SparkSpec {
     r2.foreach(r => assert(!nbrs(r.getLong(0)).exists(_ % 2 == 0)))
   }
 
+  test("q_quantile_norm maps ranks onto the exact global order statistics") {
+    val docs = graft.Tables.documents(spark, sf())
+      .select("source", "doc_id", "n_chars").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val globalSorted = docs.sortBy(x => (x._3, x._2)).map(_._3)
+    val n = docs.length.toLong
+    val expected = docs.groupBy(_._1).map { case (src, xs) =>
+      val sorted = xs.sortBy(x => (x._3, x._2))
+      val nh = sorted.length.toLong
+      val norm = sorted.zipWithIndex.map { case (_, i) =>
+        globalSorted((((i + 1) * n + nh - 1) / nh - 1).toInt)
+      }
+      src -> (nh, xs.map(x => BigInt(x._3)).sum, norm.map(BigInt(_)).sum)
+    }
+    val rows = graft.SparkEntry.defs("q_quantile_norm").build(spark, sf())
+      .collect()
+    assert(rows.length == expected.size)
+    rows.foreach { r =>
+      val (nh, sumRaw, sumNorm) = expected(r.getString(0))
+      assert(r.getAs[Long]("n") == nh)
+      assert(math.abs(r.getAs[Double]("mean_raw") - sumRaw.toDouble / nh) < 1e-5)
+      assert(r.getAs[Long]("checksum") == sumNorm.toLong)
+      assert(math.abs(r.getAs[Double]("mean_norm") - sumNorm.toDouble / nh) < 1e-5)
+    }
+    // the normalized marginal matches the global one: a source's top doc
+    // maps to (near) the global max
+    val gMax = globalSorted.last
+    assert(expected.values.forall { case (nh, _, _) => nh > 0 } &&
+      rows.map(_.getAs[Double]("mean_norm")).max <= gMax)
+  }
+
   test("q_neyman_alloc weights strata by exact N_h*sigma_h") {
     val docs = graft.Tables.documents(spark, sf())
       .select("source", "n_chars").collect()
