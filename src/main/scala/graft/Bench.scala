@@ -20,7 +20,16 @@ object Bench {
     // CacheManager substitutes the persisted plan into every query that
     // contains an identical subtree — ~10 queries rebuild it otherwise.
     if (!sys.env.contains("SPARK_GRAFT_NOCACHE")) etl.Interactions(spark, sfDir).persist()
+    // Byte budget for the Memo registry's LRU (suite-wide cached storage
+    // stays under budget + one entry). Default: a third of the heap —
+    // at the 100× probe's 48g that leaves execution memory untouched.
+    val memoBudget = sys.env.get("SPARK_GRAFT_MEMO_BUDGET_MB")
+      .map(_.toLong * 1024 * 1024)
+      .getOrElse(Runtime.getRuntime.maxMemory / 3)
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadStart = osBean.getSystemLoadAverage
     var errors = List.empty[String]
+    var evictions = 0
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
@@ -30,14 +39,23 @@ object Bench {
           System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
           errors ::= name
       }
-      name -> (System.nanoTime() - t0) / 1e9
+      val sec = (System.nanoTime() - t0) / 1e9
+      evictions += Memo.enforceBudget(spark, memoBudget).size
+      // co-tenant noise is the dominant variance source in driver runs
+      // (r8: q_outliers 14.6s under load 18-27 vs 0.6s quiet) — record
+      // the 1-min load at each query's completion so the artifact alone
+      // explains its own outliers
+      name -> (sec, osBean.getSystemLoadAverage)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val loads = results
+      .map { case (k, (_, l)) => s"\"" + k + "\":" + f"$l%.1f" }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load_avg_start":${f"$loadStart%.1f"},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions}"""
     println(json)
     // full, untruncated artifact: the driver's log tail drops entries
     // past its window (8 of 74 in r5), so round-over-round comparisons

@@ -1,0 +1,131 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import scala.collection.mutable
+
+/** Session-scoped memoization registry for shared query subtrees, with an
+  * explicit release API and a byte-bounded LRU eviction policy.
+  *
+  * Round-8 state of the art was seven ad-hoc `TrieMap[String, DataFrame]`
+  * caches (splits, candidates, ngram index, shingle sets, cluster
+  * membership, co-occurrence pairs, dup edges) that persisted DataFrames
+  * for the life of the session with NO release path — the full-suite 100×
+  * run accumulated all of them and needed a 90 GiB driver heap. This
+  * registry replaces them:
+  *
+  *  - every entry is keyed on `(sessionId(spark), sfDir, name)` — a
+  *    weak-keyed UUID, collision-free across GC'd sessions in a
+  *    long-lived JVM, unlike the `System.identityHashCode(spark)` keys
+  *    it replaces;
+  *  - `cached` snapshots `sparkContext.getPersistentRDDs` around the build
+  *    and records the RDD ids the build pinned, so release frees BOTH
+  *    CacheManager-persisted DataFrames (`df.unpersist`) and
+  *    `localCheckpoint`ed relations (whose blocks `Dataset.unpersist`
+  *    cannot reach — they are plain cached RDDs under a `LogicalRDD`);
+  *  - `release(spark, sfDir)` drops a scale-dir's (or the whole session's)
+  *    entries — the hook a long-lived service calls between pipeline runs;
+  *  - `enforceBudget(spark, bytes)` evicts least-recently-USED entries
+  *    until cached storage (memory + disk) fits the budget — the harness
+  *    (Bench/Verify) calls it after every query, so suite-wide storage is
+  *    bounded by the budget plus the footprint of the single largest
+  *    entry, independent of suite length. Evicting an entry only costs a
+  *    rebuild on next use — correctness is untouched because consumers
+  *    always re-fetch through `cached`, never hold released references.
+  *
+  * Builds run under the registry lock: delta-based RDD attribution is only
+  * sound when builds don't interleave (a concurrent build's persist would
+  * land in the wrong entry's delta and a later eviction could unpersist a
+  * live localCheckpoint — a correctness bug, not just a perf one). Queries
+  * execute sequentially in every harness, so the lock is uncontended.
+  */
+object Memo {
+
+  /** Collision-free session identity: `identityHashCode` (the r8 keys)
+    * can repeat once a session is GC'd in a long-lived JVM; a weak-keyed
+    * UUID never does, and holds no strong reference to the session.
+    */
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String])
+  private def sessionId(spark: SparkSession): String =
+    sessionIds.computeIfAbsent(spark,
+      _ => java.util.UUID.randomUUID.toString)
+
+  private final case class Key(session: String, sfDir: String, name: String)
+  private final class Entry(val df: DataFrame, val rddIds: Set[Int],
+      var lastUse: Long)
+
+  private val reg = mutable.LinkedHashMap.empty[Key, Entry]
+  private var tick = 0L
+
+  /** Memoize a persisted/checkpointed DataFrame per (session, sfDir,
+    * name). The build runs at most once per key; its persist/checkpoint
+    * footprint is tracked for release.
+    */
+  def cached(spark: SparkSession, sfDir: String, name: String)(
+      build: => DataFrame): DataFrame = synchronized {
+    tick += 1
+    val key = Key(sessionId(spark), sfDir, name)
+    reg.get(key) match {
+      case Some(e) => e.lastUse = tick; e.df
+      case None =>
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val df = build
+        val pinned = spark.sparkContext.getPersistentRDDs.keySet
+          .diff(before).toSet
+        reg(key) = new Entry(df, pinned, tick)
+        df
+    }
+  }
+
+  /** Drop and unpersist every entry of this session (one sfDir, or all
+    * when sfDir is null). Safe to call at any point between queries; the
+    * next consumer rebuilds.
+    */
+  def release(spark: SparkSession, sfDir: String = null): Unit =
+    synchronized {
+      reg.keys.filter(k => k.session == sessionId(spark) &&
+          (sfDir == null || k.sfDir == sfDir))
+        .toList.foreach(releaseEntry(spark, _))
+    }
+
+  /** Evict least-recently-used entries of this session until cached
+    * storage (all RDD memory + disk bytes) fits `budgetBytes`. Returns
+    * the evicted entries as `sfDir:name`, in eviction (LRU) order.
+    * Storage NOT owned by the registry (e.g. the harness-persisted
+    * interaction log) counts toward the budget but is never evicted —
+    * the loop stops when no owned entries remain.
+    */
+  def enforceBudget(spark: SparkSession, budgetBytes: Long): Seq[String] =
+    synchronized {
+      def cachedBytes: Long =
+        spark.sparkContext.getRDDStorageInfo
+          .map(i => i.memSize + i.diskSize).sum
+      val evicted = mutable.ListBuffer.empty[String]
+      var mine = reg.filter(_._1.session == sessionId(spark))
+      while (cachedBytes > budgetBytes && mine.nonEmpty) {
+        val lru = mine.minBy(_._2.lastUse)._1
+        releaseEntry(spark, lru)
+        evicted += s"${lru.sfDir}:${lru.name}"
+        mine = reg.filter(_._1.session == sessionId(spark))
+      }
+      evicted.toList
+    }
+
+  /** Entries currently held for a session (diagnostics/specs). */
+  def entries(spark: SparkSession): Seq[String] = synchronized {
+    reg.keys.filter(_.session == sessionId(spark))
+      .map(k => s"${k.sfDir}:${k.name}").toSeq
+  }
+
+  private def releaseEntry(spark: SparkSession, key: Key): Unit =
+    reg.remove(key).foreach { e =>
+      // CacheManager entry (plan-keyed persist), if any
+      try e.df.unpersist(blocking = false) catch { case _: Throwable => }
+      // raw pinned RDDs (localCheckpoint blocks live here; Dataset
+      // .unpersist can't free them)
+      val live = spark.sparkContext.getPersistentRDDs
+      e.rddIds.foreach(id => live.get(id).foreach { r =>
+        try r.unpersist(blocking = false) catch { case _: Throwable => }
+      })
+    }
+}

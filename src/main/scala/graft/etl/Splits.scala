@@ -481,11 +481,9 @@ object Splits {
     * consumer pays the window.
     */
   def leaveTwoOutCached(spark: SparkSession, sfDir: String): DataFrame =
-    splitsCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sfDir",
-      leaveTwoOut(spark, sfDir).persist())
-
-  private val splitsCache =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]
+    graft.Memo.cached(spark, sfDir, "splits.leaveTwoOut") {
+      leaveTwoOut(spark, sfDir).persist()
+    }
 
   /** The UNFILTERED [[candidates]] relation persisted once per (session,
     * scale dir), the way `DedupQueries.clusterMembers` memoizes cluster
@@ -499,11 +497,9 @@ object Splits {
     * note).
     */
   def candidatesCached(spark: SparkSession, sfDir: String): DataFrame =
-    candCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$sfDir",
-      candidates(spark, sfDir).persist())
-
-  private val candCache =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]
+    graft.Memo.cached(spark, sfDir, "splits.candidates") {
+      candidates(spark, sfDir).persist()
+    }
 
   /** Candidate assembly (my_utils.py:132-133): the 99 negatives plus the
     * planted held-out positive, per (user, domain).

@@ -24,6 +24,26 @@ object AssocQueries {
   private val TOP_PAIRS = 100
   private val KNN_K = 5
 
+  /** Per-user basket cap for pair generation. A user with d items emits
+    * C(d,2) pairs — uncapped, ONE zipf power user (d = 10⁵) lands 5×10⁹
+    * pairs in a single task: the straggler/OOM bomb the r8 verdict
+    * flagged. The cap keeps the [[DEG_CAP]] items with the smallest
+    * (h60(item,'cooc'), item) per user — a deterministic uniform sample
+    * of the basket, replayed identically by the oracle.
+    *
+    * Recall argument: baskets with d ≤ DEG_CAP (everything at any
+    * realistic percentile — 500 distinct items is far beyond a human
+    * session) are untouched, so their pair counts are EXACT. For a
+    * mega-basket, co-occurrence inside it is near-random (every pair of
+    * its items co-occurs once regardless of affinity), so its pairs are
+    * weak evidence by construction; hash-sampling the basket downscales
+    * any fixed pair's contribution by ≈(D/d)² uniformly — support
+    * estimates stay proportionally unbiased while per-user work is
+    * bounded at C(D,2) ≈ 1.2×10⁵ pairs. Item-based CF deployments apply
+    * the same basket-size cap for the same reason.
+    */
+  private[ext] val DEG_CAP = 500
+
   /** Per-item interaction counts for domain 'x'. */
   private def itemCounts(spark: org.apache.spark.sql.SparkSession, d: String) =
     Interactions.cached(spark, d)
@@ -44,55 +64,85 @@ object AssocQueries {
     */
   private def qualifyingPairs(spark: org.apache.spark.sql.SparkSession,
       d: String): org.apache.spark.sql.DataFrame =
-    pairCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d", {
+    graft.Memo.cached(spark, d, "assoc.qualifyingPairs") {
       val i = Interactions.cached(spark, d)
         .filter(col("domain") === "x").select("user_id", "item_id")
-      i.join(itemCounts(spark, d).filter(col("n") >= MINSUP)
-            .select("item_id"), Seq("item_id"), "left_semi")
-        .groupBy("user_id")
-        .agg(sort_array(collect_list("item_id")).as("items"))
-        .filter(size(col("items")) >= 2)
-        .select(explode(expr(
-          """flatten(transform(items, (x, ix) ->
-            |  transform(slice(items, ix + 2, size(items) - ix - 1),
-            |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
-          .as("p"))
-        .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
-        .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
-        .filter(col("c_ab") >= MINSUP)
+      cappedPairs(
+        i.join(itemCounts(spark, d).filter(col("n") >= MINSUP)
+          .select("item_id"), Seq("item_id"), "left_semi"),
+        DEG_CAP)
         .persist()
-    })
+    }
 
-  private val pairCache =
-    new scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.DataFrame]
+  /** The capped pair-generation kernel over a pruned (user_id, item_id)
+    * relation: per user, keep the `cap` items with the smallest
+    * (h60(item,'cooc'), item) — the slice happens INSIDE the collected
+    * array, before the positional C(d,2) explode, so a power user's task
+    * holds at most `cap` items and emits at most C(cap,2) pairs. Exposed
+    * for the AssocSpec capping invariants.
+    */
+  private[ext] def cappedPairs(pruned: org.apache.spark.sql.DataFrame,
+      cap: Int): org.apache.spark.sql.DataFrame =
+    pruned
+      .groupBy("user_id")
+      .agg(collect_list(struct(
+        graft.Hashing.h60(col("item_id"), lit("cooc")).as("h"),
+        col("item_id").as("it"))).as("hs"))
+      .withColumn("items", expr(
+        s"array_sort(transform(slice(array_sort(hs), 1, $cap), s -> s.it))"))
+      .filter(size(col("items")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(items, (x, ix) ->
+          |  transform(slice(items, ix + 2, size(items) - ix - 1),
+          |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+      .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= MINSUP)
+
+  /** Shared oracle CTE chain ending in `p(item_a, item_b, c_ab, n_a,
+    * n_b)`: prune → per-user h60 degree cap (the [[DEG_CAP]] replay) →
+    * qualifying pairs. Both q_item_cooc and q_item_knn replay the
+    * IDENTICAL capped pair relation.
+    */
+  private val duckCappedPairCtes: String =
+    s"""${Interactions.duckCte},
+       |i AS (SELECT user_id, item_id FROM interactions WHERE domain = 'x'),
+       |cnt AS (SELECT item_id, COUNT(*) AS n FROM i GROUP BY item_id),
+       |f AS (SELECT i.user_id, i.item_id, n FROM i
+       |      JOIN cnt USING (item_id) WHERE n >= $MINSUP),
+       |capped AS (
+       |  SELECT user_id, item_id, n FROM (
+       |    SELECT f.*, row_number() OVER (PARTITION BY user_id
+       |      ORDER BY ${graft.Hashing.duckH60("item_id", "'cooc'")}, item_id)
+       |      AS dr
+       |    FROM f)
+       |  WHERE dr <= $DEG_CAP
+       |),
+       |p AS (
+       |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS c_ab,
+       |         any_value(a.n) AS n_a, any_value(b.n) AS n_b
+       |  FROM capped a JOIN capped b
+       |    ON a.user_id = b.user_id AND a.item_id < b.item_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= $MINSUP
+       |)""".stripMargin
 
   val defs: Map[String, QueryDef] = Map(
 
     // ---- q_item_cooc: item-item co-occurrence + lift, domain 'x'.
     //      Plan: the memoized [[qualifyingPairs]] stream (one user-keyed
-    //      shuffle + positional C(d,2) explode; Σ C(d,2) rows of bare
-    //      16-byte keys); degree skew is the q_triangles class (power
-    //      users bound pair volume; the same cap/salt strategy applies —
-    //      SCALING.md). lift = c_ab·N/(n_a·n_b) is a ratio of
+    //      shuffle + h60 degree cap [[DEG_CAP]] + positional C(d,2)
+    //      explode — per-user pair volume bounded at C(500,2), so a zipf
+    //      power user can no longer land d²/2 pairs in one task); the
+    //      stream ships bare 16-byte pair keys into the count agg.
+    //      lift = c_ab·N/(n_a·n_b) is a ratio of
     //      exact integers, so double division + round(6) is
     //      bit-reproducible cross-engine; the final top-100 is a
     //      TakeOrderedAndProject (never a full sort) with the rounded
     //      lift + pair key as the total order ----
     "q_item_cooc" -> QueryDef(
-      s"""WITH ${Interactions.duckCte},
-         |i AS (SELECT user_id, item_id FROM interactions WHERE domain = 'x'),
-         |cnt AS (SELECT item_id, COUNT(*) AS n FROM i GROUP BY item_id),
-         |f AS (SELECT i.user_id, i.item_id, n FROM i
-         |      JOIN cnt USING (item_id) WHERE n >= $MINSUP),
-         |u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM i),
-         |p AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b,
-         |         COUNT(*) AS c_ab,
-         |         any_value(a.n) AS n_a, any_value(b.n) AS n_b
-         |  FROM f a JOIN f b
-         |    ON a.user_id = b.user_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= $MINSUP
-         |)
+      s"""WITH $duckCappedPairCtes,
+         |u AS (SELECT COUNT(DISTINCT user_id) AS nu FROM i)
          |SELECT item_a, item_b, c_ab, n_a, n_b,
          |  round(CAST(c_ab AS DOUBLE) * nu / (n_a * n_b), 6) AS lift
          |FROM p, u
@@ -127,16 +177,8 @@ object AssocQueries {
     //      engines over an exact integer product, so round(6) + the
     //      (sim, item_b) total order replays bit-exact ----
     "q_item_knn" -> QueryDef(
-      s"""WITH ${Interactions.duckCte},
-         |i AS (SELECT user_id, item_id FROM interactions WHERE domain = 'x'),
-         |cnt AS (SELECT item_id, COUNT(*) AS n FROM i GROUP BY item_id),
-         |f AS (SELECT user_id, i.item_id FROM i
-         |      JOIN cnt ON cnt.item_id = i.item_id WHERE n >= $MINSUP),
-         |p AS (
-         |  SELECT a.item_id AS item_a, b.item_id AS item_b, COUNT(*) AS c_ab
-         |  FROM f a JOIN f b ON a.user_id = b.user_id AND a.item_id < b.item_id
-         |  GROUP BY 1, 2 HAVING COUNT(*) >= $MINSUP
-         |), sym AS (
+      s"""WITH $duckCappedPairCtes,
+         |sym AS (
          |  SELECT item_a, item_b, c_ab FROM p
          |  UNION ALL
          |  SELECT item_b, item_a, c_ab FROM p

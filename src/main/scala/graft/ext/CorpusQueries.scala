@@ -306,11 +306,19 @@ object CorpusQueries {
       // unit's global first occurrence (the join form re-ran the whole
       // tile+hash pass for the probe side — 2× the narrow work)
       paraUnits(spark, d)
-        .withColumn("kk",
-          min(col("doc_id") * 1048576L + col("unit_idx"))
-            .over(Window.partitionBy("uh")))
-        .withColumn("kept",
-          col("doc_id") * 1048576L + col("unit_idx") === col("kk"))
+        // packing guard: doc_id·2^20 + unit_idx is only injective while
+        // unit_idx < 2^20 (~16.8M words/doc) and doc_id < 2^43; both
+        // engines would compute the SAME wrong packing past that, so the
+        // oracle gate can't catch it — fail loudly instead
+        .withColumn("pk",
+          when(col("unit_idx") < 1048576L && col("doc_id") < 8796093022208L,
+            col("doc_id") * 1048576L + col("unit_idx"))
+            .otherwise(raise_error(concat(
+              lit("q_para_dedup pack overflow: doc_id="),
+              col("doc_id").cast("string"),
+              lit(" unit_idx="), col("unit_idx").cast("string")))))
+        .withColumn("kk", min(col("pk")).over(Window.partitionBy("uh")))
+        .withColumn("kept", col("pk") === col("kk"))
         .groupBy("doc_id")
         .agg(count(lit(1)).as("n_units"),
           sum(when(col("kept"), 1L).otherwise(0L)).as("kept_units"),

@@ -87,17 +87,14 @@ object CurateQueries {
     * memoization rule).
     */
   private def dupEdges(spark: SparkSession, d: String): DataFrame =
-    edgeCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d", {
+    graft.Memo.cached(spark, d, "curate.dupEdges") {
       val vp = DedupQueries
         .minhashVerifiedPairsWith(spark, d, TextOps.wordShingleHashes(spark, d, 5))
         .select("doc_a", "doc_b")
       vp.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionAll(vp.select(col("doc_b").as("u"), col("doc_a").as("v")))
         .persist()
-    })
-
-  private val edgeCache =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]
+    }
 
   /** One majority-vote round: unlabeled (odd doc_id) nodes take the
     * most common label among their labeled neighbors; ties break by
@@ -227,10 +224,16 @@ object CurateQueries {
       val wfix = round(sqrt(col("n_docs").cast("double")) * 1e6).cast("long")
       val cnt = docs.groupBy("source").agg(count(lit(1)).as("n_docs"))
       val tot = cnt.agg(sum("n_docs").as("n_total"), sum(wfix).as("tw"))
+      // exact int64 floor division end-to-end (all operands positive, so
+      // Spark DIV == DuckDB // here): double division would drift off the
+      // oracle by 1 once budget·wfix nears 2^53 or the quotient lands
+      // within double-rounding distance of an integer
       val q = cnt.crossJoin(broadcast(tot))
         .select(col("source"), col("n_docs"),
-          greatest(expr(s"n_total DIV $QUOTA_BUDGET_DIV")
-            .*(wfix).divide(col("tw")).cast("long"), lit(1L)).as("quota"))
+          greatest(expr(
+            s"(n_total DIV $QUOTA_BUDGET_DIV) * " +
+              "cast(round(sqrt(cast(n_docs as double)) * 1e6) as bigint) " +
+              "DIV tw"), lit(1L)).as("quota"))
       val ranked = docs.withColumn("rn", row_number().over(
         Window.partitionBy("source")
           .orderBy(Hashing.h60(col("doc_id"), lit("quota")), col("doc_id"))))

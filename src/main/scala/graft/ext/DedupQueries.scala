@@ -103,7 +103,7 @@ object DedupQueries {
     * lists only for the ≤MAX_DF rare buckets, exploded positionally.
     */
   private[ext] def ngramCandPairs(spark: SparkSession, d: String): DataFrame =
-    candCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d", {
+    graft.Memo.cached(spark, d, "dedup.ngramCandPairs") {
       val sh = TextOps.wordShingleHashes(spark, d, NGRAM_K)
       val rare = sh.groupBy("sh").agg(count(lit(1)).as("df"))
         .filter(col("df") >= 2 && col("df") <= MAX_DF)
@@ -115,24 +115,19 @@ object DedupQueries {
         .filter(col("doc_a") < col("doc_b"))
         .distinct()
         .persist()
-    })
+    }
 
   /** Per-doc sorted word-4-gram h60 arrays (doc_id, shs), persisted once
     * per (session, scale dir) — the verify side shared by the same two
     * consumers.
     */
   private[ext] def ngramShingleSets(spark: SparkSession, d: String): DataFrame =
-    setsCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d", {
+    graft.Memo.cached(spark, d, "dedup.ngramShingleSets") {
       TextOps.wordShingleHashes(spark, d, NGRAM_K)
         .groupBy("doc_id")
         .agg(sort_array(collect_list(col("sh"))).as("shs"))
         .persist()
-    })
-
-  private val candCache =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]
-  private val setsCache =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]
+    }
 
   private def duckJaccardVerify(minJac: Double, shTable: String = "shingles"): String =
     s"""sizes AS (
@@ -202,13 +197,11 @@ object DedupQueries {
     * the reference is safe and re-planning is O(1).
     */
   def clusterMembers(spark: SparkSession, d: String): DataFrame =
-    compCache.getOrElseUpdate(s"${System.identityHashCode(spark)}:$d",
+    graft.Memo.cached(spark, d, "dedup.clusterMembers") {
       DedupCluster.connectedComponents(
         minhashVerifiedPairs(spark, d).select("doc_a", "doc_b"))
-        .select(col("id").as("doc_id"), col("label").as("cluster_id")))
-
-  private val compCache =
-    new scala.collection.concurrent.TrieMap[String, DataFrame]
+        .select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    }
 
   /** Spark mirror of [[duckMinhashPairCtes]]: verified MinHash duplicate
     * pairs `(doc_a, doc_b, ni, jac)`, unordered.

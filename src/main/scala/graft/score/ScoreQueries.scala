@@ -551,7 +551,13 @@ object ScoreQueries {
           else (1 to PCA_DIM).map(j => S(i)(j) * v(j)).sum
         }
         val mx = u.map(_.abs).max
-        v = u.map(ui => BigInt(math.round(ui.toDouble * 1000000 / mx.toDouble)))
+        // half-AWAY-FROM-ZERO, mirroring the oracle's round(): JVM
+        // math.round is half-toward-+inf, which diverges the whole
+        // fixed-point trajectory on a negative iterate landing on x.5
+        v = u.map { ui =>
+          val x = BigDecimal(ui.toDouble * 1000000 / mx.toDouble)
+          x.setScale(0, BigDecimal.RoundingMode.HALF_UP).toBigInt
+        }
       }
       val num = (for (i <- 1 to PCA_DIM; j <- 1 to PCA_DIM)
         yield v(i) * S(i)(j) * v(j)).sum
@@ -622,7 +628,11 @@ object ScoreQueries {
         val acc = Array.fill(cells)(java.math.BigInteger.ZERO)
         val loc = new Array[Long](cells)
         var rows = 0L
-        var sinceFlush = 0
+        // flush on accumulated MAGNITUDE, not row count: one row adds up
+        // to rowMax² per cell, so a fixed-row window is only safe for
+        // ~unit-scale vectors. magD conservatively bounds max|loc|; flush
+        // before it could pass 4e18 (< Long.Max/2, double-slack safe).
+        var magD = 0.0
         def flush(): Unit = {
           var c = 0
           while (c < cells) {
@@ -632,9 +642,24 @@ object ScoreQueries {
             }
             c += 1
           }
-          sinceFlush = 0
+          magD = 0.0
         }
         it.foreach { qv =>
+          var rowMax = 0L
+          var k = 0
+          while (k < dim) {
+            val a = math.abs(qv(k)); if (a > rowMax) rowMax = a; k += 1
+          }
+          // a SINGLE product qi·qj already overflows long past √Long.Max
+          // (|x| ≳ 303 at the 1e7 grid) — no flush policy can save that;
+          // fail loudly and point at the upstream scale check
+          if (rowMax > 3037000499L)
+            throw new IllegalStateException(
+              s"gramCells: |q|=$rowMax overflows a single long product; " +
+                "validate embedding scale upstream (q_embed_health)")
+          val rowMaxSq = rowMax.toDouble * rowMax.toDouble
+          if (magD + rowMaxSq > 4.0e18) flush()
+          magD += rowMaxSq
           var c = 0
           var i = 0
           while (i < dim) {
@@ -644,8 +669,6 @@ object ScoreQueries {
             i += 1
           }
           rows += 1L
-          sinceFlush += 1
-          if (sinceFlush == 4096) flush()
         }
         flush()
         if (rows == 0L) Iterator.empty

@@ -73,4 +73,40 @@ class AssocSpec extends SparkSpec {
       .groupBy("user_id").count().collect().map(_.getLong(1))
     assert(rows.map(_.getAs[Long]("c")).sum == perUser.map(_ - 1).sum)
   }
+
+  test("degree cap bounds a power user's pairs and matches brute force on the kept set") {
+    import spark.implicits._
+    val cap = 10
+    // one power user (200 items), one small user (4 items), one pair of
+    // users sharing items so a pair survives MINSUP=3
+    val rows =
+      (1L to 200L).map(it => (1L, it)) ++
+        Seq((2L, 5L), (2L, 6L), (2L, 7L), (2L, 8L)) ++
+        Seq((3L, 5L), (3L, 6L), (3L, 7L), (3L, 8L)) ++
+        Seq((4L, 5L), (4L, 6L), (4L, 7L), (4L, 8L))
+    val pruned = rows.toDF("user_id", "item_id")
+    val out = AssocQueries.cappedPairs(pruned, cap).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // expected: per user keep the `cap` items with smallest (h60, item)
+    val kept = rows.groupBy(_._1).view.mapValues { rs =>
+      rs.map(_._2).distinct
+        .map(it => (graft.Hashing.h60Jvm(
+          java.security.MessageDigest.getInstance("MD5"), s"$it:cooc"), it))
+        .sorted.take(cap).map(_._2).sorted
+    }.toMap
+    val brute = new scala.collection.mutable.HashMap[(Long, Long), Long]
+    kept.values.foreach { items =>
+      for (a <- items.indices; b <- a + 1 until items.length)
+        brute((items(a), items(b))) = brute.getOrElse((items(a), items(b)), 0L) + 1L
+    }
+    val expected = brute.filter(_._2 >= 3).toMap
+    assert(out == expected, s"capped pairs must equal brute force on the kept sets")
+    // the power user's kept basket is exactly `cap` items — its pair
+    // contribution is bounded at C(cap,2), not C(200,2)
+    assert(kept(1L).length == cap)
+    // no emitted pair touches an item the power user's cap dropped AND
+    // no other user holds (items > 8 exist only in user 1's basket)
+    val dropped = (1L to 200L).toSet -- kept(1L).toSet -- Set(5L, 6L, 7L, 8L)
+    assert(out.keys.forall { case (a, b) => !dropped(a) && !dropped(b) })
+  }
 }
