@@ -337,9 +337,13 @@ object SimilarityQueries {
     *
     * Scale shape: the EVAL side is collected and broadcast — count-gated
     * (the q_decontaminate ADVICE lesson: broadcast only when the eval
-    * slice is genuinely small), falling back to the distributed
-    * pair-join + window argmax past `maxBroadcast`, spec-proven
-    * row-identical. The 100 TB train side never shuffles on the
+    * slice is genuinely small). Past `maxBroadcast` (r9): train×eval
+    * candidates from [[bandedCandidates]] + exact verify + window argmax
+    * (the r8 fallback crossJoined train×eval — O(|train|·|eval|) rows).
+    * Recall: a contaminated train vector sits at cos ≥ [[DECON_COS]] to
+    * its eval source — few hyperplane-sign flips, so band agreement is
+    * the norm, and verbatim leakage (identical embeddings) is caught
+    * with certainty. The 100 TB train side never shuffles on the
     * broadcast path: one narrow scan, per-vector loop over the eval set.
     */
   def semanticDecontam(spark: org.apache.spark.sql.SparkSession, d: String,
@@ -348,10 +352,8 @@ object SimilarityQueries {
     import spark.implicits._
     val embs = Tables.embeddings(spark, d)
     if (embs.filter(expr(evalSlice)).count() > maxBroadcast) {
-      val ids = embs.select("vec_id")
-      val pairs = ids.filter(not(expr(evalSlice)))
-        .select(col("vec_id").as("query_id"))
-        .crossJoin(ids.filter(expr(evalSlice)))
+      val pairs = bandedCandidates(spark, d,
+        not(expr(evalSlice)), expr(evalSlice), lowerTriangle = false)
       return VectorOps.cosine(spark, d, pairs)
         .withColumn("rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("vec_id"))))
@@ -424,43 +426,66 @@ object SimilarityQueries {
     * dominate real corpora); every RETURNED pair carries an exact
     * verified cosine either way.
     */
+  /** LSH-banded candidate pairs `(query_id, vec_id)` between a query
+    * slice and a candidate slice of the corpus: vectors agreeing in at
+    * least one of `numBands` hyperplane-sign bands, band width dialed by
+    * corpus count ([[VectorOps.lshBandBitsFor]] — Σ bucket² pair volume,
+    * never O(n²)). This is THE past-ceiling candidate generator: every
+    * r8 all-pairs crossJoin fallback now routes through it. Recall
+    * contract: a true pair is missed only when the vectors disagree in
+    * EVERY band (identical vectors never — equal sigs by construction;
+    * near-dups at the operating thresholds flip few hyperplane signs);
+    * every RETURNED pair is exact-cosine verified downstream.
+    */
+  private def bandedCandidates(spark: org.apache.spark.sql.SparkSession,
+      d: String, qFilter: org.apache.spark.sql.Column,
+      cFilter: org.apache.spark.sql.Column,
+      lowerTriangle: Boolean): org.apache.spark.sql.DataFrame = {
+    val n = VectorOps.corpusSize(spark, d)
+    val numBands = 2
+    val bandBits = VectorOps.lshBandBitsFor(n)
+    val bands = sparkSigs(spark, d, numPlanes = bandBits * numBands)
+      .withColumn("bi", explode(sequence(lit(0), lit(numBands - 1))))
+      .select(col("vec_id"), col("bi"),
+        expr(s"shiftright(sig, $bandBits * bi) % ${1 << bandBits}").as("blk"))
+    val cmp =
+      if (lowerTriangle) col("a.vec_id") < col("b.vec_id")
+      else col("a.vec_id") =!= col("b.vec_id")
+    bands.filter(qFilter).as("a")
+      .join(bands.filter(cFilter).as("b"),
+        col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") && cmp)
+      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
+      .distinct()
+  }
+
   def embedNearDupAuto(spark: org.apache.spark.sql.SparkSession, d: String,
       maxExact: Long = EMBED_PAIR_EXACT_MAX)
       : org.apache.spark.sql.DataFrame = {
     val n = VectorOps.corpusSize(spark, d)
     if (n <= maxExact) return embedNearDup(spark, d)
-    val numBands = 2
-    val bandBits = VectorOps.lshBandBitsFor(n)
-    val sigs = sparkSigs(spark, d, numPlanes = bandBits * numBands)
-    val bands = sigs
-      .withColumn("bi", explode(sequence(lit(0), lit(numBands - 1))))
-      .select(col("vec_id"), col("bi"),
-        expr(s"shiftright(sig, $bandBits * bi) % ${1 << bandBits}").as("blk"))
-    val cand = bands.as("a")
-      .join(bands.as("b"),
-        col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") &&
-          col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
-      .distinct()
+    val cand = bandedCandidates(spark, d, lit(true), lit(true),
+      lowerTriangle = true)
     VectorOps.cosineAuto(spark, d, cand)
       .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
         round(col("cos"), 6).as("cos"))
       .filter(col("cos") >= NEAR_DUP_COS)
   }
 
-  /** Exact all-pairs near-dup, corpus-size aware like [[bruteForceTopK]]:
-    * broadcast-matrix partition loop under the ceiling, distributed pair
-    * join beyond it (LSH bucketing — q_sim_lsh's shape — is the real
-    * candidate generator at that scale; this keeps exactness available).
+  /** Embedding near-dup pairs, corpus-size aware like [[bruteForceTopK]]:
+    * EXACT broadcast-matrix partition loop under the ceiling; past it,
+    * [[bandedCandidates]] + exact cosine verify (r9 — the r8 fallback
+    * was an all-pairs relational cosine, O(n²) rows at 100 TB; banding
+    * bounds pair volume at Σ bucket² with the near-dup recall contract
+    * documented on the generator, and the broadcast path below the
+    * ceiling stays the bit-exact oracle anchor).
     */
   def embedNearDup(spark: org.apache.spark.sql.SparkSession, d: String,
       maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     if (VectorOps.corpusSize(spark, d) > maxBroadcast) {
-      val ids = Tables.embeddings(spark, d).select("vec_id")
-      val pairs = ids.select(col("vec_id").as("query_id")).crossJoin(ids)
-        .filter(col("query_id") < col("vec_id"))
+      val pairs = bandedCandidates(spark, d, lit(true), lit(true),
+        lowerTriangle = true)
       return VectorOps.cosine(spark, d, pairs)
         .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
           round(col("cos"), 6).as("cos"))
@@ -577,12 +602,16 @@ object SimilarityQueries {
   /** Hard-negative mining for embedding-model training: per query
     * vector, the NEG_K most-similar vectors carrying a DIFFERENT label
     * (the classic contrastive-training batch builder — easy negatives
-    * teach nothing, the near-misses carry gradient). Same dual path as
-    * [[bruteForceTopK]]: broadcast corpus + label map with a bounded
-    * per-query heap under the ceiling; relational cosine join past it.
-    * At 100 TB the exact all-label scan is the anchor; the production
-    * dial mines within ANN candidates (q_sim_lsh/q_sim_ivf buckets)
-    * before the label filter.
+    * teach nothing, the near-misses carry gradient). Under the ceiling:
+    * broadcast corpus + label map with a bounded per-query heap — the
+    * exact oracle anchor. Past it (r9): mine within [[bandedCandidates]]
+    * buckets before the label filter — exactly the production dial the
+    * r8 scaladoc named (the r8 fallback was a query×corpus crossJoin,
+    * O(|Q|·n) rows). The mined negatives are the hardest IN-BUCKET
+    * near-misses: by the banding recall contract those are precisely the
+    * high-cosine vectors contrastive training wants, and any vector
+    * missed by every band is a LOW-similarity easy negative that carried
+    * no gradient anyway.
     */
   def hardNegatives(spark: org.apache.spark.sql.SparkSession, d: String,
       maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX)
@@ -590,9 +619,12 @@ object SimilarityQueries {
     import spark.implicits._
     val labels = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
     if (VectorOps.corpusSize(spark, d) > maxBroadcast) {
-      val q = labels.filter(expr(negSlice))
-        .select(col("vec_id").as("query_id"), col("label").as("qlab"))
-      val pairs = q.crossJoin(labels)
+      val cand = bandedCandidates(spark, d, expr(negSlice), lit(true),
+        lowerTriangle = false)
+      val pairs = cand
+        .join(labels.select(col("vec_id").as("query_id"),
+          col("label").as("qlab")), "query_id")
+        .join(labels, "vec_id")
         .filter(col("label") =!= col("qlab"))
         .select("query_id", "vec_id")
       return VectorOps.cosine(spark, d, pairs)

@@ -301,6 +301,30 @@ class PlanSpec extends SparkSpec {
     assert(rddScans >= 4, s"match relation not shared across consumers:\n$p")
   }
 
+  test("past-ceiling embedding fallbacks are LSH-banded, never all-pairs") {
+    // force every past-ceiling branch with a zero ceiling and assert the
+    // r8 crossJoin fallbacks are gone: candidate generation must be the
+    // banded equi-join (hash join on band block), with no cartesian /
+    // nested-loop node anywhere in the plan
+    spark.catalog.clearCache()
+    val fallbacks = Seq(
+      "embedNearDup" -> ext.SimilarityQueries
+        .embedNearDup(spark, sf(), maxBroadcast = 0),
+      "hardNegatives" -> ext.SimilarityQueries
+        .hardNegatives(spark, sf(), maxBroadcast = 0),
+      "semanticDecontam" -> ext.SimilarityQueries
+        .semanticDecontam(spark, sf(), maxBroadcast = 0),
+      "embedNearDupAuto" -> ext.SimilarityQueries
+        .embedNearDupAuto(spark, sf(), maxExact = 0))
+    fallbacks.foreach { case (name, df) =>
+      val p = df.queryExecution
+        .explainString(ExplainMode.fromString("formatted"))
+      assert(!p.contains("CartesianProduct") &&
+        !p.contains("BroadcastNestedLoopJoin"),
+        s"$name past-ceiling plan is all-pairs:\n$p")
+    }
+  }
+
   test("rrf retrievers and the fused output all end in bounded top-k") {
     // the fusion join itself is a FULL OUTER over <=100 rows — Spark
     // cannot broadcast full-outer, and a sort-merge over 100 rows is
