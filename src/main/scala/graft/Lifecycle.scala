@@ -49,7 +49,16 @@ object Lifecycle {
       .select(col("user_id"), col("domain"), col("item_id"), col("is_positive"),
         (Hashing.h60(col("user_id"), col("item_id"), col("domain"),
           lit(s"epoch$epoch")) % 1000000L).as("score"))
-    val metrics = graft.rank.Metrics.rankingMetrics(scored, Seq(5, 10))
+    // digest ranks, not the row_number window: the epoch loop pays this
+    // pass EPOCHS times over the full candidate set, and at the 100×
+    // probe the 3 windows were 55% of q_lifecycle's wall clock. The
+    // TopBuf digest shuffles a bounded ≤kMax-rows-per-(user,domain)
+    // partial instead of every scored row (≤⅓ the bytes —
+    // DigestShuffleSpec), and MetricsSpec proves it rank-identical, so
+    // the metric rows — and the q_lifecycle oracle hash — are unchanged.
+    val ranks = graft.rank.Metrics.posRanksDigestFrom(scored, kMax = 10)
+    val metrics = graft.rank.Metrics
+      .rankingMetricsFromRanks(ranks, Seq(5, 10))
       .withColumn("epoch", lit(epoch))
     timed(s"e$epoch metrics+append") {
       MetricsSink.appendParquet(metrics, s"$workDir/metrics_log") }

@@ -182,6 +182,30 @@ object Metrics {
       .toDF("user_id", "domain", "rn")
   }
 
+  /** HR/NDCG/MRR@K from a positive-rank relation (user_id, domain, rn) —
+    * the metric tail shared by [[posRanksJoin]], [[posRanksDigest]], and
+    * the per-epoch lifecycle loop. rn = 0 means the positive ranked
+    * below the digest bound: counted in n_users, contributes 0 to every
+    * @K metric — exactly the window semantics. One cross join against
+    * the k values instead of a union of per-k branches: the rank
+    * pipeline is computed ONCE (a union would plan — and run — the
+    * whole upstream per branch).
+    */
+  def rankingMetricsFromRanks(ranks: DataFrame, ks: Seq[Int]): DataFrame = {
+    import ranks.sparkSession.implicits._
+    val in = col("rn") >= 1 && col("rn") <= col("k")
+    ranks.crossJoin(broadcast(ks.toDF("k")))
+      .groupBy("domain", "k")
+      .agg(
+        count(lit(1)).as("n_users"),
+        round(avg(when(in, 1.0).otherwise(0.0)), 6).as("hr"),
+        round(avg(when(in, log(lit(2.0)) / log(col("rn") + 1))
+          .otherwise(0.0)), 6).as("ndcg"),
+        round(avg(when(in, lit(1.0) / col("rn")).otherwise(0.0)), 6).as("mrr"))
+      .select("domain", "k", "n_users", "hr", "ndcg", "mrr")
+      .orderBy("domain", "k")
+  }
+
   /** The flagship metric oracle — shared verbatim by the window
     * formulation (q_rank_metrics) and the one-pass typed-aggregate
     * formulation (q_rank_metrics_agg): both must hash to it.
@@ -216,25 +240,7 @@ object Metrics {
     //      codegen). Same oracle SQL as q_rank_metrics: the two plans
     //      must agree bit-for-bit. ----
     "q_rank_metrics_agg" -> QueryDef(duckRankMetricsSql) { (spark, d) =>
-      import spark.implicits._
-      val ranks = posRanksJoin(spark, d)
-      // rn = 0 means the positive ranked below 10: counted in n_users,
-      // contributes 0 to every @K metric — exactly the window semantics.
-      // One cross join against the k values instead of a union of
-      // per-k branches: the typed rank pipeline is computed ONCE (a
-      // union would plan — and run — the whole aggregate per branch).
-      val ks = Seq(5, 10).toDF("k")
-      val in = col("rn") >= 1 && col("rn") <= col("k")
-      ranks.crossJoin(broadcast(ks))
-        .groupBy("domain", "k")
-        .agg(
-          count(lit(1)).as("n_users"),
-          round(avg(when(in, 1.0).otherwise(0.0)), 6).as("hr"),
-          round(avg(when(in, log(lit(2.0)) / log(col("rn") + 1))
-            .otherwise(0.0)), 6).as("ndcg"),
-          round(avg(when(in, lit(1.0) / col("rn")).otherwise(0.0)), 6).as("mrr"))
-        .select("domain", "k", "n_users", "hr", "ndcg", "mrr")
-        .orderBy("domain", "k")
+      rankingMetricsFromRanks(posRanksJoin(spark, d), Seq(5, 10))
     },
 
     // ---- same top-K via the typed bounded Aggregator (§4.3): O(K)
