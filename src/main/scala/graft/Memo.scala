@@ -111,6 +111,30 @@ object Memo {
       evicted.toList
     }
 
+  /** Eagerly `localCheckpoint` a DataFrame and return it with an
+    * idempotent release handle for the blocks the checkpoint pinned.
+    * Iterative algorithms (connected components, PageRank) checkpoint
+    * every round; superseded rounds' blocks otherwise wait for
+    * reference-GC (ContextCleaner) — under a bounded heap that wait is
+    * storage pressure. Calling the PREVIOUS round's handle once the next
+    * round is materialized frees the state deterministically. The handle
+    * is safe to call at most the blocks' owner should: after release the
+    * checkpointed frame is NOT recomputable (lineage is truncated), so
+    * only release state no consumer will touch again.
+    */
+  def checkpointTracked(df: DataFrame): (DataFrame, () => Unit) =
+    synchronized {
+      val sc = df.sparkSession.sparkContext
+      val before = sc.getPersistentRDDs.keySet
+      val ck = df.localCheckpoint()
+      val pinned = sc.getPersistentRDDs.keySet.diff(before).toSet
+      val release = () => pinned.foreach(id =>
+        sc.getPersistentRDDs.get(id).foreach { r =>
+          try r.unpersist(blocking = false) catch { case _: Throwable => }
+        })
+      (ck, release)
+    }
+
   /** Entries currently held for a session (diagnostics/specs). */
   def entries(spark: SparkSession): Seq[String] = synchronized {
     reg.keys.filter(_.session == sessionId(spark))

@@ -129,8 +129,13 @@ object ScaleGen {
         "l_suppkey", col("l_orderkey") * 16 + col("l_linenumber"))
     }
     rep("events") { (df, k) =>
-      df.withColumn("event_id", off("event_id", k))
-        .withColumn("user_id", off("user_id", k))
+      // zipf also concentrates the EVENT stream (r9): 1/HOT_MOD of events
+      // land on user 1, so the per-user sequence windows (markov,
+      // sessionize, gaps) face a genuine hot-partition axis, not just the
+      // join-side skew the orders/lineitem hot keys exercise
+      hot(df.withColumn("event_id", off("event_id", k))
+        .withColumn("user_id", off("user_id", k)),
+        "user_id", col("event_id"))
     }
     rep("documents") { (df, k) =>
       val mutated =

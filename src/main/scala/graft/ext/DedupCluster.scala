@@ -63,11 +63,17 @@ object DedupCluster {
     val edges = fwd.unionAll(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("u").as("id")).distinct()
-      .select(col("id"), col("id").as("label"))
-      .localCheckpoint() // eager: truncates lineage at the start
-    // round-0 frontier = every vertex (its self-label is "new")
+    // tracked checkpoints: each round's state supersedes the previous
+    // round's — release the old blocks as soon as the new state is
+    // materialized instead of waiting for reference-GC (deterministic
+    // storage under Memo's byte budget)
+    var (labels, relLabels) = graft.Memo.checkpointTracked(
+      edges.select(col("u").as("id")).distinct()
+        .select(col("id"), col("id").as("label")))
+    // round-0 frontier = every vertex (its self-label is "new"); it
+    // SHARES the labels blocks, so its release handle is a no-op
     var frontier = labels
+    var relFrontier: () => Unit = () => ()
     var active = frontier.count()
     var rounds = 0
     while (active > 0 && rounds < MAX_ROUNDS) {
@@ -77,21 +83,28 @@ object DedupCluster {
         .groupBy(col("u")).agg(min(col("label")).as("cand"))
       // adopt a pushed label iff it strictly improves — these vertices
       // are the next frontier
-      val updates = labels
-        .join(pushed.select(col("u").as("id"), col("cand")), "id")
-        .filter(col("cand") < col("label"))
-        .select(col("id"), col("cand").as("label"))
-        .localCheckpoint()
+      val (updates, relUpdates) = graft.Memo.checkpointTracked(
+        labels
+          .join(pushed.select(col("u").as("id"), col("cand")), "id")
+          .filter(col("cand") < col("label"))
+          .select(col("id"), col("cand").as("label")))
       active = updates.count()
       if (active > 0) {
-        labels = labels
-          .join(updates.select(col("id"), col("label").as("upd")), Seq("id"), "left")
-          .select(col("id"), coalesce(col("upd"), col("label")).as("label"))
-          .localCheckpoint()
+        val (nl, relNl) = graft.Memo.checkpointTracked(
+          labels
+            .join(updates.select(col("id"), col("label").as("upd")),
+              Seq("id"), "left")
+            .select(col("id"), coalesce(col("upd"), col("label")).as("label")))
+        relLabels()
+        labels = nl
+        relLabels = relNl
       }
+      relFrontier()
       frontier = updates
+      relFrontier = relUpdates
       rounds += 1
     }
+    relFrontier() // the final (empty) frontier; labels stay live for the caller
     edges.unpersist()
     require(active == 0,
       s"connectedComponents did not converge in $MAX_ROUNDS rounds")
@@ -138,17 +151,23 @@ object DedupCluster {
     val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
     val vertices = fwd.select(col("u")).unionAll(fwd.select(col("v").as("u")))
       .distinct().localCheckpoint()
-    var edges = fwd.filter(col("u") =!= col("v")).distinct().localCheckpoint()
+    var (edges, relEdges) = graft.Memo.checkpointTracked(
+      fwd.filter(col("u") =!= col("v")).distinct())
     var rounds = 0
     var stable = false
     while (!stable && rounds < MAX_ROUNDS) {
-      val afterLarge = star(symmetrize(edges), large = true).localCheckpoint()
-      val next = star(symmetrize(afterLarge), large = false).localCheckpoint()
+      val (afterLarge, relLarge) = graft.Memo.checkpointTracked(
+        star(symmetrize(edges), large = true))
+      val (next, relNext) = graft.Memo.checkpointTracked(
+        star(symmetrize(afterLarge), large = false))
       // fixpoint = identical edge set round-over-round (both distinct,
       // so count + one anti-join decide equality exactly)
       stable = next.count() == edges.count() &&
         next.join(edges, Seq("u", "v"), "left_anti").count() == 0
+      relLarge() // intermediate star output, superseded immediately
+      relEdges() // previous round's edge set, superseded by `next`
       edges = next
+      relEdges = relNext
       rounds += 1
     }
     require(stable,

@@ -301,12 +301,11 @@ object GraphQueries {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes
+    var (ranks, relRanks) = graft.Memo.checkpointTracked(nodes
       .join(seeds.withColumn("sd", lit(1)), Seq("node"), "left")
       .select(col("node"),
         when(col("sd").isNotNull, lit(SCALE / ns)).otherwise(lit(0L))
-          .cast("long").as("r"))
-      .localCheckpoint()
+          .cast("long").as("r")))
     for (_ <- 1 to ITERS) {
       val dang = ranks.join(danglers, "node", "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
@@ -314,7 +313,7 @@ object GraphQueries {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div od").as("share"))
         .groupBy("node").agg(sum(col("share")).as("contrib"))
-      ranks = nodes
+      val next = nodes
         .join(contrib, Seq("node"), "left")
         .join(seeds.withColumn("sd", lit(1)), Seq("node"), "left")
         .select(col("node"),
@@ -324,7 +323,12 @@ object GraphQueries {
                     |        ELSE CAST(0 AS BIGINT) END)) div $DAMP_DEN"""
               .stripMargin))
             .cast("long").as("r"))
-        .localCheckpoint()
+      // superseded rank table released as soon as the new round is
+      // materialized — deterministic storage, not reference-GC timing
+      val (nr, relNr) = graft.Memo.checkpointTracked(next)
+      relRanks()
+      ranks = nr
+      relRanks = relNr
     }
     edges.unpersist(false)
     nodes.unpersist(false)
@@ -372,8 +376,8 @@ object GraphQueries {
       .repartition(col("src"))
       .persist(StorageLevel.MEMORY_AND_DISK)
 
-    var ranks = nodes.select(col("node"), lit(SCALE / n).as("r"))
-      .localCheckpoint()
+    var (ranks, relRanks) = graft.Memo.checkpointTracked(
+      nodes.select(col("node"), lit(SCALE / n).as("r")))
     for (_ <- 1 to ITERS) {
       val dang = ranks.join(danglers, "node", "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
@@ -381,12 +385,15 @@ object GraphQueries {
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div od").as("share"))
         .groupBy("node").agg(sum(col("share")).as("contrib"))
-      ranks = nodes.join(contrib, Seq("node"), "left")
+      val next = nodes.join(contrib, Seq("node"), "left")
         .select(col("node"),
           (lit(tele) + expr(
             s"($DAMP_NUM * (coalesce(contrib, CAST(0 AS BIGINT)) + ${dang / n})) div $DAMP_DEN"))
             .cast("long").as("r"))
-        .localCheckpoint()
+      val (nr, relNr) = graft.Memo.checkpointTracked(next)
+      relRanks()
+      ranks = nr
+      relRanks = relNr
     }
     edges.unpersist(false)
     nodes.unpersist(false)
