@@ -33,12 +33,25 @@ object Bucketing {
   def writeBucketed(df: DataFrame, table: String, buckets: Int,
       cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "bucketing needs at least one column")
+    val spark = df.sparkSession
+    // a PREVIOUS JVM may have left the managed location on disk with no
+    // entry in this session's in-memory catalog — saveAsTable then
+    // refuses to create over it ("managed table location already
+    // exists", SPARK-25150; this failed the two incremental queries in
+    // the r9 100× bench). Drop any catalog entry, then remove the
+    // orphaned location.
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"),
+      table.toLowerCase(java.util.Locale.ROOT))
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .mode("overwrite")
       .bucketBy(buckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)
       .saveAsTable(table)
-    df.sparkSession.table(table)
+    spark.table(table)
   }
 
   /** The interaction log bucketed on its universal key. The default

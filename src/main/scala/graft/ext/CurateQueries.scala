@@ -88,8 +88,10 @@ object CurateQueries {
     */
   private def dupEdges(spark: SparkSession, d: String): DataFrame =
     graft.Memo.cached(spark, d, "curate.dupEdges") {
-      val vp = DedupQueries
-        .minhashVerifiedPairsWith(spark, d, TextOps.wordShingleHashes(spark, d, 5))
+      // derived from the MEMOIZED verified-pair relation (r9) — the
+      // symmetric expansion is cheap; the band+verify subtree is the
+      // expensive part and is shared with the three dedup consumers
+      val vp = DedupQueries.minhashVerifiedPairs(spark, d)
         .select("doc_a", "doc_b")
       vp.select(col("doc_a").as("u"), col("doc_b").as("v"))
         .unionAll(vp.select(col("doc_b").as("u"), col("doc_a").as("v")))

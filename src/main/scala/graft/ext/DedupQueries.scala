@@ -233,9 +233,19 @@ object DedupQueries {
   /** Spark mirror of [[duckMinhashPairCtes]]: verified MinHash duplicate
     * pairs `(doc_a, doc_b, ni, jac)`, unordered.
     */
-  private def minhashVerifiedPairs(spark: SparkSession, d: String): DataFrame =
-    minhashVerifiedPairsWith(spark, d,
-      TextOps.wordShingleHashes(spark, d, 5)) // verify pass input, 8-byte keys
+  /** Verified MinHash pairs memoized per (session, scale dir): FOUR
+    * suite consumers build this identical subtree (cluster membership,
+    * the pair report, the threshold sweep, label-prop's dup edges) —
+    * ~20-30s each at the 100× probe; the q_candidates memoization rule
+    * says pay it once.
+    */
+  private[ext] def minhashVerifiedPairs(spark: SparkSession,
+      d: String): DataFrame =
+    graft.Memo.cached(spark, d, "dedup.minhashVerifiedPairs") {
+      minhashVerifiedPairsWith(spark, d,
+        TextOps.wordShingleHashes(spark, d, 5)) // verify input, 8-byte keys
+        .persist()
+    }
 
   /** The candidate+verify stages with an injectable shingle relation —
     * a bucketed-layout deployment passes
