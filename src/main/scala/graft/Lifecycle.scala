@@ -41,22 +41,88 @@ object Lifecycle {
       SplitCache.cachedPipeline(spark, sfDir, s"$workDir/cache") }
     // candidates come from the MEMOIZED negatives scan — epochs must not
     // re-run the sampler (that is the point of the S2 cache)
-    val cands = negatives
+    runEpochOn(epochRanks(candidatesFrom(splits, negatives), epoch),
+      workDir, epoch)
+  }
+
+  /** The candidate relation an epoch scores: sampled negatives plus the
+    * held-out positives, from the S2-cached splits/negatives tables.
+    */
+  def candidatesFrom(splits: DataFrame, negatives: DataFrame): DataFrame =
+    negatives
       .select(col("user_id"), col("domain"), col("item_id"), lit(0).as("is_positive"))
       .unionAll(splits.select(col("user_id"), col("domain"),
         col("test_item").as("item_id"), lit(1).as("is_positive")))
+
+  /** The epoch loop over a MULTI-EPOCH run: the candidate relation is
+    * loop-invariant (only the scoring salt changes — retraining swaps
+    * weights, not the eval set), so ALL epochs' bounded-digest rank
+    * passes fuse into ONE scan of the S2 cache: every epoch's salted
+    * score is a codegen'd column of one `scores` array, and
+    * `posRanksDigestMultiFrom` builds every epoch's TopBuf digest in
+    * the same partial pass (the r6 fused-build pattern, applied to the
+    * epoch loop). The dominant per-epoch cost at the 100× probe was the
+    * fixed input decode + typed-boundary price of a digest pass
+    * (~24s/epoch, md5 itself ~2s), paid for identical bytes each epoch;
+    * fusing pays it once, and the shuffle stays digest-bounded.
+    *
+    * Probed-and-rejected alternatives at the 100× dir, all epochs
+    * included: per-epoch count-of-beats join — one full candidate-set
+    * shuffle per epoch, 92s+29s+27s; persisting the widened candidates
+    * across the loop — 480M-row cache thrashed the storage tier;
+    * per-user array packing — the epoch pass became an interpreted
+    * higher-order lambda (md5 outside codegen), 50-70s/epoch plus a
+    * 169s collect_list build.
+    *
+    * Metrics still append strictly in epoch order, so the metrics log
+    * is byte-identical to the sequential loop (main_my.py:302-320), and
+    * MetricsSpec's multi ≡ single digest equality plus LifecycleSpec's
+    * end-to-end gate keep the q_lifecycle oracle hash unchanged.
+    * Single-epoch callers keep the one-score digest [[runEpoch]] path.
+    */
+  def runEpochs(spark: SparkSession, sfDir: String, workDir: String,
+      epochs: Seq[Int]): Unit = {
+    val (splits, negatives, _) = timed("cachedPipeline") {
+      SplitCache.cachedPipeline(spark, sfDir, s"$workDir/cache") }
+    val ranksAll = timed("fused digest ranks") {
+      val r = graft.rank.Metrics.posRanksDigestMultiFrom(
+        epochScores(candidatesFrom(splits, negatives), epochs), kMax = 10)
+        .persist()
+      r.count() // materialize under the timer (the relation is ~|users|·|epochs| rows)
+      r
+    }
+    try epochs.zipWithIndex.foreach { case (e, i) =>
+      runEpochOn(ranksAll.filter(col("eix") === i).drop("eix"), workDir, e)
+    } finally ranksAll.unpersist(blocking = false)
+  }
+
+  /** Candidates widened with one salted score PER EPOCH as a `scores`
+    * array — the input [[runEpochs]] feeds the fused multi-digest pass.
+    */
+  def epochScores(cands: DataFrame, epochs: Seq[Int]): DataFrame =
+    cands.select(col("user_id"), col("domain"), col("item_id"),
+      col("is_positive"),
+      array(epochs.map(e =>
+        Hashing.h60(col("user_id"), col("item_id"), col("domain"),
+          lit(s"epoch$e")) % 1000000L): _*).as("scores"))
+
+  /** The positive's rank per (user, domain) via the bounded TopBuf
+    * digest (≤⅓ shuffle bytes — DigestShuffleSpec; rn=0 means below
+    * kMax, which every @K≤kMax metric treats as out of range). The
+    * single-epoch [[runEpoch]] path; MetricsSpec proves the fused
+    * multi-epoch digest agrees with it per epoch.
+    */
+  def epochRanks(cands: DataFrame, epoch: Int): DataFrame = {
     val scored = cands
-      .select(col("user_id"), col("domain"), col("item_id"), col("is_positive"),
+      .select(col("user_id"), col("domain"), col("item_id"),
+        col("is_positive"),
         (Hashing.h60(col("user_id"), col("item_id"), col("domain"),
           lit(s"epoch$epoch")) % 1000000L).as("score"))
-    // digest ranks, not the row_number window: the epoch loop pays this
-    // pass EPOCHS times over the full candidate set, and at the 100×
-    // probe the 3 windows were 55% of q_lifecycle's wall clock. The
-    // TopBuf digest shuffles a bounded ≤kMax-rows-per-(user,domain)
-    // partial instead of every scored row (≤⅓ the bytes —
-    // DigestShuffleSpec), and MetricsSpec proves it rank-identical, so
-    // the metric rows — and the q_lifecycle oracle hash — are unchanged.
-    val ranks = graft.rank.Metrics.posRanksDigestFrom(scored, kMax = 10)
+    graft.rank.Metrics.posRanksDigestFrom(scored, kMax = 10)
+  }
+
+  private def runEpochOn(ranks: DataFrame, workDir: String,
+      epoch: Int): DataFrame = {
     val metrics = graft.rank.Metrics
       .rankingMetricsFromRanks(ranks, Seq(5, 10))
       .withColumn("epoch", lit(epoch))
@@ -216,7 +282,7 @@ object Lifecycle {
       import spark.implicits._
       val workDir = java.nio.file.Files.createTempDirectory("graft_lifecycle")
       val wd = workDir.toString
-      (1 to EPOCHS).foreach(e => runEpoch(spark, d, wd, e))
+      runEpochs(spark, d, wd, 1 to EPOCHS)
       // S3: checkpoint each k=10 winner, then score from the RELOADED
       // bytes. Weights for an epoch are identical across (domain, metric)
       // checkpoints, so one scoring pass per distinct winning epoch.
@@ -224,11 +290,23 @@ object Lifecycle {
       val users = Tables.orders(spark, d).filter(expr(eckUserSlice))
         .select(col("o_custkey").as("user_id")).distinct()
       val byEpoch: Map[Int, Long] = timed("reloadScore") {
-        ckpts.values.toSeq.groupBy(_._1)
-          .map { case (e, ps) =>
+        // one scoring pass per DISTINCT winning epoch, submitted
+        // concurrently — the jobs are independent reload→score→sum
+        // chains, so they share the cluster instead of queueing (same
+        // pattern as checkpointBest's six saves)
+        import scala.concurrent.{Await, ExecutionContext, Future}
+        import scala.concurrent.duration.Duration
+        val distinct = ckpts.values.toSeq.groupBy(_._1).toSeq
+        val pool = java.util.concurrent.Executors.newFixedThreadPool(
+          math.max(1, math.min(EPOCHS, distinct.length)))
+        implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+        try distinct.map { case (e, ps) =>
+          Future {
             e -> scoreFromCheckpoint(spark, ps.head._2, users)
               .agg(sum(round(col("score") * 1e6, 0).cast("long"))).as[Long].head()
           }
+        }.map(Await.result(_, Duration.Inf)).toMap
+        finally pool.shutdown()
       }
       val best = timed("bestEpochs collect") { bestEpochs(spark, wd).collect() }.map { r =>
         val k = r.getAs[Int]("k"); val e = r.getAs[Int]("epoch")

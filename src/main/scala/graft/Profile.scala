@@ -56,6 +56,18 @@ object Profile {
           bandBits = bits.toInt, numBands = 2))
       case s"dev:ivf$k" if k.matches("\\d+") =>
         time(s"dev:ivf$k", ext.IvfQueries.ivfTopK(spark, sfDir, k = k.toInt))
+      // past-ceiling twins of the three embedding-exact operators:
+      // maxBroadcast=0 forces the LSH-banded candidate branch a 100 TB
+      // corpus would take, so its cost is measurable on the scale dirs
+      case "dev:embed_pc" =>
+        time("dev:embed_pc",
+          ext.SimilarityQueries.embedNearDup(spark, sfDir, maxBroadcast = 0))
+      case "dev:hardneg_pc" =>
+        time("dev:hardneg_pc",
+          ext.SimilarityQueries.hardNegatives(spark, sfDir, maxBroadcast = 0))
+      case "dev:decontam_pc" =>
+        time("dev:decontam_pc",
+          ext.SimilarityQueries.semanticDecontam(spark, sfDir, maxBroadcast = 0))
       // ngram-dedup stage probes: shingle hashing alone, then the
       // bucket/candidate stage alone (collect_list buckets + pair explode)
       case "dev:ngram_sh" =>

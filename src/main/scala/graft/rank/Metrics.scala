@@ -182,6 +182,75 @@ object Metrics {
       .toDF("user_id", "domain", "rn")
   }
 
+  /** [[posRanksDigestFrom]] for SEVERAL score variants over one scan:
+    * `scored` carries a `scores` ARRAY column (one salted score per
+    * variant — the lifecycle's epochs), and every variant's bounded
+    * TopBuf digest builds in the SAME partial pass. The expensive part
+    * of a digest pass at scale is the input decode plus the typed
+    * Dataset boundary, not the rank arithmetic (100× probe: ~24s/epoch,
+    * of which md5 is ~2s), so an EPOCHS-pass loop pays that fixed cost
+    * EPOCHS times for identical bytes; this pays it once. The shuffle
+    * stays digest-bounded (≤kMax rows per (user, domain) per variant).
+    * Output: (user_id, domain, eix = index into `scores`, rn) with the
+    * exact [[posRanksDigestFrom]] semantics per variant (rn=0 = below
+    * kMax); MetricsSpec proves per-variant equality with the
+    * single-score form.
+    */
+  def posRanksDigestMultiFrom(scored: DataFrame, kMax: Int): DataFrame = {
+    val spark = scored.sparkSession
+    import spark.implicits._
+    val parts = scored
+      .select(col("user_id"), col("domain"), col("item_id"),
+        col("is_positive"), col("scores"))
+      .as[(Long, String, Long, Int, Array[Long])]
+      .mapPartitions { it =>
+        // hot loop: the map key is (user_id << 8 | domainIdx) in a
+        // primitive LongMap — no per-row Tuple2/boxed-Long allocation.
+        // Domains are a tiny enum (the engine's are 'x'/'y'); the 256
+        // guard fails loudly rather than silently colliding key space.
+        val domIdx = new java.util.HashMap[String, Integer]
+        val doms = scala.collection.mutable.ArrayBuffer.empty[String]
+        val m = scala.collection.mutable.LongMap.empty[Array[TopBuf]]
+        it.foreach { case (u, dom, i, p, ss) =>
+          var di = domIdx.get(dom)
+          if (di == null) {
+            require(doms.length < 256, "digest pass supports < 256 domains")
+            di = Integer.valueOf(doms.length); domIdx.put(dom, di); doms += dom
+          }
+          val key = (u << 8) | di.intValue()
+          var bufs = m.getOrNull(key)
+          if (bufs == null) {
+            // checked once per new group, not per row
+            require(u >= 0 && u < (1L << 55),
+              s"digest pass packs user ids below 2^55, got $u")
+            bufs = Array.fill(ss.length)(new TopBuf(kMax))
+            m.update(key, bufs)
+          }
+          var e = 0
+          while (e < ss.length) { bufs(e).insert(ss(e), i, p == 1); e += 1 }
+        }
+        m.iterator.flatMap { case (key, bufs) =>
+          val u = key >> 8; val dom = doms((key & 0xff).toInt)
+          bufs.iterator.zipWithIndex.map { case (b, e) =>
+            (u, dom, e,
+              b.scores.take(b.n), b.items.take(b.n), b.pos.take(b.n))
+          }
+        }
+      }
+    parts
+      .groupByKey { case (u, dom, e, _, _, _) => (u, dom, e) }
+      .mapGroups { (key: (Long, String, Int),
+          it: Iterator[(Long, String, Int, Array[Long], Array[Long], Array[Boolean])]) =>
+        val b = new TopBuf(kMax)
+        it.foreach { case (_, _, _, ss, ii, pp) =>
+          var j = 0
+          while (j < ss.length) { b.insert(ss(j), ii(j), pp(j)); j += 1 }
+        }
+        (key._1, key._2, key._3, b.rank)
+      }
+      .toDF("user_id", "domain", "eix", "rn")
+  }
+
   /** HR/NDCG/MRR@K from a positive-rank relation (user_id, domain, rn) —
     * the metric tail shared by [[posRanksJoin]], [[posRanksDigest]], and
     * the per-epoch lifecycle loop. rn = 0 means the positive ranked

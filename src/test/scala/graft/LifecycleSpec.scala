@@ -35,6 +35,28 @@ class LifecycleSpec extends SparkSpec {
       assert(b.getAs[Double]("value") == slice.map(_.getAs[Double](col)).max)
     }
 
+    // the fused multi-epoch digest (the [[runEpochs]] loop — every
+    // epoch's TopBuf built in one scan) must reproduce the single-epoch
+    // digest ranks EXACTLY, per epoch — this is what keeps the
+    // q_lifecycle oracle hash invariant across the two forms
+    val (sp, ng, _) = etl.SplitCache.cachedPipeline(spark, sf(), s"$workDir/cache")
+    val cands = Lifecycle.candidatesFrom(sp, ng)
+    val epochs = Seq(1, 2, 3)
+    val multi = rank.Metrics.posRanksDigestMultiFrom(
+      Lifecycle.epochScores(cands, epochs), kMax = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)) -> r.getInt(3))
+      .toMap
+    assert(multi.nonEmpty)
+    epochs.zipWithIndex.foreach { case (e, i) =>
+      val single = Lifecycle.epochRanks(cands, e)
+        .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getInt(2)).toMap
+      assert(single.keySet.map { case (u, d) => (u, d, i) } ==
+        multi.keySet.filter(_._3 == i))
+      single.foreach { case ((u, d), rn) =>
+        assert(multi((u, d, i)) == rn, s"($u,$d) e$e: multi vs single")
+      }
+    }
+
     // S3 persist + reload: six checkpoints (domain × metric at K=10),
     // each reproducing its selected epoch's scores from RELOADED weights
     val ckpts = Lifecycle.checkpointBest(spark, workDir)
