@@ -30,7 +30,13 @@ object Bench {
     val loadStart = osBean.getSystemLoadAverage
     var errors = List.empty[String]
     var evictions = 0
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // dev-only exclusion for stress runs (the driver never sets it):
+    // lets a skewed-data suite run the queries whose OUTPUT stays
+    // well-posed under the skew, skipping ones that are output-quadratic
+    // in a hot key BY SEMANTICS (see SCALING.md on q_stream_join @ zipf)
+    val skip: Set[String] = sys.env.get("SPARK_GRAFT_SKIP")
+      .map(_.split(",").toSet).getOrElse(Set.empty)
+    val results = SparkEntry.queries.filterNot(q => skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>

@@ -56,6 +56,34 @@ object Profile {
           bandBits = bits.toInt, numBands = 2))
       case s"dev:ivf$k" if k.matches("\\d+") =>
         time(s"dev:ivf$k", ext.IvfQueries.ivfTopK(spark, sfDir, k = k.toInt))
+      // cooc pair-kernel probe: explicit repartition on the pair key
+      // before the count agg — skips the futile map-side combine over
+      // ~ΣC(d,2) mostly-unique keys (complete-mode agg after exchange)
+      case "dev:cooc_repart" =>
+        import org.apache.spark.sql.functions._
+        val i = etl.Interactions.cached(spark, sfDir)
+          .filter(col("domain") === "x").select("user_id", "item_id")
+        val keep = i.groupBy("item_id").agg(count(lit(1)).as("n"))
+          .filter(col("n") >= 3).select("item_id")
+        val pruned = i.join(keep, Seq("item_id"), "left_semi")
+        val lists = pruned
+          .groupBy("user_id")
+          .agg(collect_list(struct(
+            graft.Hashing.h60(col("item_id"), lit("cooc")).as("h"),
+            col("item_id").as("it"))).as("hs"))
+          .withColumn("items", expr(
+            "array_sort(transform(slice(array_sort(hs), 1, 500), s -> s.it))"))
+          .filter(size(col("items")) >= 2)
+        time("dev:cooc_repart", lists
+          .select(explode(expr(
+            """flatten(transform(items, (x, ix) ->
+              |  transform(slice(items, ix + 2, size(items) - ix - 1),
+              |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
+            .as("p"))
+          .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
+          .repartition(col("item_a"), col("item_b"))
+          .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
+          .filter(col("c_ab") >= 3))
       // past-ceiling twins of the three embedding-exact operators:
       // maxBroadcast=0 forces the LSH-banded candidate branch a 100 TB
       // corpus would take, so its cost is measurable on the scale dirs

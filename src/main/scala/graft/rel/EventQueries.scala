@@ -33,6 +33,35 @@ object EventQueries {
   private def floorDiv(c: String, w: Long): String =
     s"(($c - pmod($c, ${w}L)) DIV ${w}L)"
 
+  /** Per-user candidate bound for the capped interval join
+    * (q_events_join_capped): only each user's `ActCap` most-recent
+    * clicks (by (ts, event_id) desc — deterministic, oracle-replayable)
+    * participate as join candidates, bounding the join intermediate at
+    * |errors|·ActCap rows regardless of key skew. The registered value
+    * is deliberately small enough to BITE at the correctness-gate scale
+    * (sf0.01 tops out at ~22 clicks/user), so the oracle hash actually
+    * exercises the capped path; a production deployment dials it to its
+    * own per-entity activity percentile the way [[graft.ext.AssocQueries]]
+    * justifies DEG_CAP.
+    */
+  val ActCap = 16
+
+  /** The capped click-candidate relation: rank filter over a
+    * user-partitioned (ts, event_id) desc order. `row_number <= K`
+    * rewrites to WindowGroupLimit — partial per-partition top-K before
+    * the user_id exchange, O(K) state per user, so a zipf hot user's
+    * full click history is never materialized (PlanSpec asserts the
+    * node). Exposed for the spec's hot-user invariants.
+    */
+  private[rel] def cappedClicks(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("event_id").as("click_id"),
+        unix_micros(col("ts")).as("c_us"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("user_id"))
+          .orderBy(col("c_us").desc, col("click_id").desc)))
+      .filter(col("rn") <= ActCap).drop("rn")
+
   /** Stage list for q_events_funnel_n (4 stages exercises the general
     * path beyond the fixed 3-stage chain). Declared before `defs`, which
     * captures it at object init.
@@ -333,6 +362,62 @@ object EventQueries {
       val clicks = ev.filter(col("event_type") === "click")
         .select(col("user_id"), col("event_id").as("click_id"),
           unix_micros(col("ts")).as("c_us"))
+        .withColumn("bin", expr(floorDiv("c_us", winUs)))
+      val probes = errors.withColumn("bin",
+        explode(array(expr(floorDiv("e_us", winUs)),
+          expr(floorDiv("e_us", winUs)) + 1)))
+      val matches = probes.join(clicks, Seq("user_id", "bin"))
+        .filter(col("c_us") >= col("e_us") && col("c_us") < col("e_us") + winUs)
+        .groupBy("error_id")
+        .agg(count(lit(1)).as("n_clicks"),
+          min(col("c_us") - col("e_us")).as("min_gap_us"))
+      errors.select("error_id", "user_id")
+        .join(matches, Seq("error_id"), "left")
+        .select(col("error_id"), col("user_id"),
+          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"), col("min_gap_us"))
+        .orderBy("error_id")
+    },
+
+    // ---- activity-capped interval join: the skew-safe formulation of
+    //      q_events_range_join. A per-entity interval join's OUTPUT is
+    //      Θ(errors_u × in-window clicks_u) per user — on a power-law
+    //      entity holding 20% of all events the query semantics
+    //      themselves are quadratic and NO engine escapes Ω(output)
+    //      (measured: the uncapped form never terminates on the zipf
+    //      100× tables, see SCALING.md). The production fix is a bound
+    //      on per-entity state, exactly like a streaming state store's
+    //      TTL/max-entries: only each user's [[ActCap]] most-recent
+    //      clicks participate as join candidates. Every error still
+    //      emits its output row (the probe side is the aggregate key —
+    //      one row per error, linear by construction); the join
+    //      intermediate is ≤ |errors|·ActCap rows, linear at any skew.
+    //      The rank filter plans as WindowGroupLimit (partial per-
+    //      partition top-K BEFORE the user shuffle, O(K) state per
+    //      user — PlanSpec asserts it), so the hot user never even
+    //      materializes its full click list. The oracle replays the
+    //      identical cap via QUALIFY row_number().
+    "q_events_join_capped" -> QueryDef(
+      s"""WITH e AS (
+        |  SELECT event_id AS error_id, user_id, ts FROM events
+        |  WHERE event_type = 'error'
+        |), c AS (
+        |  SELECT user_id, event_id, ts FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) <= $ActCap
+        |)
+        |SELECT e.error_id, e.user_id,
+        |       COUNT(c.event_id) AS n_clicks,
+        |       MIN(epoch_us(c.ts) - epoch_us(e.ts)) AS min_gap_us
+        |FROM e LEFT JOIN c ON c.user_id = e.user_id
+        |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 24 HOURS
+        |GROUP BY e.error_id, e.user_id
+        |ORDER BY error_id""".stripMargin) { (spark, d) =>
+      val winUs = 24L * 3600 * 1000000
+      val ev = Tables.events(spark, d)
+      val errors = ev.filter(col("event_type") === "error")
+        .select(col("event_id").as("error_id"), col("user_id"),
+          unix_micros(col("ts")).as("e_us"))
+      val clicks = cappedClicks(ev)
         .withColumn("bin", expr(floorDiv("c_us", winUs)))
       val probes = errors.withColumn("bin",
         explode(array(expr(floorDiv("e_us", winUs)),

@@ -116,6 +116,18 @@ class PlanSpec extends SparkSpec {
       s"as-of join grew extra shuffles:\n$p")
   }
 
+  test("capped interval join bounds per-user state before the shuffle") {
+    // the click-side rank filter must rewrite to WindowGroupLimit
+    // (partial per-partition top-K before the user exchange) — without
+    // it a zipf hot user's full click history materializes in one task,
+    // which is the exact cliff this query exists to remove
+    val p = plan("q_events_join_capped")
+    assert(p.contains("WindowGroupLimit"),
+      s"click cap did not rewrite to WindowGroupLimit:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("NestedLoop"),
+      s"capped join must stay an equi-join on (user, bin):\n$p")
+  }
+
   test("cap sampler plans a WindowGroupLimit, not a full stratum sort") {
     // row_number <= K must trigger the group-limit rewrite: partial
     // per-partition top-K before the shuffle, O(K) state per stratum
