@@ -90,15 +90,27 @@ object DimQueries {
 
     // ---- point-in-time lookup against the SCD2 dimension (the join
     //      q_scd2's intervals exist to serve): attribute every purchase
-    //      event to the user-state version active at its timestamp —
-    //      user_id equi-join + half-open interval predicate
-    //      [valid_from, valid_to). 100 TB: BOTH sides shuffle once on
-    //      user_id (SortMergeJoin with the range as a residual — never
-    //      a broadcast-nested-loop; versions-per-user is small so the
-    //      per-key cross is bounded); revenue stays DECIMAL to the one
-    //      rounded cast. The dimension tracks the NON-purchase stream
-    //      (a purchase would otherwise open its own interval and every
-    //      lookup would self-attribute) ----
+    //      event to the user-state version active at its timestamp.
+    //      Each purchase matches EXACTLY ONE half-open interval
+    //      [valid_from, valid_to), so the relational equi-join + range
+    //      residual (r8 shape) pays a Θ(purchases_u · versions_u)
+    //      intermediate for a 1-row answer — on the zipf 100× tables
+    //      the hot user made that one SMJ task run 208s single-threaded.
+    //      The r9 shape is the as-of merge (same pattern as
+    //      q_events_asof): ONE user_id shuffle over the unioned stream,
+    //      carry the prevailing non-purchase state forward with an
+    //      ignoreNulls window (non-purchases sort before purchases at
+    //      equal ts, matching p.ts >= valid_from; the LAST change at a
+    //      tied ts wins, matching the empty [t,t) interval), then one
+    //      hash aggregate. Linear per key at any skew; purchases before
+    //      any state (NULL carry) drop exactly like the inner join
+    //      dropped them. Revenue stays DECIMAL to the one rounded cast.
+    //      The dimension tracks the NON-purchase stream (a purchase
+    //      would otherwise open its own interval and every lookup would
+    //      self-attribute); consecutive same-type events collapse into
+    //      one interval, which the carry-forward reproduces for free —
+    //      the prevailing type IS the deduped interval's state. Oracle
+    //      keeps the independent interval-join plan ----
     "q_scd2_lookup" -> QueryDef(
       """WITH ordered AS (
         |  SELECT user_id, event_type, ts, event_id,
@@ -124,24 +136,21 @@ object DimQueries {
         |WHERE p.event_type = 'purchase'
         |GROUP BY d.state
         |ORDER BY d.state""".stripMargin) { (spark, d) =>
-      val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
-      val dim = Tables.events(spark, d)
-        .filter(col("event_type") =!= "purchase")
-        .withColumn("prev_type", lag(col("event_type"), 1).over(byUser))
-        .filter(col("prev_type").isNull || col("prev_type") =!= col("event_type"))
-        .select(col("user_id"), col("event_type").as("state"),
-          col("ts").as("valid_from"),
-          lead(col("ts"), 1).over(byUser).as("valid_to"))
-      val purchases = Tables.events(spark, d)
-        .filter(col("event_type") === "purchase")
-        .select(col("user_id"), col("ts"), col("value"))
-      purchases.join(dim,
-          purchases("user_id") === dim("user_id") &&
-            col("ts") >= col("valid_from") &&
-            (col("valid_to").isNull || col("ts") < col("valid_to")))
+      val isP = col("event_type") === "purchase"
+      // non-purchases first at a tied ts (change at t owns [t, ...)),
+      // event_id last so the latest tied change wins the carry-forward
+      val merge = Window.partitionBy("user_id")
+        .orderBy(col("ts"), isP.cast("int"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      Tables.events(spark, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          col("event_type"), col("value"))
+        .withColumn("state",
+          last(when(!isP, col("event_type")), ignoreNulls = true).over(merge))
+        .filter(isP && col("state").isNotNull)
         .groupBy("state")
         .agg(count(lit(1)).as("n_purchases"),
-          countDistinct(purchases("user_id")).as("n_users"),
+          countDistinct(col("user_id")).as("n_users"),
           round(sum(dec(col("value"))), 2).cast("double").as("total_value"))
         .orderBy("state")
     },

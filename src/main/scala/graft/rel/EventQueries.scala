@@ -440,7 +440,11 @@ object EventQueries {
     //      campaign id), with LAST-TOUCH attribution emitted beside it
     //      (the two standard models, comparable per campaign) and a
     //      campaign −1 bucket for unattributed purchases so value is
-    //      conserved. Plan: the q_events_range_join bin-bucket shape
+    //      conserved. Clicks are state-bounded at [[ActCap]] per user
+    //      (r9, oracle-replayed): the match relation is otherwise
+    //      Θ(purchases·clicks) per hot user — semantically quadratic on
+    //      power-law entities, like the uncapped interval join.
+    //      Plan: the q_events_range_join bin-bucket shape
     //      (bin = window width — each click lands in ONE (user, bin)
     //      bucket, each purchase probes TWO); per-purchase credit is
     //      fixed-pointed ONCE via a non-negative integer floor division
@@ -449,14 +453,16 @@ object EventQueries {
     //      an order-dependent float accumulation. Last-touch pick =
     //      min_by on (−c_us, click_id): deterministic tiebreak ----
     "q_attribution" -> QueryDef(
-      """WITH p AS (
+      s"""WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
         |    CAST(round(value * 1000) AS BIGINT) AS v_m
         |  FROM events WHERE event_type = 'purchase'
         |), c AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us,
-        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS campaign
+        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) % 4 AS campaign
         |  FROM events WHERE event_type = 'click'
+        |  QUALIFY row_number() OVER (PARTITION BY user_id
+        |                             ORDER BY ts DESC, event_id DESC) <= $ActCap
         |), m AS (
         |  SELECT p.purchase_id, p.v_m, c.campaign, c.c_us, c.click_id
         |  FROM p JOIN c ON c.user_id = p.user_id
@@ -505,6 +511,16 @@ object EventQueries {
           unix_micros(col("ts")).as("c_us"),
           (get_json_object(col("props"), "$.k").cast("long") % 4)
             .as("campaign"))
+        // same ActCap state bound as q_events_join_capped — without it
+        // the match relation is Θ(purchases·clicks) per hot user: the
+        // zipf 100× suite measured the uncapped form spilling until the
+        // disk filled (purchases never capped; conservation unchanged —
+        // a purchase whose window clicks were all dropped lands in the
+        // campaign −1 bucket like any other unattributed purchase)
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("user_id"))
+            .orderBy(col("c_us").desc, col("click_id").desc)))
+        .filter(col("rn") <= ActCap).drop("rn")
         .withColumn("bin", expr(floorDiv("c_us", winUs)))
       val probes = p.withColumn("bin",
         explode(array(expr(floorDiv("p_us", winUs)) - 1,

@@ -38,11 +38,23 @@ object TemporalQueries {
 
     // ---- q_trailing_24h: per event, the user's event count and exact
     //      DECIMAL value sum over the PRECEDING 24h (inclusive) — a
-    //      RANGE frame ordered by event time. 100 TB: ONE user_id
-    //      shuffle; frame state is the trailing multiset (bounded by
-    //      per-user 24h volume), never the partition. ROWS vs RANGE
-    //      matters: bursty users have many rows per instant and sparse
-    //      users have none — only the value-distance frame is correct ----
+    //      RANGE frame ordered by event time. ROWS vs RANGE matters:
+    //      bursty users have many rows per instant and sparse users
+    //      have none — only the value-distance frame is correct.
+    //      100 TB: a per-user window caps parallelism at the KEY axis —
+    //      on the zipf 100× tables the hot user (20% of all events) made
+    //      the whole query one 73s single-threaded sort task. The r9
+    //      shape partitions by (user, 24h-chunk) instead, with each
+    //      event replicated once into the NEXT chunk as frame context
+    //      (chunk width = window width, the q_events_range_join bin
+    //      rule): every event's trailing frame lives entirely in its own
+    //      chunk's partition — chunk-c real rows plus chunk-(c−1)
+    //      replicas, each original event exactly once (a replica can
+    //      never tie a real row: its ts is strictly below the chunk
+    //      boundary, so RANGE peer semantics are preserved) — and the
+    //      hot user's timeline parallelizes across days. Context rows
+    //      feed frames but are filtered from output. 2× rows through
+    //      the exchange buys per-(key × time) parallelism ----
     "q_trailing_24h" -> QueryDef(
       """SELECT event_id, user_id,
         |  COUNT(*) OVER w AS n_24h,
@@ -52,18 +64,23 @@ object TemporalQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts
         |  RANGE BETWEEN INTERVAL 24 HOURS PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin) { (spark, d) =>
-      val w = Window.partitionBy("user_id").orderBy(unix_micros(col("ts")))
+      val binExpr = s"((us - pmod(us, ${TrailUs}L)) DIV ${TrailUs}L)"
+      val w = Window.partitionBy("user_id", "chunk").orderBy(col("us"))
         .rangeBetween(-TrailUs, Window.currentRow)
       Tables.events(spark, d)
-        .select(col("event_id"), col("user_id"), col("ts"), col("value"))
         .select(col("event_id"), col("user_id"),
+          unix_micros(col("ts")).as("us"), col("value"))
+        .withColumn("own", expr(binExpr))
+        .withColumn("chunk", explode(array(col("own"), col("own") + 1)))
+        .select(col("event_id"), col("user_id"), col("own"), col("chunk"),
           count(lit(1)).over(w).as("n_24h"),
           round(sum(col("value").cast(M)).over(w), 2).cast("double").as("sum_24h"))
-        // row-neutral (the frame always contains its own row) but NOT
-        // foldable: without a consumer of a window column, a bare
-        // count() action prunes the whole Window node and the bench
-        // measures only the scan (0.25s for 3M rows at 30×)
-        .filter(col("n_24h") >= 1)
+        // keep only each event's own-chunk row (replicas are context);
+        // also row-neutral-but-not-foldable: without a consumer of a
+        // window column a bare count() action would prune the Window
+        // node and the bench would measure only the scan
+        .filter(col("chunk") === col("own") && col("n_24h") >= 1)
+        .select("event_id", "user_id", "n_24h", "sum_24h")
         .orderBy("event_id")
     },
 

@@ -42,13 +42,15 @@ class TemporalSpec extends SparkSpec {
     out.unpersist()
   }
 
-  test("q_trailing_24h plans one user shuffle and a RANGE window") {
+  test("q_trailing_24h plans one (user, chunk) shuffle and a RANGE window") {
     spark.catalog.clearCache()
     val p = SparkEntry.defs("q_trailing_24h").build(spark, sf())
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(p.contains("RangeFrame"), s"window must be a RANGE frame:\n$p")
-    // user_id hash exchange + output-order range exchange only
+    // (user_id, chunk) hash exchange + output-order range exchange only —
+    // the chunked key is the hot-user parallelism axis (see the builder)
     assert("""\(\d+\) Exchange""".r.findAllIn(p).size == 2, p)
+    assert(p.contains("chunk"), "window must partition by the 24h chunk")
   }
 
   test("q_retention: day-0 retention is 1.0 and ratios never exceed it") {
