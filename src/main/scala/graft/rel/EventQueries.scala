@@ -332,14 +332,29 @@ object EventQueries {
         .orderBy("purchase_id")
     },
 
-    // ---- range (interval) join: clicks within 24h AFTER each error,
-    //      per user. A naive time-range join is quadratic per hot user;
-    //      the scale shape is bin-bucketing with bin width = window
-    //      width: each click lands in exactly ONE (user, bin) bucket and
-    //      each error probes exactly TWO (its bin + the next), so the
-    //      equi-join fan-out is bounded by per-user-per-day volume and
-    //      the exact range predicate only filters within buckets. The
-    //      oracle runs the same contract as a plain inequality join.
+    // ---- range (interval) join AGGREGATE: per error, the count of
+    //      clicks within the following 24h and the gap to the first one.
+    //      The r8 shape bin-bucketed the pair join (bin = window width),
+    //      which bounds fan-out by per-user-per-DAY volume — but the
+    //      joined intermediate is still Θ(errors_u × in-window clicks_u)
+    //      per user, and on the zipf 100× tables (hot user = 20% of all
+    //      events) that is ~10¹⁰ rows: the suite run never terminated.
+    //      Because the OUTPUT is one aggregated row per error, the pair
+    //      relation never needs to exist: the r9 shape is a sweep-line
+    //      over the merged per-user stream. Each error injects three
+    //      zero-weight probe rows — lo at t−1, hi at t+24h−1, at at t —
+    //      and two incremental window passes answer everything:
+    //        asc  RANGE(unbounded→current) running click count  →
+    //             n_clicks = cum(hi) − cum(lo)  (cum-difference; RANGE
+    //             peer semantics make both window bounds inclusive-exact
+    //             on integer µs);
+    //        desc RANGE(unbounded→current) running min click-µs →
+    //             first click ≥ t, valid when < t+24h.
+    //      Unbounded-preceding frames are add-only (no frame recompute),
+    //      so cost is one user_id exchange + two per-partition sorts +
+    //      a linear scan — linear per key at ANY skew, vs Ω(pairs) for
+    //      every join formulation. The oracle keeps the plain inequality
+    //      join, so the gate proves sweep ≡ join row-for-row.
     "q_events_range_join" -> QueryDef(
       """WITH e AS (
         |  SELECT event_id AS error_id, user_id, ts FROM events
@@ -354,27 +369,41 @@ object EventQueries {
         |  AND c.ts >= e.ts AND c.ts < e.ts + INTERVAL 24 HOURS
         |GROUP BY e.error_id, e.user_id
         |ORDER BY error_id""".stripMargin) { (spark, d) =>
-      val winUs = 24L * 3600 * 1000000 // window = bin width, in microseconds
+      val winUs = 24L * 3600 * 1000000
       val ev = Tables.events(spark, d)
-      val errors = ev.filter(col("event_type") === "error")
-        .select(col("event_id").as("error_id"), col("user_id"),
-          unix_micros(col("ts")).as("e_us"))
       val clicks = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          unix_micros(col("ts")).as("c_us"))
-        .withColumn("bin", expr(floorDiv("c_us", winUs)))
-      val probes = errors.withColumn("bin",
-        explode(array(expr(floorDiv("e_us", winUs)),
-          expr(floorDiv("e_us", winUs)) + 1)))
-      val matches = probes.join(clicks, Seq("user_id", "bin"))
-        .filter(col("c_us") >= col("e_us") && col("c_us") < col("e_us") + winUs)
-        .groupBy("error_id")
-        .agg(count(lit(1)).as("n_clicks"),
-          min(col("c_us") - col("e_us")).as("min_gap_us"))
-      errors.select("error_id", "user_id")
-        .join(matches, Seq("error_id"), "left")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          lit(1).as("is_click"), lit(null).cast("long").as("error_id"),
+          lit(null).cast("long").as("e_us"), lit(null).cast("string").as("tag"))
+      val probes = ev.filter(col("event_type") === "error")
+        .select(col("user_id"), col("event_id").as("error_id"),
+          unix_micros(col("ts")).as("e_us"))
+        .select(col("user_id"), col("error_id"), col("e_us"),
+          explode(array(
+            struct((col("e_us") - 1).as("us"), lit("lo").as("tag")),
+            struct((col("e_us") + winUs - 1).as("us"), lit("hi").as("tag")),
+            struct(col("e_us").as("us"), lit("at").as("tag")))).as("pr"))
+        .select(col("user_id"), col("pr.us").as("us"), lit(0).as("is_click"),
+          col("error_id"), col("e_us"), col("pr.tag").as("tag"))
+      val asc = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      val desc = Window.partitionBy("user_id").orderBy(col("us").desc)
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      clicks.unionByName(probes)
+        // cum: clicks with us ≤ probe position (peers included by RANGE);
+        // nxt: min click us ≥ probe position (desc direction)
+        .withColumn("cum", sum(col("is_click")).over(asc))
+        .withColumn("nxt",
+          min(when(col("is_click") === 1, col("us"))).over(desc))
+        .filter(col("error_id").isNotNull)
+        .groupBy("error_id", "user_id", "e_us")
+        .agg(max(when(col("tag") === "hi", col("cum"))).as("cum_hi"),
+          max(when(col("tag") === "lo", col("cum"))).as("cum_lo"),
+          max(when(col("tag") === "at", col("nxt"))).as("nxt"))
         .select(col("error_id"), col("user_id"),
-          coalesce(col("n_clicks"), lit(0L)).as("n_clicks"), col("min_gap_us"))
+          (col("cum_hi") - col("cum_lo")).as("n_clicks"),
+          when(col("nxt") < col("e_us") + winUs, col("nxt") - col("e_us"))
+            .as("min_gap_us"))
         .orderBy("error_id")
     },
 
@@ -440,29 +469,36 @@ object EventQueries {
     //      campaign id), with LAST-TOUCH attribution emitted beside it
     //      (the two standard models, comparable per campaign) and a
     //      campaign −1 bucket for unattributed purchases so value is
-    //      conserved. Clicks are state-bounded at [[ActCap]] per user
-    //      (r9, oracle-replayed): the match relation is otherwise
-    //      Θ(purchases·clicks) per hot user — semantically quadratic on
-    //      power-law entities, like the uncapped interval join.
-    //      Plan: the q_events_range_join bin-bucket shape
-    //      (bin = window width — each click lands in ONE (user, bin)
-    //      bucket, each purchase probes TWO); per-purchase credit is
-    //      fixed-pointed ONCE via a non-negative integer floor division
-    //      ((v_m·c_n·1e6) div n — Spark DIV = DuckDB // on non-negative
-    //      operands), so campaign totals are exact BIGINT sums — never
-    //      an order-dependent float accumulation. Last-touch pick =
-    //      min_by on (−c_us, click_id): deterministic tiebreak ----
+    //      conserved. Per-purchase credit is fixed-pointed ONCE via a
+    //      non-negative integer floor division ((v_m·c_n·1e6) div n —
+    //      Spark DIV = DuckDB // on non-negative operands), so campaign
+    //      totals are exact BIGINT sums — never an order-dependent float
+    //      accumulation. Last-touch pick = max on (c_us, −click_id):
+    //      deterministic tiebreak.
+    //      Plan (r9): the match relation is Θ(purchases·clicks) per hot
+    //      user — the r8 bin-bucket join spilled the zipf 100× suite to
+    //      disk-full — but every downstream consumer is a per-purchase
+    //      AGGREGATE of it, so the q_events_range_join sweep-line applies:
+    //      each purchase injects probe rows at p_us−1 (hi) and
+    //      p_us−24h−1 (lo) into the merged per-user click stream, and ONE
+    //      asc window pass computes add-only running counts (total + one
+    //      per campaign — k ∈ {0..3} by construction, props.k is dense
+    //      non-negative) plus a running max(struct(c_us, −click_id,
+    //      campaign)) whose value at the hi probe IS the last-touch click
+    //      (when n > 0 the latest click before p_us is necessarily
+    //      in-window). n and per-campaign touches are cum-differences.
+    //      Linear per key at any skew; the pair relation never exists.
+    //      The oracle keeps the independent join plan, proving
+    //      sweep ≡ join at the gate ----
     "q_attribution" -> QueryDef(
-      s"""WITH p AS (
+      """WITH p AS (
         |  SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS p_us,
         |    CAST(round(value * 1000) AS BIGINT) AS v_m
         |  FROM events WHERE event_type = 'purchase'
         |), c AS (
         |  SELECT user_id, event_id AS click_id, epoch_us(ts) AS c_us,
-        |    CAST(json_extract_string(props, '$$.k') AS BIGINT) % 4 AS campaign
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) % 4 AS campaign
         |  FROM events WHERE event_type = 'click'
-        |  QUALIFY row_number() OVER (PARTITION BY user_id
-        |                             ORDER BY ts DESC, event_id DESC) <= $ActCap
         |), m AS (
         |  SELECT p.purchase_id, p.v_m, c.campaign, c.c_us, c.click_id
         |  FROM p JOIN c ON c.user_id = p.user_id
@@ -502,52 +538,72 @@ object EventQueries {
         |ORDER BY campaign""".stripMargin) { (spark, d) =>
       val winUs = 24L * 3600 * 1000000
       val ev = Tables.events(spark, d)
-      val p = ev.filter(col("event_type") === "purchase")
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_micros(col("ts")).as("us"),
+          lit(1).as("is_click"), col("event_id").as("click_id"),
+          (get_json_object(col("props"), "$.k").cast("long") % 4)
+            .as("campaign"),
+          lit(null).cast("long").as("purchase_id"),
+          lit(null).cast("long").as("p_us"),
+          lit(null).cast("long").as("v_m"),
+          lit(null).cast("string").as("tag"))
+      val probes = ev.filter(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"),
           unix_micros(col("ts")).as("p_us"),
           expr("CAST(round(value * 1000) AS BIGINT)").as("v_m"))
-      val c = ev.filter(col("event_type") === "click")
-        .select(col("user_id"), col("event_id").as("click_id"),
-          unix_micros(col("ts")).as("c_us"),
-          (get_json_object(col("props"), "$.k").cast("long") % 4)
-            .as("campaign"))
-        // same ActCap state bound as q_events_join_capped — without it
-        // the match relation is Θ(purchases·clicks) per hot user: the
-        // zipf 100× suite measured the uncapped form spilling until the
-        // disk filled (purchases never capped; conservation unchanged —
-        // a purchase whose window clicks were all dropped lands in the
-        // campaign −1 bucket like any other unattributed purchase)
-        .withColumn("rn", row_number().over(
-          Window.partitionBy(col("user_id"))
-            .orderBy(col("c_us").desc, col("click_id").desc)))
-        .filter(col("rn") <= ActCap).drop("rn")
-        .withColumn("bin", expr(floorDiv("c_us", winUs)))
-      val probes = p.withColumn("bin",
-        explode(array(expr(floorDiv("p_us", winUs)) - 1,
-          expr(floorDiv("p_us", winUs)))))
-      // four consumers (per-purchase counts, campaign counts, last-touch
-      // window, unattributed anti-join) read the match relation —
-      // materialize it once (bounded: trailing-window pairs, not events)
-      val m = probes.join(c, Seq("user_id", "bin"))
-        .filter(col("c_us") < col("p_us")
-          && col("c_us") >= col("p_us") - winUs)
-        .select("purchase_id", "v_m", "campaign", "c_us", "click_id")
-        .localCheckpoint()
-      val perP = m.groupBy("purchase_id").agg(count(lit(1)).as("n"))
-      val cnt = m.groupBy("purchase_id", "campaign")
-        .agg(min("v_m").as("v_m"), count(lit(1)).as("c_n"))
-      val linear = cnt.join(perP, "purchase_id")
+        .select(col("user_id"), col("purchase_id"), col("p_us"), col("v_m"),
+          explode(array(
+            struct((col("p_us") - 1).as("us"), lit("hi").as("tag")),
+            struct((col("p_us") - winUs - 1).as("us"), lit("lo").as("tag"))))
+            .as("pr"))
+        .select(col("user_id"), col("pr.us").as("us"), lit(0).as("is_click"),
+          lit(null).cast("long").as("click_id"),
+          lit(null).cast("long").as("campaign"),
+          col("purchase_id"), col("p_us"), col("v_m"), col("pr.tag").as("tag"))
+      val asc = Window.partitionBy("user_id").orderBy("us")
+        .rangeBetween(Window.unboundedPreceding, Window.currentRow)
+      def cumK(k: Int) = sum(when(col("is_click") === 1
+        && col("campaign") === k, 1).otherwise(0)).over(asc)
+      // per purchase: n and per-campaign touches as cum-differences,
+      // last-touch click as the hi-probe running max (ties: max c_us
+      // then MIN click_id, via the negated field)
+      val perP = clicks.unionByName(probes)
+        .withColumn("cum", sum(col("is_click")).over(asc))
+        .withColumn("cum0", cumK(0)).withColumn("cum1", cumK(1))
+        .withColumn("cum2", cumK(2)).withColumn("cum3", cumK(3))
+        .withColumn("lastc", max(when(col("is_click") === 1,
+          struct(col("us").as("c_us"), (-col("click_id")).as("neg"),
+            col("campaign").as("campaign")))).over(asc))
+        .filter(col("purchase_id").isNotNull)
+        .groupBy("purchase_id", "p_us", "v_m")
+        .agg(
+          (max(when(col("tag") === "hi", col("cum")))
+            - max(when(col("tag") === "lo", col("cum")))).as("n"),
+          (max(when(col("tag") === "hi", col("cum0")))
+            - max(when(col("tag") === "lo", col("cum0")))).as("n0"),
+          (max(when(col("tag") === "hi", col("cum1")))
+            - max(when(col("tag") === "lo", col("cum1")))).as("n1"),
+          (max(when(col("tag") === "hi", col("cum2")))
+            - max(when(col("tag") === "lo", col("cum2")))).as("n2"),
+          (max(when(col("tag") === "hi", col("cum3")))
+            - max(when(col("tag") === "lo", col("cum3")))).as("n3"),
+          max(when(col("tag") === "hi", col("lastc"))).as("lastc"))
+        .localCheckpoint() // three consumers read the per-purchase relation
+      val attributed = perP.filter(col("n") > 0)
+      val linear = attributed
+        .select(col("v_m"), col("n"), explode(array((0 to 3).map(k =>
+          struct(lit(k.toLong).as("campaign"), col(s"n$k").as("c_n"))): _*))
+          .as("t"))
+        .select(col("v_m"), col("n"), col("t.campaign").as("campaign"),
+          col("t.c_n").as("c_n"))
+        .filter(col("c_n") > 0)
         .groupBy("campaign")
         .agg(sum(expr("(v_m * c_n * 1000000) DIV n")).cast("long").as("cr"),
           sum("c_n").cast("long").as("touches"))
-      val lastT = m
-        .withColumn("rn", row_number().over(
-          org.apache.spark.sql.expressions.Window.partitionBy("purchase_id")
-            .orderBy(col("c_us").desc, col("click_id"))))
-        .filter(col("rn") === 1)
-        .groupBy("campaign").agg(sum("v_m").cast("long").as("lv"))
-      val unattr = p.join(m.select("purchase_id").distinct(),
-          Seq("purchase_id"), "left_anti")
+      val lastT = attributed
+        .groupBy(col("lastc.campaign").as("campaign"))
+        .agg(sum("v_m").cast("long").as("lv"))
+      val unattr = perP.filter(col("n") === 0)
         .agg(sum(col("v_m") * 1000000L).cast("long").as("cr"),
           sum("v_m").cast("long").as("lv"))
         .select(lit(-1L).as("campaign"), lit(0L).as("touches"),

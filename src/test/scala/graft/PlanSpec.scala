@@ -305,12 +305,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), s"threshold join degenerated:\n$p")
   }
 
-  test("attribution plans no cartesian product and one checkpointed match scan") {
+  test("attribution sweeps (no pair join) and shares one checkpointed per-purchase scan") {
+    // the eager localCheckpoint hides the sweep subtree from the final
+    // plan, so assert it in two halves: the pre-checkpoint relation is
+    // the q_events_range_join sweep shape (RANGE windows, join-free —
+    // asserted below on the uncheckpointed twin), and the final plan
+    // must read the checkpointed PER-PURCHASE relation (bounded: one
+    // row per purchase, never the Θ(purchases·clicks) match relation)
+    // from all three consumers without any degenerate join
     val p = plan("q_attribution")
-    assert(!p.contains("CartesianProduct"), s"pair join degenerated:\n$p")
-    // four consumers must read the checkpointed RDD, not rebuild the join
+    assert(!p.contains("CartesianProduct"), s"plan degenerated:\n$p")
     val rddScans = "Scan ExistingRDD".r.findAllIn(p).size
-    assert(rddScans >= 4, s"match relation not shared across consumers:\n$p")
+    assert(rddScans >= 3, s"per-purchase relation not shared:\n$p")
+  }
+
+  test("range-join aggregate plans join-free: sweep windows only") {
+    val p = plan("q_events_range_join")
+    // one row per error from cum-differences over the merged stream —
+    // no join node of any kind may appear (the pair intermediate is
+    // Θ(hot²) on power-law users; see SCALING.md r9)
+    for (bad <- Seq("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+        "CartesianProduct", "BroadcastNestedLoopJoin"))
+      assert(!p.contains(bad), s"$bad in a join-free sweep plan:\n$p")
+    assert(p.contains("Window") && p.contains("RangeFrame"),
+      s"sweep must run as RANGE window frames:\n$p")
   }
 
   test("past-ceiling embedding fallbacks are LSH-banded, never all-pairs") {

@@ -1,0 +1,89 @@
+package graft.rel
+
+import graft.{SparkEntry, SparkSpec}
+import org.apache.spark.sql.functions._
+
+/** Boundary semantics of the r9 sweep-line formulations
+  * (q_events_range_join, q_attribution): the oracle gate proves
+  * sweep ≡ join on the sf0.01 distribution, but microsecond ties at the
+  * exact window bounds are too rare there to be exercised — these
+  * fixtures pin every inclusive/exclusive edge and the deterministic
+  * last-touch tiebreak on hand-built events written through the real
+  * parquet loader path.
+  */
+class SweepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val win = 24L * 3600 * 1000000
+
+  /** Write a synthetic events table (driver schema) and return its dir. */
+  private def fixture(name: String,
+      rows: Seq[(Long, Long, Long, String, Double, String)]): String = {
+    val dir = s"/tmp/graft-sweep-fixture-$name"
+    rows.toDF("event_id", "us", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("us"))).drop("us")
+      .select("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("range-join sweep: window bounds are [t, t+24h) exactly, ties included") {
+    val T = 100L * win
+    val U = 300L * win
+    val d = fixture("range", Seq(
+      // user 1: clicks straddling every bound of error 500's window
+      (1L, T - 1, 1L, "click", 0.0, "{\"k\": 1}"),       // out: < t
+      (2L, T, 1L, "click", 0.0, "{\"k\": 1}"),           // in: == t (tie)
+      (3L, T + win - 1, 1L, "click", 0.0, "{\"k\": 1}"), // in: last µs
+      (4L, T + win, 1L, "click", 0.0, "{\"k\": 1}"),     // out: == t+24h
+      (500L, T, 1L, "error", 0.0, null),
+      // error with no in-window clicks (clicks exist, all outside)
+      (501L, T + 5 * win, 1L, "error", 0.0, null),
+      // user 3: error with no clicks at all on the user
+      (502L, T, 3L, "error", 0.0, null),
+      // user 4: single click at the very last in-window microsecond
+      (5L, U + win - 1, 4L, "click", 0.0, "{\"k\": 2}"),
+      (6L, U - 5, 4L, "click", 0.0, "{\"k\": 2}"),       // out: before t
+      (503L, U, 4L, "error", 0.0, null)))
+    val got = SparkEntry.defs("q_events_range_join").build(spark, d)
+      .collect().map(r => (r.getLong(0),
+        r.getLong(2), if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(got == Seq(
+      (500L, 2L, 0L),        // clicks at t and t+24h−1; gap 0 from the tie
+      (501L, 0L, -1L),       // no in-window click → 0 / NULL
+      (502L, 0L, -1L),       // clickless user → 0 / NULL
+      (503L, 1L, win - 1)),  // the last-µs click alone
+      s"boundary semantics broke: $got")
+  }
+
+  test("attribution sweep: trailing bounds [t−24h, t), last-touch tiebreak by min click_id") {
+    val T = 100L * win
+    val S = T + 10 * win
+    val d = fixture("attr", Seq(
+      // user 1 clicks around purchase 900 at T (window [T−24h, T))
+      (10L, T - win - 1, 1L, "click", 0.0, "{\"k\": 3}"), // out: < t−24h
+      (11L, T - win, 1L, "click", 0.0, "{\"k\": 1}"),     // in: == t−24h
+      (12L, T - 1, 1L, "click", 0.0, "{\"k\": 2}"),       // in: last µs
+      (13L, T, 1L, "click", 0.0, "{\"k\": 3}"),           // out for 900 (== t), in for 901
+      (900L, T, 1L, "purchase", 1.0, null),
+      (901L, T + 10, 1L, "purchase", 2.0, null),
+      // purchase with an empty window → the campaign −1 bucket
+      (902L, T + 2 * win, 1L, "purchase", 4.0, null),
+      // user 2: two clicks at the SAME µs — last-touch must pick min id
+      (20L, S, 2L, "click", 0.0, "{\"k\": 0}"),
+      (21L, S, 2L, "click", 0.0, "{\"k\": 1}"),
+      (903L, S + 1, 2L, "purchase", 8.0, null)))
+    val got = SparkEntry.defs("q_attribution").build(spark, d)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+      .toSeq
+    // campaign 1 carries linear credit (clicks 11, 21) but never wins a
+    // last touch, so the inner join drops it — oracle-parity semantics.
+    assert(got == Seq(
+      (-1L, 0L, 4.0, 4.0),   // purchase 902: unattributed, value conserved
+      (0L, 1L, 4.0, 8.0),    // click 20 beats 21 on min click_id at tied µs
+      (2L, 2L, 1.5, 1.0),    // 900: 0.5 of v=1; 901: 1.0 of v=2; last of 900
+      (3L, 1L, 1.0, 2.0)),   // 901's clicks {12, 13}; 13 (== t of 900) in
+      s"attribution boundary semantics broke: $got")
+  }
+}
