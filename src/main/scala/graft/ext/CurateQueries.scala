@@ -735,5 +735,180 @@ object CurateQueries {
           round(col("theta"), 6).as("theta"),
           round(col("var_red"), 6).as("var_red"))
         .orderBy("variant")
+    },
+
+    // ---- q_curate_pipeline: the END-TO-END corpus curation run — the
+    //      LLM-data flagship beside q_lifecycle's recommender flagship.
+    //      Four stages, each an operator this engine already gates
+    //      individually, composed the way a production pipeline chains
+    //      them, with the DuckDB oracle replaying the ENTIRE chain as
+    //      one CTE graph (so the hash gate proves the composition, not
+    //      just the parts):
+    //        1. exact dedup keep-first over the doubled synthetic crawl
+    //           (q_dedup_exact's input, GLOBAL md5 groups so the stage
+    //           bites at every scale; keeper = min doc_id);
+    //        2. quality gate: exact P80 threshold of the heuristic
+    //           quality score computed over the DEDUP SURVIVORS (the
+    //           gate adapts to the cleaned corpus), keep quality ≥ thr;
+    //        3. decontamination: drop eval docs (doc_id % 10 = 0, the
+    //           q_decontaminate membership rule) and any train survivor
+    //           sharing a word 5-gram h60 shingle with the eval slice;
+    //        4. per-source √n temperature quotas over a 20% budget with
+    //           deterministic h60('curation') selection (the
+    //           q_source_quota integer-exact arithmetic).
+    //      Output: |sources| rows — the per-stage survivor funnel
+    //      (n_raw ≥ n_dedup ≥ n_quality ≥ n_curated ≥ kept), the quota,
+    //      and a kept-set doc_id checksum proving the final SELECTION
+    //      replays cross-engine. 100 TB: every stage is its standalone
+    //      operator's plan (hash-agg dedup, one percentile over 8-byte
+    //      rows, broadcast-gated shingle semi-join, |sources|-row quota
+    //      broadcast + rank window) — the composition adds doc_id
+    //      equi-joins between BIGINT survivor sets and nothing else ----
+    "q_curate_pipeline" -> QueryDef(
+      s"""WITH crawl AS (
+         |  SELECT doc_id, text, source FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 1000000, text, source FROM documents
+         |  WHERE doc_id % 3 = 0
+         |), keep AS (
+         |  SELECT MIN(doc_id) AS doc_id FROM crawl GROUP BY md5(text)
+         |), ${TextQueries.duckQualityCtes},
+         |q1 AS (
+         |  SELECT q.doc_id, q.quality
+         |  FROM quality q JOIN keep k ON k.doc_id = q.doc_id
+         |), thr AS (
+         |  SELECT quantile_cont(quality, 0.8) AS thr FROM q1
+         |), k2 AS (
+         |  SELECT doc_id FROM q1, thr WHERE quality >= thr
+         |), ${TextOps.duckWordShinglesCte(5)},
+         |hsh AS (
+         |  SELECT DISTINCT doc_id, ${Hashing.duckH60("sh")} AS sh FROM shingles
+         |), ev AS (
+         |  SELECT DISTINCT sh FROM hsh WHERE doc_id % 10 = 0
+         |), contam AS (
+         |  SELECT DISTINCT t.doc_id FROM hsh t JOIN ev e ON e.sh = t.sh
+         |  WHERE t.doc_id % 10 <> 0
+         |), k3 AS (
+         |  SELECT doc_id FROM k2
+         |  WHERE doc_id % 10 <> 0
+         |    AND doc_id NOT IN (SELECT doc_id FROM contam)
+         |), src AS (
+         |  SELECT k.doc_id, d.source FROM k3 k
+         |  JOIN documents d ON d.doc_id = k.doc_id
+         |), cnt AS (
+         |  SELECT source, COUNT(*) AS n_curated FROM src GROUP BY source
+         |), tot AS (
+         |  SELECT SUM(n_curated) AS n_total,
+         |    SUM(CAST(round(sqrt(CAST(n_curated AS DOUBLE)) * 1e6) AS BIGINT))
+         |      AS tw
+         |  FROM cnt
+         |), qq AS (
+         |  SELECT source, n_curated,
+         |    CAST(GREATEST((n_total // $QUOTA_BUDGET_DIV)
+         |      * CAST(round(sqrt(CAST(n_curated AS DOUBLE)) * 1e6) AS BIGINT)
+         |      // tw, 1) AS BIGINT) AS quota
+         |  FROM cnt, tot
+         |), ranked AS (
+         |  SELECT s.source, s.doc_id,
+         |    row_number() OVER (PARTITION BY s.source
+         |      ORDER BY ${Hashing.duckH60("s.doc_id", "'curation'")}, s.doc_id)
+         |      AS rn
+         |  FROM src s
+         |), sel AS (
+         |  SELECT q.source, q.n_curated, q.quota,
+         |    CAST(COUNT(CASE WHEN r.rn <= q.quota THEN 1 END) AS BIGINT)
+         |      AS kept,
+         |    CAST(COALESCE(SUM(CASE WHEN r.rn <= q.quota THEN r.doc_id END), 0)
+         |      AS BIGINT) AS checksum
+         |  FROM qq q JOIN ranked r ON r.source = q.source
+         |  GROUP BY q.source, q.n_curated, q.quota
+         |), raw AS (
+         |  SELECT source, COUNT(*) AS n_raw FROM crawl GROUP BY source
+         |), sa AS (
+         |  SELECT d.source, COUNT(*) AS n_dedup FROM keep k
+         |  JOIN documents d ON d.doc_id = k.doc_id GROUP BY d.source
+         |), sb AS (
+         |  SELECT d.source, COUNT(*) AS n_quality FROM k2 k
+         |  JOIN documents d ON d.doc_id = k.doc_id GROUP BY d.source
+         |)
+         |SELECT raw.source, raw.n_raw,
+         |  CAST(COALESCE(sa.n_dedup, 0) AS BIGINT) AS n_dedup,
+         |  CAST(COALESCE(sb.n_quality, 0) AS BIGINT) AS n_quality,
+         |  CAST(COALESCE(sel.n_curated, 0) AS BIGINT) AS n_curated,
+         |  CAST(COALESCE(sel.quota, 0) AS BIGINT) AS quota,
+         |  CAST(COALESCE(sel.kept, 0) AS BIGINT) AS kept,
+         |  CAST(COALESCE(sel.checksum, 0) AS BIGINT) AS checksum,
+         |  round(t.thr, 6) AS threshold
+         |FROM raw
+         |LEFT JOIN sa USING (source)
+         |LEFT JOIN sb USING (source)
+         |LEFT JOIN sel USING (source)
+         |CROSS JOIN thr t
+         |ORDER BY raw.source""".stripMargin) { (spark, d) =>
+      val docs = Tables.documents(spark, d).select("doc_id", "text", "source")
+      val crawl = docs.unionAll(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 1000000).as("doc_id"),
+            col("text"), col("source")))
+      // stage 1: global exact dedup, keeper = min doc_id (originals
+      // always beat their +1e6 replicas, so keepers join `documents`)
+      val keep = crawl
+        .groupBy(md5(encode(col("text"), "UTF-8")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      // stage 2: exact P80 quality threshold over the dedup survivors
+      val q1 = TextQueries.qualityPerDoc(spark, d)
+        .select("doc_id", "quality")
+        .join(keep, "doc_id")
+      val thr = q1.agg(expr("percentile(quality, 0.8D)").as("thr"))
+      val k2 = q1.crossJoin(broadcast(thr))
+        .filter(col("quality") >= col("thr"))
+        .select("doc_id")
+      // stage 3: drop eval docs + shingle-contaminated train survivors
+      val sh = TextOps.wordShingleHashes(spark, d, 5)
+      val ev = sh.filter(col("doc_id") % 10 === 0).select("sh").distinct()
+      val contam = sh.filter(col("doc_id") % 10 =!= 0)
+        .join(ev, Seq("sh"), "left_semi")
+        .select("doc_id").distinct()
+      val k3 = k2.filter(col("doc_id") % 10 =!= 0)
+        .join(contam, Seq("doc_id"), "left_anti")
+      // stage 4: temperature quotas + deterministic h60 selection
+      val srcRel = k3.join(docs.select("doc_id", "source"), "doc_id")
+      val cnt = srcRel.groupBy("source").agg(count(lit(1)).as("n_curated"))
+      val wfix = "cast(round(sqrt(cast(n_curated as double)) * 1e6) as bigint)"
+      val tot = cnt.agg(sum("n_curated").as("n_total"),
+        sum(expr(wfix)).as("tw"))
+      val qq = cnt.crossJoin(broadcast(tot))
+        .select(col("source"), col("n_curated"),
+          greatest(expr(s"(n_total DIV $QUOTA_BUDGET_DIV) * $wfix DIV tw"),
+            lit(1L)).as("quota"))
+      val ranked = srcRel.withColumn("rn", row_number().over(
+        Window.partitionBy("source")
+          .orderBy(Hashing.h60(col("doc_id"), lit("curation")),
+            col("doc_id"))))
+      val sel = broadcast(qq).join(ranked, "source")
+        .groupBy("source", "n_curated", "quota")
+        .agg(count(when(col("rn") <= col("quota"), 1)).as("kept"),
+          coalesce(sum(when(col("rn") <= col("quota"), col("doc_id"))),
+            lit(0L)).cast("long").as("checksum"))
+      val raw = crawl.groupBy("source").agg(count(lit(1)).as("n_raw"))
+      val srcOf = docs.select("doc_id", "source")
+      val sa = keep.join(srcOf, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_dedup"))
+      val sb = k2.join(srcOf, "doc_id")
+        .groupBy("source").agg(count(lit(1)).as("n_quality"))
+      raw.join(sa, Seq("source"), "left")
+        .join(sb, Seq("source"), "left")
+        .join(sel, Seq("source"), "left")
+        .crossJoin(broadcast(thr))
+        .select(col("source"), col("n_raw"),
+          coalesce(col("n_dedup"), lit(0L)).as("n_dedup"),
+          coalesce(col("n_quality"), lit(0L)).as("n_quality"),
+          coalesce(col("n_curated"), lit(0L)).as("n_curated"),
+          coalesce(col("quota"), lit(0L)).as("quota"),
+          coalesce(col("kept"), lit(0L)).as("kept"),
+          coalesce(col("checksum"), lit(0L)).as("checksum"),
+          round(col("thr"), 6).as("threshold"))
+        .orderBy("source")
     })
 }

@@ -304,4 +304,50 @@ class CurateSpec extends SparkSpec {
       assert(math.abs(r.getAs[Double]("var_red") - varRed) < 1e-5)
     }
   }
+
+  test("q_curate_pipeline: funnel monotone, dedup count independent, quota re-derives") {
+    import org.apache.spark.sql.functions._
+    val rows = graft.SparkEntry.defs("q_curate_pipeline").build(spark, d)
+      .collect()
+    assert(rows.nonEmpty)
+    // per-source survivor funnel is monotone and the quota bounds kept
+    rows.foreach { r =>
+      val (raw, ded, qua, cur, quota, kept, sum) =
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7))
+      assert(raw >= ded && ded >= qua && qua >= cur && cur >= kept,
+        s"funnel not monotone for ${r.getString(0)}: $r")
+      assert(kept <= quota, s"kept exceeds quota for ${r.getString(0)}")
+      assert((kept == 0) == (sum == 0L) || kept > 0,
+        s"checksum/kept inconsistent for ${r.getString(0)}")
+    }
+    // stage-1 total = global distinct texts (replicas add no new text,
+    // so the doubled crawl's dedup survivor count is independently just
+    // the corpus's distinct-text count)
+    val distinctTexts = graft.Tables.documents(spark, d)
+      .agg(countDistinct(col("text"))).head.getLong(0)
+    assert(rows.map(_.getLong(2)).sum == distinctTexts,
+      "dedup survivors must equal the corpus's distinct texts")
+    // quality stage keeps ~the top quintile of dedup survivors (ties
+    // can only widen the kept set above 20%)
+    val nDed = rows.map(_.getLong(2)).sum.toDouble
+    val nQua = rows.map(_.getLong(3)).sum.toDouble
+    assert(nQua / nDed >= 0.15 && nQua / nDed <= 0.35,
+      s"quality gate kept ${nQua / nDed} of survivors; expected ≈0.2")
+    // stage-4 quota re-derives in exact integer arithmetic from the
+    // curated counts (the q_source_quota discipline), over sources
+    // that survived to stage 4
+    val cur = rows.map(r => r.getString(0) -> r.getLong(4))
+      .filter(_._2 > 0).toMap
+    val budget = cur.values.sum / 5
+    def wfix(n: Long): Long = math.round(math.sqrt(n.toDouble) * 1e6)
+    val tw = cur.values.map(wfix).sum
+    rows.filter(r => r.getLong(4) > 0).foreach { r =>
+      val expect = math.max(
+        (BigInt(budget) * BigInt(wfix(r.getLong(4))) / BigInt(tw)).toLong, 1L)
+      assert(r.getLong(5) == expect, s"quota mismatch for ${r.getString(0)}")
+      assert(r.getLong(6) == math.min(r.getLong(4), r.getLong(5)),
+        s"kept != min(n_curated, quota) for ${r.getString(0)}")
+    }
+  }
 }
