@@ -86,4 +86,54 @@ class SweepSpec extends SparkSpec {
       (3L, 1L, 1.0, 2.0)),   // 901's clicks {12, 13}; 13 (== t of 900) in
       s"attribution boundary semantics broke: $got")
   }
+
+  test("randomized differential: sweep and chunked-window equal JVM brute force on tie-heavy data") {
+    // the hand-picked fixtures above pin each boundary once; this drives
+    // BOTH reformulations through 600 random events whose timestamps are
+    // drawn from a lattice of exact window-boundary offsets (quarter-
+    // window steps ± 1 µs), so same-µs ties and frame-edge collisions
+    // occur constantly. Deterministic seed → reproducible failures.
+    val rnd = new scala.util.Random(2020)
+    val q = win / 4
+    val types = Seq("click", "error", "view", "purchase")
+    val rows = (1L to 600L).map { id =>
+      val us = rnd.nextInt(20).toLong * q + (rnd.nextInt(3) - 1).toLong + win
+      val user = 1L + rnd.nextInt(3)
+      val tpe = types(rnd.nextInt(4))
+      val v = (rnd.nextInt(5000) + 1).toDouble / 1000.0
+      (id, us, user, tpe, v, s"""{"k": ${rnd.nextInt(100)}}""")
+    }
+    val d = fixture("rand", rows)
+
+    // q_events_range_join vs brute force
+    val clicks = rows.filter(_._4 == "click")
+    val expectedRange = rows.filter(_._4 == "error").sortBy(_._1).map { e =>
+      val cs = clicks.filter(c =>
+        c._3 == e._3 && c._2 >= e._2 && c._2 < e._2 + win)
+      (e._1, if (cs.isEmpty) 0L else cs.size.toLong,
+        if (cs.isEmpty) -1L else cs.map(_._2).min - e._2)
+    }
+    val gotRange = SparkEntry.defs("q_events_range_join").build(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3))).toSeq
+    assert(gotRange == expectedRange, "range-join sweep diverged from brute force")
+
+    // q_trailing_24h vs brute force (trailing frame INCLUDES t−24h: the
+    // RANGE 24h-PRECEDING bound is value-inclusive in both engines)
+    val expectedTrail = rows.sortBy(_._1).map { e =>
+      val fr = rows.filter(x =>
+        x._3 == e._3 && x._2 >= e._2 - win && x._2 <= e._2)
+      val sum = fr.map(x => BigDecimal(x._5).setScale(3,
+          BigDecimal.RoundingMode.HALF_UP)).sum
+        .setScale(2, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (e._1, fr.size.toLong, sum)
+    }
+    val gotTrail = SparkEntry.defs("q_trailing_24h").build(spark, d)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getDouble(3))).toSeq
+    assert(gotTrail.size == expectedTrail.size)
+    gotTrail.zip(expectedTrail).foreach { case (g, e) =>
+      assert(g._1 == e._1 && g._2 == e._2 && math.abs(g._3 - e._3) < 1e-9,
+        s"trailing-window chunking diverged at event ${e._1}: got $g want $e")
+    }
+  }
 }
