@@ -53,15 +53,27 @@ object Bench {
       // explains its own outliers
       name -> (sec, osBean.getSystemLoadAverage)
     }
+    // locale-pinned %.1f: the default-locale f"" interpolator emits
+    // "18,3" under comma-decimal locales (de_DE), malformed JSON
+    def f1(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.1f", Double.box(d))
     val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val loads = results
-      .map { case (k, (_, l)) => s"\"" + k + "\":" + f"$l%.1f" }
+      .map { case (k, (_, l)) => s"\"" + k + "\":" + f1(l) }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    // per-entry memoization telemetry: peak cached bytes + rebuild count
+    // (builds > 1 = LRU thrash) — the zero-eviction claim is reproducible
+    // from the artifact alone
+    val memoEntries = Memo.telemetry(spark)
+      .map { case (n, b, c) =>
+        "\"" + n + "\":{\"peak_mb\":" + (b / 1024 / 1024) +
+          ",\"builds\":" + c + "}"
+      }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load_avg_start":${f"$loadStart%.1f"},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load_avg_start":${f1(loadStart)},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions,"memo_entries":$memoEntries}"""
     println(json)
     // full, untruncated artifact: the driver's log tail drops entries
     // past its window (8 of 74 in r5), so round-over-round comparisons

@@ -53,8 +53,13 @@ object Memo {
   private final case class Key(session: String, sfDir: String, name: String)
   private final class Entry(val df: DataFrame, val rddIds: Set[Int],
       var lastUse: Long)
+  private final class Stats(var builds: Int = 0, var peakBytes: Long = 0L)
 
   private val reg = mutable.LinkedHashMap.empty[Key, Entry]
+  // survives eviction: per-entry build counts + peak observed storage, so
+  // a bench artifact can distinguish "LRU thrash" (builds >> 1) from
+  // "fits with headroom" without access to the box
+  private val stats = mutable.LinkedHashMap.empty[Key, Stats]
   private var tick = 0L
 
   /** Memoize a persisted/checkpointed DataFrame per (session, sfDir,
@@ -73,6 +78,7 @@ object Memo {
         val pinned = spark.sparkContext.getPersistentRDDs.keySet
           .diff(before).toSet
         reg(key) = new Entry(df, pinned, tick)
+        stats.getOrElseUpdate(key, new Stats).builds += 1
         df
     }
   }
@@ -102,9 +108,22 @@ object Memo {
           .map(i => i.memSize + i.diskSize).sum
       val evicted = mutable.ListBuffer.empty[String]
       var mine = reg.filter(_._1.session == sessionId(spark))
+      // sample per-entry storage against the live snapshot → peak bytes
+      locally {
+        val info = spark.sparkContext.getRDDStorageInfo
+          .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+        mine.foreach { case (k, e) =>
+          val b = e.rddIds.iterator.map(info.getOrElse(_, 0L)).sum
+          val s = stats.getOrElseUpdate(k, new Stats)
+          if (b > s.peakBytes) s.peakBytes = b
+        }
+      }
       while (cachedBytes > budgetBytes && mine.nonEmpty) {
         val lru = mine.minBy(_._2.lastUse)._1
-        releaseEntry(spark, lru)
+        // blocking: RDD block removal is async under unpersist(false), so
+        // the re-polled storage info would still count the evicted entry
+        // and the loop would cascade-evict everything owned
+        releaseEntry(spark, lru, blocking = true)
         evicted += s"${lru.sfDir}:${lru.name}"
         mine = reg.filter(_._1.session == sessionId(spark))
       }
@@ -141,15 +160,29 @@ object Memo {
       .map(k => s"${k.sfDir}:${k.name}").toSeq
   }
 
-  private def releaseEntry(spark: SparkSession, key: Key): Unit =
+  /** Per-entry telemetry for this session: (sfDir:name, peak cached
+    * bytes observed at any budget enforcement, build count). A build
+    * count above 1 means the entry was evicted and rebuilt (LRU thrash);
+    * peak bytes against the budget shows the headroom. Survives eviction.
+    */
+  def telemetry(spark: SparkSession): Seq[(String, Long, Int)] =
+    synchronized {
+      stats.toSeq.collect {
+        case (k, s) if k.session == sessionId(spark) =>
+          (s"${k.sfDir}:${k.name}", s.peakBytes, s.builds)
+      }
+    }
+
+  private def releaseEntry(spark: SparkSession, key: Key,
+      blocking: Boolean = false): Unit =
     reg.remove(key).foreach { e =>
       // CacheManager entry (plan-keyed persist), if any
-      try e.df.unpersist(blocking = false) catch { case _: Throwable => }
+      try e.df.unpersist(blocking) catch { case _: Throwable => }
       // raw pinned RDDs (localCheckpoint blocks live here; Dataset
       // .unpersist can't free them)
       val live = spark.sparkContext.getPersistentRDDs
       e.rddIds.foreach(id => live.get(id).foreach { r =>
-        try r.unpersist(blocking = false) catch { case _: Throwable => }
+        try r.unpersist(blocking) catch { case _: Throwable => }
       })
     }
 }

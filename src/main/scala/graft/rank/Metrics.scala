@@ -217,12 +217,14 @@ object Metrics {
             require(doms.length < 256, "digest pass supports < 256 domains")
             di = Integer.valueOf(doms.length); domIdx.put(dom, di); doms += dom
           }
+          // per row (two branches): an id >= 2^55 whose packed key
+          // collides with an existing group would otherwise skip a
+          // new-group-only check and silently merge two users' buffers
+          require(u >= 0 && u < (1L << 55),
+            s"digest pass packs user ids below 2^55, got $u")
           val key = (u << 8) | di.intValue()
           var bufs = m.getOrNull(key)
           if (bufs == null) {
-            // checked once per new group, not per row
-            require(u >= 0 && u < (1L << 55),
-              s"digest pass packs user ids below 2^55, got $u")
             bufs = Array.fill(ss.length)(new TopBuf(kMax))
             m.update(key, bufs)
           }

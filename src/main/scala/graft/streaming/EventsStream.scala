@@ -168,6 +168,73 @@ object EventsStream {
       }
   }
 
+  final case class TypedEv(user_id: Long, ts_us: Long, event_id: Long,
+      is_purchase: Boolean)
+  final case class ClickBuf(ts: Array[Long], ids: Array[Long])
+  final case class CappedJoinRow(purchase_id: Long, user_id: Long,
+      n_clicks: Long, min_gap_us: Option[Long])
+
+  /** State-BOUNDED streaming interval join: each purchase is matched
+    * against the user's clicks from the preceding 24h, but per-key state
+    * holds only the `cap` most-recent clicks (by (ts, event_id) — a
+    * strict total order, so eviction is deterministic). This is the
+    * streaming twin of EventQueries.q_events_join_capped's ActCap: the
+    * unbounded stream-stream join (q_stream_join) keeps EVERY in-window
+    * click in the state store and re-scans the full per-key list on each
+    * arriving row — on a power-law entity holding 20% of events that is
+    * Θ(activity²) and stalls the stream (measured: the zipf 100× suite
+    * had to skip it, SCALING.md). Here state is O(cap) longs per key and
+    * each purchase costs O(cap), linear at any skew.
+    *
+    * Output contract (per purchase, always exactly one row): n_clicks =
+    * |{top-`cap` most-recent in-window clicks}| = min(cap, true in-window
+    * count), and min_gap_us = gap to the most-recent in-window click.
+    * Both are EXACT under the cap semantics: the buffer holds the `cap`
+    * most-recent clicks at-or-before the purchase, and any in-window
+    * click outside the buffer is older than every buffer entry — so the
+    * in-window suffix of the buffer IS the per-purchase top-min(cap) set,
+    * and the most-recent in-window click (the min-gap witness) is always
+    * retained. The DuckDB oracle replays the cap as a per-purchase
+    * row_number() <= cap over the uncapped join.
+    *
+    * Each trigger's rows are folded in event-time order (clicks before
+    * purchases at equal ts, matching the inclusive c.ts <= p.ts join
+    * bound); the bounded AvailableNow source delivers the gate's data in
+    * one trigger, so the result is the event-time contract exactly.
+    */
+  def cappedIntervalJoin(events: Dataset[TypedEv], cap: Int,
+      winUs: Long): Dataset[CappedJoinRow] = {
+    import events.sparkSession.implicits._
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState[ClickBuf, CappedJoinRow](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        (user, evs, state: GroupState[ClickBuf]) =>
+          val sorted = evs.toArray
+            .sortBy(e => (e.ts_us, e.is_purchase, e.event_id))
+          val prev = state.getOption.getOrElse(ClickBuf(Array.empty, Array.empty))
+          val ts = scala.collection.mutable.ArrayBuffer(prev.ts.toSeq: _*)
+          val ids = scala.collection.mutable.ArrayBuffer(prev.ids.toSeq: _*)
+          val out = Seq.newBuilder[CappedJoinRow]
+          sorted.foreach { e =>
+            if (e.is_purchase) {
+              val lo = e.ts_us - winUs
+              var n = 0L
+              var i = 0
+              // buffer is (ts, id)-ascending and entirely <= e.ts_us;
+              // the in-window candidates are its suffix
+              while (i < ts.length) { if (ts(i) >= lo) n += 1; i += 1 }
+              val gap = if (n > 0) Some(e.ts_us - ts.last) else None
+              out += CappedJoinRow(e.event_id, user, n, gap)
+            } else {
+              ts += e.ts_us; ids += e.event_id
+              if (ts.length > cap) { ts.remove(0); ids.remove(0) }
+            }
+          }
+          state.update(ClickBuf(ts.toArray, ids.toArray))
+          out.result().iterator
+      }
+  }
+
   /** Run a streaming aggregate into an in-memory table (dev/test sink). */
   def runToMemory(df: DataFrame, name: String, mode: OutputMode): StreamingQuery =
     df.writeStream.format("memory").queryName(name).outputMode(mode).start()
