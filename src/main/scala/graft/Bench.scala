@@ -36,7 +36,7 @@ object Bench {
     // in a hot key BY SEMANTICS (see SCALING.md on q_stream_join @ zipf)
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty)
-    val results = SparkEntry.queries.filterNot(q => skip(q._1)).map { case (name, fn) =>
+    val results = SparkEntry.orderedQueries.filterNot(q => skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
         case e: Throwable =>
@@ -63,7 +63,7 @@ object Bench {
       .map { case (k, (_, l)) => s"\"" + k + "\":" + f1(l) }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = if (results.nonEmpty) results.values.map(_._1).sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     // per-entry memoization telemetry: peak cached bytes + rebuild count
     // (builds > 1 = LRU thrash) — the zero-eviction claim is reproducible
     // from the artifact alone

@@ -50,6 +50,20 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     defs.map { case (k, v) => k -> v.build }
 
+  /** Deterministic harness execution order: stored-index BUILD entries
+    * (`*_index_build`) run before every consumer — a deployment builds
+    * its indexes before the daily batch, so the steady-state incremental
+    * queries measure only batch-side cost and the one-time build cost is
+    * its own bench line (the r9 accounting fix). Everything else runs
+    * alphabetically; results are order-independent (Memo re-fetches
+    * through `cached`).
+    */
+  def orderedQueries: Seq[(String, (SparkSession, String) => DataFrame)] = {
+    val all = queries.toSeq.sortBy(_._1)
+    val (builds, rest) = all.partition(_._1.endsWith("_index_build"))
+    builds ++ rest
+  }
+
   /** DuckDB-equivalent SQL for each oracle-checkable query. */
   def oracleSql: Map[String, String] =
     defs.collect { case (k, QueryDef(_, Some(sql))) => k -> sql }

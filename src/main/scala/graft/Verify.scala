@@ -24,7 +24,7 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     // shared-subtree memoization, same as Bench (results unaffected)
     etl.Interactions(spark, sfDir).persist()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    SparkEntry.orderedQueries.foreach { case (name, fn) =>
       if (wanted(name))
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")

@@ -435,6 +435,68 @@ object DedupQueries {
         .orderBy("bin")
     },
 
+    // ---- stored-index BUILD for incremental dedup, as its own bench
+    //      line: writing the banded-signature + shingle-array tables is
+    //      the ONE-TIME deployment cost (the index a production pipeline
+    //      maintains between batches), not part of the steady-state
+    //      per-batch cost — r9 billed it to q_dedup_incremental's first
+    //      run, which made the bench read the build cost as the
+    //      incremental cost. Runs FIRST in the harness order
+    //      (SparkEntry.orderedQueries); the gate is a READ-BACK of the
+    //      stored tables — row counts, bucket/element counts, and an
+    //      order-independent bit_xor(h60(...)) content checksum per
+    //      part — replayed by DuckDB from the raw parquet, so a wrong or
+    //      stale stored index fails the hash. ----
+    "q_dedup_index_build" -> QueryDef(
+      s"""WITH ${TextOps.duckWordShinglesCte(5)},
+         |mh AS (
+         |  SELECT doc_id, f.j, MIN(${Hashing.duckH60("sh", "f.j")}) AS mh
+         |  FROM shingles CROSS JOIN (SELECT unnest(generate_series(0, ${NUM_HASH - 1})) AS j) f
+         |  WHERE doc_id % 10 <> 3
+         |  GROUP BY doc_id, f.j
+         |), bands AS (
+         |  SELECT doc_id, j // $BAND_ROWS AS band,
+         |         string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+         |  FROM mh GROUP BY doc_id, j // $BAND_ROWS
+         |), hsh AS (
+         |  SELECT DISTINCT doc_id, ${Hashing.duckH60("sh")} AS sh
+         |  FROM shingles WHERE doc_id % 10 <> 3
+         |), sets AS (
+         |  SELECT doc_id, COUNT(*) AS n_el,
+         |         string_agg(CAST(sh AS VARCHAR), ',' ORDER BY sh) AS s
+         |  FROM hsh GROUP BY doc_id
+         |), band_stats AS (
+         |  SELECT 'bands' AS part, COUNT(*) AS n_rows,
+         |    COUNT(DISTINCT ${Hashing.duckH60("band", "sig")}) AS n_items,
+         |    bit_xor(${Hashing.duckH60("doc_id", "band", "sig")}) AS checksum
+         |  FROM bands
+         |), set_stats AS (
+         |  SELECT 'sets' AS part, COUNT(*) AS n_rows,
+         |    CAST(SUM(n_el) AS BIGINT) AS n_items,
+         |    bit_xor(${Hashing.duckH60("doc_id", "s")}) AS checksum
+         |  FROM sets
+         |)
+         |SELECT * FROM band_stats UNION ALL SELECT * FROM set_stats
+         |ORDER BY part""".stripMargin) { (spark, d) =>
+      val (idxBands, idxSets) = storedMinhashIndex(spark, d)
+      val bandStats = idxBands
+        .select(Hashing.h60(col("doc_id"), col("band"), col("sig")).as("chk"),
+          Hashing.h60(col("band"), col("sig")).as("bucket"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("bucket")).as("n_items"),
+          expr("bit_xor(chk)").as("checksum"))
+        .select(lit("bands").as("part"), col("n_rows"), col("n_items"),
+          col("checksum"))
+      val setStats = idxSets
+        .select(Hashing.h60(col("doc_id"), array_join(col("shs"), ",")).as("chk"),
+          size(col("shs")).cast("long").as("n_el"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_el")).as("n_items"),
+          expr("bit_xor(chk)").as("checksum"))
+        .select(lit("sets").as("part"), col("n_rows"), col("n_items"),
+          col("checksum"))
+      bandStats.unionByName(setStats).orderBy("part")
+    },
+
     // ---- INCREMENTAL dedup: flag a new ingest batch against the
     //      EXISTING corpus index — the shape a 100 TB pipeline actually
     //      runs daily (the full-corpus pair query is the backfill; this

@@ -175,6 +175,71 @@ object IvfQueries {
        |GROUP BY cent_id
        |ORDER BY cent_id""".stripMargin
 
+  /** Oracle SQL for `q_sim_index_build`: the [[incrSql]] trainer CTEs
+    * (index-slice training → refined cent1), assignment restricted to
+    * the NON-batch corpus (exactly what the stored inverted list holds),
+    * then per-part read-back stats — row counts, element/cell counts,
+    * and an order-independent bit_xor(h60(...)) content checksum — so a
+    * wrong or stale stored index fails the hash.
+    */
+  private def idxBuildSql: String =
+    s"""WITH ${VectorOps.duckElemsCte},
+       |train_ids AS (
+       |  SELECT vec_id FROM embeddings
+       |  WHERE len(embedding) > 0 AND NOT ($batchSlice)
+       |  ORDER BY ${Hashing.duckH60("vec_id")}, vec_id LIMIT ${K * 256}
+       |), train AS (
+       |  SELECT e.* FROM elems e JOIN train_ids t ON e.vec_id = t.vec_id
+       |), seed_ids AS (
+       |  SELECT vec_id, row_number() OVER (ORDER BY vec_id) AS cent_id
+       |  FROM (SELECT vec_id FROM train_ids ORDER BY vec_id LIMIT $K)
+       |), cent0 AS (
+       |  SELECT s.cent_id, e.i, e.e AS c
+       |  FROM seed_ids s JOIN train e ON e.vec_id = s.vec_id
+       |), d0 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         CAST(SUM((e.e - c.c) * (e.e - c.c)) AS BIGINT) AS d2
+       |  FROM train e JOIN cent0 c ON e.i = c.i
+       |  GROUP BY e.vec_id, c.cent_id
+       |), assign0 AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |    FROM d0) WHERE rn = 1
+       |), cent1 AS (
+       |  SELECT a.cent_id, e.i,
+       |    CAST(round(CAST(SUM(e.e) AS DOUBLE) / COUNT(*)) AS BIGINT) AS c
+       |  FROM assign0 a JOIN train e ON e.vec_id = a.vec_id
+       |  GROUP BY a.cent_id, e.i
+       |), d1 AS (
+       |  SELECT e.vec_id, c.cent_id,
+       |         CAST(SUM((e.e - c.c) * (e.e - c.c)) AS BIGINT) AS d2
+       |  FROM elems e JOIN cent1 c ON e.i = c.i
+       |  WHERE NOT ($batchSlice)
+       |  GROUP BY e.vec_id, c.cent_id
+       |), assign1 AS (
+       |  SELECT vec_id, cent_id FROM (
+       |    SELECT vec_id, cent_id,
+       |      row_number() OVER (PARTITION BY vec_id ORDER BY d2, cent_id) AS rn
+       |    FROM d1) WHERE rn = 1
+       |), cent_arr AS (
+       |  SELECT cent_id, COUNT(*) AS n_el,
+       |         string_agg(CAST(c AS VARCHAR), ',' ORDER BY i) AS s
+       |  FROM cent1 GROUP BY cent_id
+       |), cent_stats AS (
+       |  SELECT 'centroids' AS part, COUNT(*) AS n_rows,
+       |    CAST(SUM(n_el) AS BIGINT) AS n_items,
+       |    bit_xor(${Hashing.duckH60("cent_id", "s")}) AS checksum
+       |  FROM cent_arr
+       |), assign_stats AS (
+       |  SELECT 'assign' AS part, COUNT(*) AS n_rows,
+       |    COUNT(DISTINCT cent_id) AS n_items,
+       |    bit_xor(${Hashing.duckH60("vec_id", "cent_id")}) AS checksum
+       |  FROM assign1
+       |)
+       |SELECT * FROM assign_stats UNION ALL SELECT * FROM cent_stats
+       |ORDER BY part""".stripMargin
+
   /** Oracle SQL for the AUTO-nlist default: k comes from the SAME
     * corpus-count dial as the Spark side ([[VectorOps.ivfNlistFor]],
     * rendered as a CASE chain); the two LIMIT-like bounds (k·256
@@ -284,7 +349,7 @@ object IvfQueries {
       // (session, sfDir). Per-run cost = assigning the BATCH slice plus
       // a pre-aggregated scan of the stored lists — ∝ batch, the
       // maintenance shape a production ANN index runs between batches.
-      val (cents, idxAssign) = storedIvfIndex(spark, d)
+      val (_, cents, idxAssign) = storedIvfIndex(spark, d)
       if (cents.isEmpty)
         spark.emptyDataset[(Int, Long, Long, Double)]
           .toDF("cent_id", "n_index", "n_new", "new_share")
@@ -303,6 +368,34 @@ object IvfQueries {
               .as("new_share"))
           .orderBy("cent_id")
       }
+    },
+
+    // ---- stored-index BUILD for incremental ANN, as its own bench
+    //      line (the twin of q_dedup_index_build): training the index-
+    //      slice centroids and writing the bucketed centroid + inverted-
+    //      list tables is the one-time deployment cost — r9 billed it to
+    //      q_sim_incremental's first run. Runs FIRST in the harness order
+    //      (SparkEntry.orderedQueries); the gate reads the STORED tables
+    //      back — counts plus an order-independent bit_xor(h60) content
+    //      checksum per part — against DuckDB's replay from raw parquet.
+    "q_sim_index_build" -> QueryDef(idxBuildSql) { (spark, d) =>
+      val (centsT, _, idxAssign) = storedIvfIndex(spark, d)
+      val centStats = centsT
+        .select(Hashing.h60(col("cent_id"), array_join(col("c"), ",")).as("chk"),
+          size(col("c")).cast("long").as("n_el"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("n_el")).as("n_items"),
+          expr("bit_xor(chk)").as("checksum"))
+        .select(lit("centroids").as("part"), col("n_rows"), col("n_items"),
+          col("checksum"))
+      val assignStats = idxAssign
+        .select(Hashing.h60(col("vec_id"), col("cent_id")).as("chk"),
+          col("cent_id"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("cent_id")).as("n_items"),
+          expr("bit_xor(chk)").as("checksum"))
+        .select(lit("assign").as("part"), col("n_rows"), col("n_items"),
+          col("checksum"))
+      assignStats.unionByName(centStats).orderBy("part")
     },
 
     // ---- full distributed k-means (3 Lloyd iterations over the WHOLE
@@ -480,7 +573,8 @@ object IvfQueries {
     * (collected — k·64 longs, bounded) and a scan of the stored lists.
     */
   private def storedIvfIndex(spark: org.apache.spark.sql.SparkSession,
-      d: String): (Seq[(Int, Array[Long])], org.apache.spark.sql.DataFrame) = {
+      d: String): (org.apache.spark.sql.DataFrame, Seq[(Int, Array[Long])],
+        org.apache.spark.sql.DataFrame) = {
     import spark.implicits._
     val sfx = graft.etl.Bucketing.tableSuffix(d)
     val centsT = graft.Memo.cached(spark, d, "ivf.incrCentroids") {
@@ -498,7 +592,7 @@ object IvfQueries {
       graft.etl.Bucketing.writeBucketed(asgn,
         s"ivf_incr_assign_$sfx", 32, Seq("cent_id"))
     }
-    (cents, assignT)
+    (centsT, cents, assignT)
   }
 
   private def refinedCentroids(spark: org.apache.spark.sql.SparkSession,
