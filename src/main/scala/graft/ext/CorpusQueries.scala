@@ -113,10 +113,12 @@ object CorpusQueries {
     //      Bloom has no false negatives, and the confirm join (against
     //      the real eval set) removes every false positive — so the
     //      oracle is the plain exact SQL. Per-doc totals are aggregated
-    //      pre-filter (map-side combinable). The mightContain probe is a
-    //      scala UDF (breaks codegen for that one filter) — the
-    //      documented trade: interpreted probe vs shuffling the 99% of a
-    //      100 TB corpus that matches nothing ----
+    //      pre-filter (map-side combinable). The probe is Spark's native
+    //      BloomFilterMightContain (r10, via BloomProbe — the expression
+    //      behind Catalyst's injected runtime bloom filters), so it
+    //      compiles into the train scan's WholeStageCodegen span instead
+    //      of the r9 interpreted per-row Scala UDF; PlanAuditSpec asserts
+    //      the plan is UDF-free ----
     "q_decontaminate_bloom" -> QueryDef(
       s"""WITH ${TextOps.duckWordShingleHashesCte(5)},
          |ev AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 7 = 0),
@@ -141,12 +143,13 @@ object CorpusQueries {
           .filter(col("doc_id") % 7 === 0).count())
       val nEvEst = math.max(nEvDocs * 256L, 1L)
       val bloom = ev.stat.bloomFilter("sh", nEvEst, BLOOM_FPP)
-      val bc = spark.sparkContext.broadcast(bloom)
-      val mightContain = udf((x: Long) => bc.value.mightContainLong(x))
+      graft.functions.BloomProbe.ensureRegistered(spark)
+      val bfLit = lit(graft.functions.BloomProbe.serialize(bloom))
       val tr = sh.filter(col("doc_id") % 7 =!= 0)
       val totals = tr.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       val evSmall = nEvEst <= TextQueries.EVAL_BROADCAST_MAX
-      val confirmed = tr.filter(mightContain(col("sh")))
+      val confirmed = tr.filter(
+          call_function("graft_might_contain", bfLit, col("sh")))
         .join(if (evSmall) broadcast(ev) else ev, Seq("sh"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       confirmed.join(totals, "doc_id")

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{FixedDot, SortedIntersectSize}
+import graft.functions.{BloomProbe, FixedDot, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point (SparkSessionExtensions): registers the
@@ -21,5 +21,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction((FixedDot.identifier, FixedDot.info, FixedDot.builder))
     ext.injectFunction((SortedIntersectSize.identifier,
       SortedIntersectSize.info, SortedIntersectSize.builder))
+    ext.injectFunction((BloomProbe.identifier, BloomProbe.info,
+      BloomProbe.builder))
   }
 }

@@ -81,6 +81,20 @@ class PlanAuditSpec extends SparkSpec {
       globalWindowExempt, "unpartitioned windows (single-task global sorts)")
   }
 
+  test("no registered query plans an interpreted Scala UDF (zero exemptions)") {
+    // a ScalaUDF runs interpreted per row and breaks the enclosing
+    // WholeStageCodegen span — on a 100 TB scan side that is the
+    // difference between a vectorized filter and a per-row closure call.
+    // r9's last holdout (the bloom probe in q_decontaminate_bloom) is now
+    // the native BloomFilterMightContain; the registry ships UDF-free and
+    // this keeps it that way.
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    audit(p => p.collectWithSubqueries {
+        case n if n.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])) => n
+      }.nonEmpty,
+      Map.empty, "interpreted Scala UDFs (codegen breakers)")
+  }
+
   test("no registered query plans a cross or condition-free join (exemptions documented)") {
     def unbounded(p: LogicalPlan): Boolean =
       !p.maxRows.exists(_ <= autoAllowRows)
