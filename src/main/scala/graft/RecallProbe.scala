@@ -1,0 +1,83 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev-only recall probe for the LSH-banded embedding-dedup path
+  * (VERDICT r9 #6): on a neardup-mutated scale dir (ScaleGen plants
+  * in-capacity replicas at E[cos]≈0.69 and sibling pairs straddling the
+  * 0.4 threshold), measure the banded candidate generator's recall
+  * against the exact all-pairs anchor — overall, by cosine band, and at
+  * the CLUSTER level (transitive closure can recover pairs the banding
+  * misses, which is the property q_dedup_embed_cluster actually relies
+  * on). Results land in SCALING.md's recall table.
+  *
+  *   SPARK_DRIVER_MEM=48g sbt "runMain graft.RecallProbe /tmp/sf1nd"
+  */
+object RecallProbe {
+
+  /** Union-find over pair lists (driver-side: the probe dirs hold ≤20k
+    * vectors / ≤1M pairs — bounded by the probe, not the corpus).
+    */
+  private final class UF {
+    private val p = scala.collection.mutable.Map.empty[Long, Long]
+    def find(x: Long): Long = {
+      var r = x
+      while (p.getOrElse(r, r) != r) r = p.getOrElse(r, r)
+      var c = x
+      while (p.getOrElse(c, c) != c) { val n = p.getOrElse(c, c); p(c) = r; c = n }
+      r
+    }
+    def union(a: Long, b: Long): Unit = { val ra = find(a); val rb = find(b); if (ra != rb) p(ra) = rb }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val dir = args.headOption.getOrElse("/tmp/sf1nd")
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    def pairs(maxBroadcast: Long): Map[(Long, Long), Double] =
+      ext.SimilarityQueries.embedNearDup(spark, dir, maxBroadcast)
+        .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)]
+        .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+
+    val t0 = System.nanoTime()
+    val exact = pairs(Long.MaxValue)          // broadcast all-pairs anchor
+    val tExact = (System.nanoTime() - t0) / 1e9
+    val t1 = System.nanoTime()
+    val banded = pairs(0L)                    // force the past-ceiling path
+    val tBanded = (System.nanoTime() - t1) / 1e9
+
+    val bins = Seq(
+      ("identical (cos>0.999999)", (c: Double) => c > 0.999999),
+      ("near [0.7,0.999999]", (c: Double) => c >= 0.7 && c <= 0.999999),
+      ("near [0.4,0.7)", (c: Double) => c >= 0.4 && c < 0.7))
+    println(f"[recall] dir=$dir exact=${exact.size} (${tExact}%.1fs) banded=${banded.size} (${tBanded}%.1fs)")
+    val missedNotInExact = banded.keySet -- exact.keySet
+    println(s"[recall] banded pairs not in exact (should be 0 — both verify): ${missedNotInExact.size}")
+    bins.foreach { case (name, in) =>
+      val e = exact.count { case (_, c) => in(c) }
+      val b = exact.count { case (k, c) => in(c) && banded.contains(k) }
+      println(f"[recall] pair recall $name%-26s ${if (e == 0) 1.0 else b.toDouble / e}%.4f  ($b/$e)")
+    }
+    // cluster-level: does transitive closure through the banded pairs
+    // put the same pairs in one cluster as closure through exact pairs?
+    def sameClusterPairs(ps: Iterable[(Long, Long)]): UF = {
+      val uf = new UF; ps.foreach { case (a, b) => uf.union(a, b) }; uf
+    }
+    val ufE = sameClusterPairs(exact.keys)
+    val ufB = sameClusterPairs(banded.keys)
+    val exactPairsList = exact.keys.toArray
+    val recovered = exactPairsList.count { case (a, b) => ufB.find(a) == ufB.find(b) }
+    println(f"[recall] cluster recall (exact pairs co-clustered under banded closure): ${recovered.toDouble / exactPairsList.length}%.4f ($recovered/${exactPairsList.length})")
+    // sanity: banded closure never merges what exact closure separates
+    val overMerged = banded.keys.count { case (a, b) => ufE.find(a) != ufE.find(b) }
+    println(s"[recall] banded-only merges (should be 0): $overMerged")
+    spark.stop()
+  }
+}

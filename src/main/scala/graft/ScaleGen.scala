@@ -34,6 +34,31 @@ object ScaleGen {
   /** 1/HOT_MOD of fact rows get the hot key (key = 1). */
   val HOT_MOD = 5
 
+  /** Replica-i embedding mutation for `neardup` mode (r10) — the cosine
+    * analog of [[mutateText]], so the embedding-dedup family's banded
+    * recall is measurable against planted pairs (not just the identical
+    * copies verbatim replication produces, whose recall is trivially 1).
+    * Same long-tail capacity rule keyed on the BASE vec_id: in-capacity
+    * replicas sign-flip each dim with probability 10/64 — E[cos vs base]
+    * ≈ 1 − 2·10/64 ≈ 0.69 (sd ≈ 0.09), the J≈0.7 analog, above the 0.4
+    * near-dup threshold with honest spread; sibling-replica pairs flip
+    * ~2 independent subsets (cos ≈ 0.4 — straddling the threshold, so
+    * clusters must close transitively through the base, like the text
+    * axis). Out-of-capacity replicas flip ~half the dims (cos ≈ 0 —
+    * distinct vectors). Apply before the key offset.
+    */
+  def mutateEmbedding(i: Long): Column =
+    when(col("embedding").isNull, col("embedding"))
+      .when(lit(i) === 0, col("embedding"))
+      .when(lit(i) < expr("100 DIV (pmod(xxhash64(vec_id), 100) + 1)"),
+        expr(s"""transform(embedding, (x, j) ->
+                |  CASE WHEN pmod(xxhash64(vec_id, ${i}L, CAST(j AS BIGINT)), 64) < 10
+                |  THEN -x ELSE x END)""".stripMargin))
+      .otherwise(
+        expr(s"""transform(embedding, (x, j) ->
+                |  CASE WHEN pmod(xxhash64(vec_id, ${i}L, CAST(j AS BIGINT)), 2) = 0
+                |  THEN -x ELSE x END)""".stripMargin))
+
   /** Replica-i text mutation for `neardup` mode (see object doc). Keyed
     * on the BASE doc_id — apply before the key offset.
     */
@@ -137,13 +162,32 @@ object ScaleGen {
         .withColumn("user_id", off("user_id", k)),
         "user_id", col("event_id"))
     }
+    // zipf also concentrates the DOCUMENT corpus (r10): 1/HOT_MOD of all
+    // docs move to ONE existing source value, so the curation family's
+    // per-source strata/windows (q_quality_gate, q_source_quota,
+    // q_curate_pipeline's √n quotas) face a genuine hot-source axis —
+    // the r9 zipf dirs skewed only events/orders and left the documents
+    // axis uniform, so those operators' skew behavior was unproven
+    val hotSource: String =
+      if (zipf) spark.read.parquet(s"$src/documents.parquet")
+        .agg(min("source")).first().getString(0)
+      else null
     rep("documents") { (df, k) =>
       val mutated =
         if (neardup) df.withColumn("text", mutateText(k / OFF))
         else df
-      mutated.withColumn("doc_id", off("doc_id", k))
+      val shifted = mutated.withColumn("doc_id", off("doc_id", k))
+      if (zipf) shifted.withColumn("source",
+        when(pmod(xxhash64(col("doc_id")), lit(HOT_MOD)) === 0,
+          lit(hotSource)).otherwise(col("source")))
+      else shifted
     }
-    rep("embeddings") { (df, k) => df.withColumn("vec_id", off("vec_id", k)) }
+    rep("embeddings") { (df, k) =>
+      val mutated =
+        if (neardup) df.withColumn("embedding", mutateEmbedding(k / OFF))
+        else df
+      mutated.withColumn("vec_id", off("vec_id", k))
+    }
     spark.stop()
   }
 }

@@ -22,7 +22,21 @@ import org.apache.spark.sql.functions._
   */
 object Interactions {
 
-  /** Long-form distinct (user_id, item_id, domain). */
+  /** Long-form distinct (user_id, item_id, domain).
+    *
+    * The explicit repartition BEFORE the distinct is the relation's
+    * pay-the-shuffle-once move (r10): (user_id, domain) co-locates every
+    * (user_id, item_id, domain) group, so the dedup hash-aggregate runs
+    * exchange-free on it — and (user_id, domain) is THE downstream key
+    * (leave-two-out window, train re-rank, positives collect, user
+    * aggregates all partition on it), so every such consumer — including
+    * scans of the session-persisted cache, whose stored partitioning is
+    * this one — plans zero further exchanges. The r9 shape distinct'd on
+    * (u, i, d) first and re-exchanged for the (u, d) window: two
+    * full-log exchanges where one suffices (measured at the 100× dir,
+    * equal ambient load: ranked materialize 52.8 → 24.5s inside
+    * q_lifecycle's cold build; cachedPipeline 95.5 → 59.8s).
+    */
   def apply(spark: SparkSession, sfDir: String): DataFrame =
     Tables.orders(spark, sfDir)
       .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
@@ -30,6 +44,7 @@ object Interactions {
         col("o_custkey").as("user_id"),
         col("l_partkey").as("item_id"),
         when(col("l_partkey") % 2 === 0, "x").otherwise("y").as("domain"))
+      .repartition(col("user_id"), col("domain"))
       .distinct()
 
   /** [[apply]] persisted for the session — the interaction log is the
