@@ -55,8 +55,9 @@ object RecallProbe {
 
     val bins = Seq(
       ("identical (cos>0.999999)", (c: Double) => c > 0.999999),
-      ("near [0.7,0.999999]", (c: Double) => c >= 0.7 && c <= 0.999999),
-      ("near [0.4,0.7)", (c: Double) => c >= 0.4 && c < 0.7))
+      ("near [0.9,0.999999]", (c: Double) => c >= 0.9 && c <= 0.999999),
+      ("near [0.6,0.9)", (c: Double) => c >= 0.6 && c < 0.9),
+      ("weak [0.4,0.6)", (c: Double) => c >= 0.4 && c < 0.6))
     println(f"[recall] dir=$dir exact=${exact.size} (${tExact}%.1fs) banded=${banded.size} (${tBanded}%.1fs)")
     val missedNotInExact = banded.keySet -- exact.keySet
     println(s"[recall] banded pairs not in exact (should be 0 — both verify): ${missedNotInExact.size}")

@@ -39,21 +39,32 @@ object ScaleGen {
     * recall is measurable against planted pairs (not just the identical
     * copies verbatim replication produces, whose recall is trivially 1).
     * Same long-tail capacity rule keyed on the BASE vec_id: in-capacity
-    * replicas sign-flip each dim with probability 10/64 — E[cos vs base]
-    * ≈ 1 − 2·10/64 ≈ 0.69 (sd ≈ 0.09), the J≈0.7 analog, above the 0.4
-    * near-dup threshold with honest spread; sibling-replica pairs flip
-    * ~2 independent subsets (cos ≈ 0.4 — straddling the threshold, so
-    * clusters must close transitively through the base, like the text
-    * axis). Out-of-capacity replicas flip ~half the dims (cos ≈ 0 —
-    * distinct vectors). Apply before the key offset.
+    * replicas split 25% verbatim copies (cos 1), 25% near-identical
+    * (2/64 sign-flips, cos ≈ 0.94), 50% moderate (10/64 flips, E[cos]
+    * ≈ 0.69 ± 0.09 — the J≈0.7 analog, above the 0.4 near-dup threshold
+    * with honest spread); sibling-replica pairs flip ~2 independent
+    * subsets (cos straddles the threshold, so clusters must close
+    * transitively through the base, like the text axis). Out-of-capacity
+    * replicas flip ~half the dims (cos ≈ 0 — distinct vectors). Apply
+    * before the key offset.
     */
   def mutateEmbedding(i: Long): Column =
     when(col("embedding").isNull, col("embedding"))
       .when(lit(i) === 0, col("embedding"))
+      // in-capacity replicas split into the three masses a real corpus
+      // has: 25% verbatim copies (cos 1), 25% near-identical (2/64 dims
+      // sign-flipped, cos ≈ 0.94), 50% moderate (10/64 flips,
+      // E[cos] ≈ 0.69 ± 0.09 — the J≈0.7 analog)
       .when(lit(i) < expr("100 DIV (pmod(xxhash64(vec_id), 100) + 1)"),
-        expr(s"""transform(embedding, (x, j) ->
-                |  CASE WHEN pmod(xxhash64(vec_id, ${i}L, CAST(j AS BIGINT)), 64) < 10
-                |  THEN -x ELSE x END)""".stripMargin))
+        expr(s"""CASE pmod(xxhash64(vec_id, ${i}L, 13L), 4)
+                |  WHEN 0 THEN embedding
+                |  WHEN 1 THEN transform(embedding, (x, j) ->
+                |    CASE WHEN pmod(xxhash64(vec_id, ${i}L, CAST(j AS BIGINT)), 64) < 2
+                |    THEN -x ELSE x END)
+                |  ELSE transform(embedding, (x, j) ->
+                |    CASE WHEN pmod(xxhash64(vec_id, ${i}L, CAST(j AS BIGINT)), 64) < 10
+                |    THEN -x ELSE x END)
+                |END""".stripMargin))
       .otherwise(
         expr(s"""transform(embedding, (x, j) ->
                 |  CASE WHEN pmod(xxhash64(vec_id, ${i}L, CAST(j AS BIGINT)), 2) = 0

@@ -426,28 +426,41 @@ object SimilarityQueries {
     * dominate real corpora); every RETURNED pair carries an exact
     * verified cosine either way.
     */
+  /** Bands for [[bandedCandidates]]. Recall for a pair at angle θ with
+    * per-plane agreement p = 1 − θ/π is 1 − (1 − p^bits)^bands — more
+    * bands buy recall LINEARLY in candidate volume (Σ bucket² per band).
+    * 8 bands: measured on the 10× neardup dir's planted pairs (b = 10,
+    * RecallProbe — table in SCALING.md): 1.0 identical, 0.96 at
+    * cos ∈ [0.9, 1), 0.45 at [0.6, 0.9), 0.09 below (the r9 value of 2
+    * measured 1.0 / ~0.5 / 0.19 / 0.03). The decay at weak cosine is
+    * sign-LSH theory, not a tuning miss: keeping Σ bucket² sub-quadratic
+    * forces p^bits ≪ 1, and at cos 0.4 (p ≈ 0.63) no (bits, bands)
+    * choice is both sub-quadratic and high-recall — weak-similarity
+    * mining needs a different candidate generator (IVF/graph), while
+    * DEDUP-relevant near-dups (cos ≥ 0.9) and the identical mass are
+    * served. Transitive closure through the base recovers part of the
+    * weak tail (cluster recall > pair recall, RecallProbe).
+    */
+  private val LSH_NUM_BANDS = 8
+
   /** LSH-banded candidate pairs `(query_id, vec_id)` between a query
     * slice and a candidate slice of the corpus: vectors agreeing in at
-    * least one of `numBands` hyperplane-sign bands, band width dialed by
-    * corpus count ([[VectorOps.lshBandBitsFor]] — Σ bucket² pair volume,
-    * never O(n²)). This is THE past-ceiling candidate generator: every
-    * r8 all-pairs crossJoin fallback now routes through it. Recall
-    * contract: a true pair is missed only when the vectors disagree in
-    * EVERY band (identical vectors never — equal sigs by construction;
-    * near-dups at the operating thresholds flip few hyperplane signs);
-    * every RETURNED pair is exact-cosine verified downstream.
+    * least one of [[LSH_NUM_BANDS]] hyperplane-sign bands, band width
+    * dialed by corpus count ([[VectorOps.lshBandBitsFor]] — Σ bucket²
+    * pair volume per band, never O(n²)). This is THE past-ceiling
+    * candidate generator: every r8 all-pairs crossJoin fallback routes
+    * through it. Recall contract quantified on [[LSH_NUM_BANDS]] (and
+    * measured in SCALING.md's r10 recall table); identical vectors are
+    * never missed (equal blocks by construction), and every RETURNED
+    * pair is exact-cosine verified downstream.
     */
   private def bandedCandidates(spark: org.apache.spark.sql.SparkSession,
       d: String, qFilter: org.apache.spark.sql.Column,
       cFilter: org.apache.spark.sql.Column,
       lowerTriangle: Boolean): org.apache.spark.sql.DataFrame = {
     val n = VectorOps.corpusSize(spark, d)
-    val numBands = 2
-    val bandBits = VectorOps.lshBandBitsFor(n)
-    val bands = sparkSigs(spark, d, numPlanes = bandBits * numBands)
-      .withColumn("bi", explode(sequence(lit(0), lit(numBands - 1))))
-      .select(col("vec_id"), col("bi"),
-        expr(s"shiftright(sig, $bandBits * bi) % ${1 << bandBits}").as("blk"))
+    val bands = sparkBandBlocks(spark, d,
+      VectorOps.lshBandBitsFor(n), LSH_NUM_BANDS)
     val cmp =
       if (lowerTriangle) col("a.vec_id") < col("b.vec_id")
       else col("a.vec_id") =!= col("b.vec_id")
@@ -456,6 +469,40 @@ object SimilarityQueries {
         col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") && cmp)
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
       .distinct()
+  }
+
+  /** Per-band LSH blocks `(vec_id, bi, blk)` in ONE narrow pass — the
+    * banded twin of [[sparkSigs]] without its 63-plane packing cap (a
+    * single long sig bounded bits×bands ≤ 63, which capped recall; bands
+    * now emit directly, `bandBits · numBands` dot products per vector,
+    * no explode, no shuffle).
+    */
+  private def sparkBandBlocks(spark: org.apache.spark.sql.SparkSession,
+      d: String, bandBits: Int, numBands: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val planes = planeMatrixFor(bandBits * numBands)
+    Tables.embeddings(spark, d)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("e")).as[(Long, Array[Long])]
+      .repartition(spark.sparkContext.defaultParallelism)
+      .mapPartitions { it =>
+        it.flatMap { case (v, e) =>
+          if (e == null || e.isEmpty) Iterator.empty
+          else {
+            val blks = new Array[Long](numBands)
+            var j = 0
+            while (j < planes.length) {
+              var dot = 0L
+              var i = 0
+              while (i < e.length) { dot += e(i) * planes(j)(i); i += 1 }
+              if (dot > 0) blks(j / bandBits) |= 1L << (j % bandBits)
+              j += 1
+            }
+            Iterator.tabulate(numBands)(b => (v, b, blks(b)))
+          }
+        }
+      }.toDF("vec_id", "bi", "blk")
   }
 
   def embedNearDupAuto(spark: org.apache.spark.sql.SparkSession, d: String,

@@ -218,4 +218,59 @@ class EventsStreamSpec extends SparkSpec {
     assert(updates(0) == EventsStream.SessUpdate(1L, 0L, 2L, 0L))
     assert(updates(1) == EventsStream.SessUpdate(1L, 40 * min, 1L, 1L))
   }
+
+  test("capped interval join: huge cap equals the uncapped per-purchase aggregate") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val h = 3600L * 1000000L
+    // user 1: clicks at 0h,1h,2h then purchases at 2h (ties a click!) and
+    // 30h (only the 26h..30h-24h window — no clicks); user 2: purchase
+    // with zero clicks ever
+    val evs = Seq(
+      EventsStream.TypedEv(1L, 0L, 10L, false),
+      EventsStream.TypedEv(1L, 1L * h, 11L, false),
+      EventsStream.TypedEv(1L, 2L * h, 12L, false),
+      EventsStream.TypedEv(1L, 2L * h, 100L, true),
+      EventsStream.TypedEv(1L, 30L * h, 101L, true),
+      EventsStream.TypedEv(2L, 5L * h, 200L, true))
+    val stream = MemoryStream[EventsStream.TypedEv]
+    val q = EventsStream.runToMemory(
+      EventsStream.cappedIntervalJoin(stream.toDS(), cap = 1000,
+        winUs = 24L * h).toDF(), "cap_big", OutputMode.Append())
+    stream.addData(evs)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cap_big")
+      .select("purchase_id", "n_clicks", "min_gap_us")
+      .as[(Long, Long, Option[Long])].collect().sortBy(_._1).toSeq
+    // purchase 100 at 2h sees clicks 0h,1h,2h (inclusive both bounds),
+    // gap to the 2h click = 0; purchase 101 at 30h: nearest click 2h is
+    // 28h back — outside; purchase 200: no clicks at all
+    assert(got == Seq((100L, 3L, Some(0L)), (101L, 0L, None),
+      (200L, 0L, None)))
+  }
+
+  test("capped interval join: the cap keeps the MOST RECENT clicks (count exact-min, gap exact)") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60L * 1000000L
+    val evs = Seq(
+      EventsStream.TypedEv(1L, 0L, 10L, false),
+      EventsStream.TypedEv(1L, 1L * m, 11L, false),
+      EventsStream.TypedEv(1L, 2L * m, 12L, false),
+      EventsStream.TypedEv(1L, 3L * m, 13L, false),
+      EventsStream.TypedEv(1L, 10L * m, 100L, true))
+    val stream = MemoryStream[EventsStream.TypedEv]
+    val q = EventsStream.runToMemory(
+      EventsStream.cappedIntervalJoin(stream.toDS(), cap = 2,
+        winUs = 24L * 3600L * 1000000L).toDF(), "cap_small",
+      OutputMode.Append())
+    stream.addData(evs)
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cap_small")
+      .select("purchase_id", "n_clicks", "min_gap_us")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    // 4 in-window clicks but cap=2 → n = min(2, 4); the RETAINED two are
+    // the most recent (2m, 3m), so the gap witness (3m, 7m back) is exact
+    assert(got == Seq((100L, 2L, Some(7L * m))))
+  }
 }
