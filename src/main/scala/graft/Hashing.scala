@@ -21,10 +21,27 @@ import org.apache.spark.sql.functions._
   * conv), no UDF, no shuffle: it vectorizes inside whole-stage codegen.
   */
 object Hashing {
-  /** Spark side: deterministic 60-bit hash of the given columns. */
+  /** Spark side: deterministic 60-bit hash of the given columns.
+    *
+    * Since r10 the hash itself is the native [[graft.functions.H60Expr]]
+    * (md5 bytes → long directly, no hex/conv string round-trips — the
+    * chain below allocated four strings per call on paths that run
+    * billions of calls at 100×). The null/cast semantics stay in
+    * Catalyst: `concat_ws` skips nulls exactly as before, so the value
+    * contract is untouched (FunctionsSpec proves equality with the SQL
+    * chain). Falls back to the original chain when no active session
+    * exists to register the function against (never the case in the
+    * harnesses; keeps bare Column construction working).
+    */
   def h60(cols: Column*): Column = {
     val joined = concat_ws(":", cols.map(_.cast("string")): _*)
-    conv(substring(md5(joined), 1, 15), 16, 10).cast("long")
+    org.apache.spark.sql.SparkSession.getActiveSession match {
+      case Some(s) =>
+        graft.functions.H60Expr.ensureRegistered(s)
+        call_function("graft_h60", joined)
+      case None =>
+        conv(substring(md5(joined), 1, 15), 16, 10).cast("long")
+    }
   }
 
   /** DuckDB side of [[h60]]: SQL text computing the identical value.

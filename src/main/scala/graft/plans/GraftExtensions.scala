@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{BloomProbe, FixedDot, SortedIntersectSize}
+import graft.functions.{BloomProbe, FixedDot, H60Expr, SortedIntersectSize}
 import org.apache.spark.sql.SparkSessionExtensions
 
 /** Session-extension entry point (SparkSessionExtensions): registers the
@@ -23,5 +23,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       SortedIntersectSize.info, SortedIntersectSize.builder))
     ext.injectFunction((BloomProbe.identifier, BloomProbe.info,
       BloomProbe.builder))
+    ext.injectFunction((H60Expr.identifier, H60Expr.info, H60Expr.builder))
   }
 }
