@@ -22,30 +22,66 @@ import org.apache.spark.sql.functions._
   */
 object Interactions {
 
+  /** A user key holding more than this share of the fact table makes the
+    * one-exchange shape a skew bomb (its whole RAW row mass lands on one
+    * reduce task before any dedup); 2% ≈ 0.6× a 32-way fair share and
+    * 20× a 1000-way one — past it the spread shape's map-side partial
+    * dedup + (u, i, d) exchange is worth its extra window exchange.
+    * Measured A/B at 100× (q_leave_two_out cold): uniform axis
+    * one-exchange 24.5s vs spread 52.8s; zipf axis (hot user = 20%)
+    * one-exchange 237.7s vs spread 106.1s — no single static shape wins
+    * both, so the shape is a count-derived dial like the engine's
+    * broadcast/LSH/IVF dials.
+    */
+  val HOT_USER_SHARE_MAX = 0.02
+
+  private val hotShare =
+    scala.collection.concurrent.TrieMap.empty[String, Double]
+
+  /** Largest single-user share of the orders fact — ONE tiny two-level
+    * aggregate (map-side combinable, 1-row result), memoized per sfDir.
+    */
+  private def maxUserShare(spark: SparkSession, sfDir: String): Double =
+    hotShare.getOrElseUpdate(sfDir, {
+      val r = Tables.orders(spark, sfDir)
+        .groupBy("o_custkey").agg(count(lit(1)).as("n"))
+        .agg(max("n").as("mx"), sum("n").as("tot")).head()
+      if (r.isNullAt(1) || r.getLong(1) == 0L) 0.0
+      else r.getLong(0).toDouble / r.getLong(1)
+    })
+
   /** Long-form distinct (user_id, item_id, domain).
     *
-    * The explicit repartition BEFORE the distinct is the relation's
-    * pay-the-shuffle-once move (r10): (user_id, domain) co-locates every
-    * (user_id, item_id, domain) group, so the dedup hash-aggregate runs
-    * exchange-free on it — and (user_id, domain) is THE downstream key
-    * (leave-two-out window, train re-rank, positives collect, user
-    * aggregates all partition on it), so every such consumer — including
-    * scans of the session-persisted cache, whose stored partitioning is
-    * this one — plans zero further exchanges. The r9 shape distinct'd on
-    * (u, i, d) first and re-exchanged for the (u, d) window: two
-    * full-log exchanges where one suffices (measured at the 100× dir,
-    * equal ambient load: ranked materialize 52.8 → 24.5s inside
-    * q_lifecycle's cold build; cachedPipeline 95.5 → 59.8s).
+    * Physical shape is a SKEW-AWARE dial (r10):
+    *
+    *  - balanced keys (the common case): repartition by (user_id,
+    *    domain) BEFORE the dedup distinct — (u, d) co-locates every
+    *    (u, i, d) group, so the dedup aggregate runs exchange-free on
+    *    it, and (u, d) is THE downstream key (leave-two-out window,
+    *    train re-rank, positives collect), so every such consumer —
+    *    including scans of the session-persisted cache, whose stored
+    *    partitioning is this one — plans zero further exchanges
+    *    (q_lifecycle 100× cold build: ranked materialize 52.8 → 24.5s);
+    *  - a hot user past [[HOT_USER_SHARE_MAX]]: the r9 spread shape
+    *    (distinct exchanges on (u, i, d) with map-side partial dedup,
+    *    consumers re-exchange for (u, d)) — concentrating the hot
+    *    user's RAW pre-dedup rows onto one task measured 2.2× slower
+    *    than the spread shape on the zipf axis.
+    *
+    * The dial costs one memoized 1-row aggregate over orders; both
+    * shapes produce the identical relation (InteractionsSpec proves row
+    * equality), so consumers and oracles are shape-blind.
     */
-  def apply(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.orders(spark, sfDir)
+  def apply(spark: SparkSession, sfDir: String): DataFrame = {
+    val joined = Tables.orders(spark, sfDir)
       .join(Tables.lineitem(spark, sfDir), col("l_orderkey") === col("o_orderkey"))
       .select(
         col("o_custkey").as("user_id"),
         col("l_partkey").as("item_id"),
         when(col("l_partkey") % 2 === 0, "x").otherwise("y").as("domain"))
-      .repartition(col("user_id"), col("domain"))
-      .distinct()
+    if (maxUserShare(spark, sfDir) > HOT_USER_SHARE_MAX) joined.distinct()
+    else joined.repartition(col("user_id"), col("domain")).distinct()
+  }
 
   /** [[apply]] persisted for the session — the interaction log is the
     * pipeline's shared base relation (every E2/E3 operator reads it), so
