@@ -1,6 +1,33 @@
 package graft
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 object Bench {
+
+  /** Per-query bench outcome. A refusal is the query KEEPING its
+    * documented output-budget contract on data where the contract is
+    * ill-posed (see QueryRefusedException) — a distinct outcome from an
+    * error, and its elapsed (just the bound-computation aggregates) is
+    * kept OUT of the completed-query timings so totals stay comparable
+    * between runs where the refusal trips and runs where it doesn't.
+    */
+  sealed trait Outcome { def sec: Double }
+  final case class Completed(sec: Double) extends Outcome
+  final case class RefusedRun(sec: Double, msg: String) extends Outcome
+  final case class FailedRun(sec: Double, msg: String) extends Outcome
+
+  /** Execute one registered query exactly the way the bench loop does
+    * and classify the outcome. Public so a spec can prove the
+    * refusal-vs-error distinction without running the whole suite.
+    */
+  def runOne(spark: SparkSession, sfDir: String,
+      fn: (SparkSession, String) => DataFrame): Outcome = {
+    val t0 = System.nanoTime()
+    def el = (System.nanoTime() - t0) / 1e9
+    try { fn(spark, sfDir).count(); Completed(el) } catch {
+      case e: QueryRefusedException => RefusedRun(el, e.getMessage)
+      case e: Throwable => FailedRun(el, e.getMessage)
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -37,28 +64,29 @@ object Bench {
     // in a hot key BY SEMANTICS (see SCALING.md on q_stream_join @ zipf)
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty)
-    val results = SparkEntry.orderedQueries.filterNot(q => skip(q._1)).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: QueryRefusedException =>
-          // a refusal is the query KEEPING its documented output-budget
-          // contract on data where the contract is ill-posed (see
-          // QueryRefusedException) — recorded, but distinct from errors
-          System.err.println(s"[bench] $name REFUSED: ${e.getMessage}")
-          refused ::= name
-        case e: Throwable =>
-          // a failed query must be LOUD — a swallowed error reads as a
-          // suspiciously fast query in the timings
-          System.err.println(s"[bench] $name FAILED: ${e.getMessage}")
-          errors ::= name
-      }
-      val sec = (System.nanoTime() - t0) / 1e9
+    var refusedSec = Map.empty[String, Double]
+    val results = SparkEntry.orderedQueries.filterNot(q => skip(q._1)).flatMap { case (name, fn) =>
+      val outcome = runOne(spark, sfDir, fn)
       evictions += Memo.enforceBudget(spark, memoBudget).size
       // co-tenant noise is the dominant variance source in driver runs
       // (r8: q_outliers 14.6s under load 18-27 vs 0.6s quiet) — record
       // the 1-min load at each query's completion so the artifact alone
       // explains its own outliers
-      name -> (sec, osBean.getSystemLoadAverage)
+      outcome match {
+        case Completed(sec) =>
+          Some(name -> (sec, osBean.getSystemLoadAverage))
+        case RefusedRun(sec, msg) =>
+          System.err.println(s"[bench] $name REFUSED: $msg")
+          refused ::= name
+          refusedSec += name -> sec
+          None
+        case FailedRun(sec, msg) =>
+          // a failed query must be LOUD — a swallowed error reads as a
+          // suspiciously fast query in the timings
+          System.err.println(s"[bench] $name FAILED: $msg")
+          errors ::= name
+          Some(name -> (sec, osBean.getSystemLoadAverage))
+      }
     }
     // locale-pinned %.1f: the default-locale f"" interpolator emits
     // "18,3" under comma-decimal locales (de_DE), malformed JSON
@@ -71,6 +99,9 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = errors.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val refusedJson = refused.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val refusedSecJson = refusedSec.toSeq.sortBy(_._1)
+      .map { case (k, v) => "\"" + k + "\":" + f1(v) }
+      .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     // per-entry memoization telemetry: peak cached bytes + rebuild count
     // (builds > 1 = LRU thrash) — the zero-eviction claim is reproducible
@@ -81,7 +112,7 @@ object Bench {
           ",\"builds\":" + c + "}"
       }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"refused":$refusedJson,"sf":"$sfDir","load_avg_start":${f1(loadStart)},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions,"memo_entries":$memoEntries}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"refused":$refusedJson,"refused_sec":$refusedSecJson,"sf":"$sfDir","load_avg_start":${f1(loadStart)},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions,"memo_entries":$memoEntries}"""
     println(json)
     // full, untruncated artifact: the driver's log tail drops entries
     // past its window (8 of 74 in r5), so round-over-round comparisons
@@ -89,6 +120,16 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), json + "\n")
     }
+    // the driver keeps only the LAST ~2000 chars of stdout, and the full
+    // line above overflows that window (BENCH_r8-r10 all have parsed:
+    // null — the line's head, with {"metric", is cut off). Emit a compact
+    // summary as the FINAL line, sized to survive the tail window intact:
+    // totals + errors/refused + the 20 slowest queries.
+    val slow = results.sortBy(-_._2._1).take(20)
+      .map { case (k, (v, _)) => "\"" + k + "\":" + f1(v) }
+      .mkString("{", ",", "}")
+    println(
+      s"""{"metric":"total","value":${f1(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"refused":$refusedJson,"sf":"$sfDir","cpus":$cpus,"load_avg_start":${f1(loadStart)},"memo_evictions":$evictions,"queries":$slow}""")
     spark.stop()
   }
 }

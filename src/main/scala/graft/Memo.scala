@@ -75,10 +75,26 @@ object Memo {
       case None =>
         val before = spark.sparkContext.getPersistentRDDs.keySet
         val df = build
+        // materialize NOW: a lazy persist() registers no RDD until the
+        // first action, so a build-time delta attributes nothing and the
+        // entry's storage is invisible to eviction accounting and
+        // telemetry (every r10 bench entry reported peak_mb 0). The first
+        // consumer paid this exact materialization anyway — cached() is
+        // only ever called by one — so the cost moves, it doesn't grow.
+        df.count()
         val pinned = spark.sparkContext.getPersistentRDDs.keySet
           .diff(before).toSet
         reg(key) = new Entry(df, pinned, tick)
-        stats.getOrElseUpdate(key, new Stats).builds += 1
+        val st = stats.getOrElseUpdate(key, new Stats)
+        st.builds += 1
+        // sample immediately as well as at enforceBudget: an entry
+        // released before the next budget pass otherwise reports peak 0.
+        // writeBucketed-backed entries legitimately stay 0 — their bytes
+        // live in an on-disk table, not block storage.
+        val info = spark.sparkContext.getRDDStorageInfo
+          .map(i => i.id -> (i.memSize + i.diskSize)).toMap
+        val b = pinned.iterator.map(info.getOrElse(_, 0L)).sum
+        if (b > st.peakBytes) st.peakBytes = b
         df
     }
   }

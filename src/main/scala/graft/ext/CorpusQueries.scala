@@ -113,12 +113,15 @@ object CorpusQueries {
     //      Bloom has no false negatives, and the confirm join (against
     //      the real eval set) removes every false positive — so the
     //      oracle is the plain exact SQL. Per-doc totals are aggregated
-    //      pre-filter (map-side combinable). The probe is Spark's native
-    //      BloomFilterMightContain (r10, via BloomProbe — the expression
-    //      behind Catalyst's injected runtime bloom filters), so it
-    //      compiles into the train scan's WholeStageCodegen span instead
-    //      of the r9 interpreted per-row Scala UDF; PlanAuditSpec asserts
-    //      the plan is UDF-free ----
+    //      pre-filter (map-side combinable). The probe is the custom
+    //      graft_bloom_probe expression (BloomBcProbe, r10): the filter
+    //      ships as a BROADCAST (executor-once; a binary literal this
+    //      size measured ~2× slower, see SCALING.md) while
+    //      mightContainLong compiles into the train scan's
+    //      WholeStageCodegen span instead of the r9 interpreted per-row
+    //      Scala UDF; PlanAuditSpec asserts the plan is UDF-free.
+    //      (BloomProbe — Spark's BloomFilterMightContain over a literal —
+    //      remains the small-filter/SQL-text variant.) ----
     "q_decontaminate_bloom" -> QueryDef(
       s"""WITH ${TextOps.duckWordShingleHashesCte(5)},
          |ev AS (SELECT DISTINCT sh FROM shingles WHERE doc_id % 7 = 0),
@@ -142,18 +145,24 @@ object CorpusQueries {
         graft.Tables.documents(spark, d)
           .filter(col("doc_id") % 7 === 0).count())
       val nEvEst = math.max(nEvDocs * 256L, 1L)
-      val bloom = ev.stat.bloomFilter("sh", nEvEst, BLOOM_FPP)
       // native codegen probe over a BROADCAST filter (r10, see
       // BloomBcProbe's scaladoc for the measured literal-vs-broadcast
-      // story). SPARK_GRAFT_BLOOM_UDF=1 is the dev-only A/B switch back
-      // to the r9 broadcast+ScalaUDF probe so the comparison in
-      // SCALING.md is measurable at the same commit (never set by
-      // harnesses)
+      // story); r11: filter build + broadcast memoized per
+      // (SparkContext, sfDir) — a long-lived session rebuilding this
+      // query otherwise leaks one ~8 MB broadcast (and one full
+      // eval-side scan) per rebuild. SPARK_GRAFT_BLOOM_UDF=1 is the
+      // dev-only A/B switch back to the r9 broadcast+ScalaUDF probe so
+      // the comparison in SCALING.md is measurable at the same commit
+      // (never set by harnesses)
       val probe =
         if (sys.env.contains("SPARK_GRAFT_BLOOM_UDF")) {
+          val bloom = ev.stat.bloomFilter("sh", nEvEst, BLOOM_FPP)
           val bc = spark.sparkContext.broadcast(bloom)
           udf((x: Long) => bc.value.mightContainLong(x)).apply(col("sh"))
-        } else graft.functions.BloomBcProbe.column(spark, bloom, col("sh"))
+        } else graft.functions.BloomBcProbe.cachedColumn(spark,
+          s"decontaminate_bloom:$d", col("sh")) {
+          ev.stat.bloomFilter("sh", nEvEst, BLOOM_FPP)
+        }
       val tr = sh.filter(col("doc_id") % 7 =!= 0)
       val totals = tr.groupBy("doc_id").agg(count(lit(1)).as("n_shingles"))
       val evSmall = nEvEst <= TextQueries.EVAL_BROADCAST_MAX

@@ -96,4 +96,50 @@ object BloomBcProbe {
     org.apache.spark.sql.functions.call_function("graft_bloom_probe",
       org.apache.spark.sql.functions.lit(id), value)
   }
+
+  // cacheKey → registry id, scoped to a SparkContext incarnation so a
+  // restarted context never resurrects a dead broadcast handle
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]
+
+  /** [[column]] with the filter BUILT AND BROADCAST at most once per
+    * (SparkContext, cacheKey). A bare `column` call per query build
+    * leaks one multi-MB broadcast per rebuild in a long-lived session
+    * (~8 MB each at the 30× probe) — and the filter construction itself
+    * is a full scan of the probe side. Rebuilding the same query reuses
+    * both. `release()` drops everything deterministically.
+    */
+  def cachedColumn(spark: SparkSession, cacheKey: String,
+      value: org.apache.spark.sql.Column)(
+      build: => BloomFilter): org.apache.spark.sql.Column = {
+    ensureRegistered(spark)
+    val sc = spark.sparkContext
+    val k = s"${sc.applicationId}/${sc.startTime}:$cacheKey"
+    val id = cache.computeIfAbsent(k, _ => {
+      val bc = sc.broadcast(build)
+      val i = nextId.incrementAndGet()
+      registry.put(i, bc)
+      i
+    })
+    org.apache.spark.sql.functions.call_function("graft_bloom_probe",
+      org.apache.spark.sql.functions.lit(id), value)
+  }
+
+  /** Destroy every parked broadcast and clear the registry/cache — the
+    * cleanup hook for a long-lived session between pipeline runs (the
+    * analogue of [[graft.Memo.release]]). Plans already analyzed keep
+    * their own broadcast handle inside the expression; only UN-analyzed
+    * plans referencing a released id would fail, loudly, at analysis.
+    */
+  def release(): Unit = {
+    cache.clear()
+    val it = registry.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next(); it.remove()
+      try e.getValue.destroy() catch { case _: Throwable => }
+    }
+  }
+
+  /** Registry size (specs: proves cachedColumn bounds handle growth). */
+  def registeredCount: Int = registry.size()
 }

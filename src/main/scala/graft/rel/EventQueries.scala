@@ -235,7 +235,11 @@ object EventQueries {
           when(col("event_type") === "click", 1L).otherwise(0L).as("c"))
         .groupBy("user_id", "bin")
         .agg(sum(col("p")).as("np"), sum(col("c")).as("nc"))
-      val sameBin = counts.agg(sum(col("np") * col("nc"))).head().getLong(0)
+      // null guard mirrors prevBin's: sum over zero rows is NULL (an
+      // events table with no clicks/purchases must run, not NPE)
+      val sameBinRow = counts.agg(sum(col("np") * col("nc"))).head()
+      val sameBin =
+        if (sameBinRow.isNullAt(0)) 0L else sameBinRow.getLong(0)
       val prevBin = counts
         .join(counts.select(col("user_id"), (col("bin") + 1).as("bin"),
           col("nc").as("nc_prev")), Seq("user_id", "bin"))

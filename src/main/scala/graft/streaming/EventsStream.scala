@@ -212,6 +212,22 @@ object EventsStream {
           val sorted = evs.toArray
             .sortBy(e => (e.ts_us, e.is_purchase, e.event_id))
           val prev = state.getOption.getOrElse(ClickBuf(Array.empty, Array.empty))
+          // LOUD guard on the cross-trigger half of the ascending-buffer
+          // invariant: within a trigger the sort above establishes event-
+          // time order, but across triggers correctness relies on the
+          // source delivering later event-time data in later triggers
+          // (the single-file AvailableNow source trivially satisfies it —
+          // everything arrives in trigger one). A multi-trigger or late-
+          // data source that violates it would silently miscount n_clicks
+          // and emit negative min_gap_us; fail instead.
+          if (prev.ts.nonEmpty && sorted.nonEmpty &&
+              sorted.head.ts_us < prev.ts.last)
+            throw new IllegalStateException(
+              s"cappedIntervalJoin: trigger min ts ${sorted.head.ts_us} " +
+                s"precedes buffered max ts ${prev.ts.last} for key $user " +
+                "— cross-trigger event-time order is violated; the " +
+                "ascending-buffer invariant (see scaladoc) no longer " +
+                "holds, so results would be corrupt rather than late")
           val ts = scala.collection.mutable.ArrayBuffer(prev.ts.toSeq: _*)
           val ids = scala.collection.mutable.ArrayBuffer(prev.ids.toSeq: _*)
           val out = Seq.newBuilder[CappedJoinRow]

@@ -273,4 +273,52 @@ class EventsStreamSpec extends SparkSpec {
     // the most recent (2m, 3m), so the gap witness (3m, 7m back) is exact
     assert(got == Seq((100L, 2L, Some(7L * m))))
   }
+
+  test("capped interval join: IN-ORDER multi-trigger delivery carries the buffer across triggers") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60L * 1000000L
+    val stream = MemoryStream[EventsStream.TypedEv]
+    val q = EventsStream.runToMemory(
+      EventsStream.cappedIntervalJoin(stream.toDS(), cap = 10,
+        winUs = 24L * 3600L * 1000000L).toDF(), "cap_multi",
+      OutputMode.Append())
+    // trigger 1: two clicks; trigger 2 (later event time): a purchase
+    stream.addData(EventsStream.TypedEv(1L, 0L, 10L, false),
+      EventsStream.TypedEv(1L, 1L * m, 11L, false))
+    q.processAllAvailable()
+    stream.addData(EventsStream.TypedEv(1L, 5L * m, 100L, true))
+    q.processAllAvailable(); q.stop()
+    val got = spark.table("cap_multi")
+      .select("purchase_id", "n_clicks", "min_gap_us")
+      .as[(Long, Long, Option[Long])].collect().toSeq
+    assert(got == Seq((100L, 2L, Some(4L * m))),
+      "trigger-1 clicks must be visible to the trigger-2 purchase")
+  }
+
+  test("capped interval join: OUT-OF-ORDER cross-trigger delivery fails loudly, not corruptly") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val m = 60L * 1000000L
+    val stream = MemoryStream[EventsStream.TypedEv]
+    val q = EventsStream.runToMemory(
+      EventsStream.cappedIntervalJoin(stream.toDS(), cap = 10,
+        winUs = 24L * 3600L * 1000000L).toDF(), "cap_ooo",
+      OutputMode.Append())
+    stream.addData(EventsStream.TypedEv(1L, 10L * m, 10L, false))
+    q.processAllAvailable()
+    // a click EARLIER than the buffered max arrives in a later trigger:
+    // the ascending-buffer invariant (the retention proof's premise) is
+    // violated — silent acceptance would miscount and emit negative gaps
+    stream.addData(EventsStream.TypedEv(1L, 2L * m, 11L, false))
+    val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      q.processAllAvailable()
+    }
+    try q.stop() catch { case _: Throwable => () }
+    def causes(t: Throwable): List[Throwable] =
+      if (t == null) Nil else t :: causes(t.getCause)
+    assert(causes(e).exists(c => c.isInstanceOf[IllegalStateException] &&
+      c.getMessage.contains("ascending-buffer")),
+      s"expected the invariant guard in the cause chain, got: $e")
+  }
 }
