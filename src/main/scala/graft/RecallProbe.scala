@@ -41,31 +41,40 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
-    def pairs(maxBroadcast: Long): Map[(Long, Long), Double] =
-      ext.SimilarityQueries.embedNearDup(spark, dir, maxBroadcast)
+    val t0 = System.nanoTime()
+    val exact =                               // broadcast all-pairs anchor
+      ext.SimilarityQueries.embedNearDup(spark, dir, Long.MaxValue)
         .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)]
         .collect().map { case (a, b, c) => (a, b) -> c }.toMap
-
-    val t0 = System.nanoTime()
-    val exact = pairs(Long.MaxValue)          // broadcast all-pairs anchor
     val tExact = (System.nanoTime() - t0) / 1e9
-    val t1 = System.nanoTime()
-    val banded = pairs(0L)                    // force the past-ceiling path
-    val tBanded = (System.nanoTime() - t1) / 1e9
+    println(f"[recall] dir=$dir exact=${exact.size} (${tExact}%.1fs)")
 
     val bins = Seq(
       ("identical (cos>0.999999)", (c: Double) => c > 0.999999),
       ("near [0.9,0.999999]", (c: Double) => c >= 0.9 && c <= 0.999999),
       ("near [0.6,0.9)", (c: Double) => c >= 0.6 && c < 0.9),
       ("weak [0.4,0.6)", (c: Double) => c >= 0.4 && c < 0.6))
-    println(f"[recall] dir=$dir exact=${exact.size} (${tExact}%.1fs) banded=${banded.size} (${tBanded}%.1fs)")
-    val missedNotInExact = banded.keySet -- exact.keySet
-    println(s"[recall] banded pairs not in exact (should be 0 — both verify): ${missedNotInExact.size}")
-    bins.foreach { case (name, in) =>
-      val e = exact.count { case (_, c) => in(c) }
-      val b = exact.count { case (k, c) => in(c) && banded.contains(k) }
-      println(f"[recall] pair recall $name%-26s ${if (e == 0) 1.0 else b.toDouble / e}%.4f  ($b/$e)")
-    }
+
+    // ablation over the past-ceiling candidate arms; "union" is the
+    // path q_dedup_embed actually runs past the ceiling
+    val byMode = Seq("banded", "ivf", "union").map { mode =>
+      val t = System.nanoTime()
+      val cand = ext.SimilarityQueries.nearDupCandidates(spark, dir, mode)
+      val nCand = cand.count()
+      val got = ext.SimilarityQueries.verifiedNearDup(spark, dir, cand)
+        .select("vec_a", "vec_b", "cos").as[(Long, Long, Double)]
+        .collect().map { case (a, b, c) => (a, b) -> c }.toMap
+      val sec = (System.nanoTime() - t) / 1e9
+      val notInExact = got.keySet -- exact.keySet
+      println(f"[recall] mode=$mode%-6s candidates=$nCand%9d pairs=${got.size}%7d (${sec}%.1fs) not-in-exact(should be 0): ${notInExact.size}")
+      bins.foreach { case (name, in) =>
+        val e = exact.count { case (_, c) => in(c) }
+        val b = exact.count { case (k, c) => in(c) && got.contains(k) }
+        println(f"[recall] $mode%-6s pair recall $name%-26s ${if (e == 0) 1.0 else b.toDouble / e}%.4f  ($b/$e)")
+      }
+      mode -> got
+    }.toMap
+    val banded = byMode("union")
     // cluster-level: does transitive closure through the banded pairs
     // put the same pairs in one cluster as closure through exact pairs?
     def sameClusterPairs(ps: Iterable[(Long, Long)]): UF = {

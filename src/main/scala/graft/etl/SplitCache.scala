@@ -133,8 +133,15 @@ object SplitCache {
       try {
         val splitsF = Future(timed("splits write") { writeOnce(spark,
           Splits.leaveTwoOutFromRanked(ranked), s"$cacheDir/splits") })
-        val negF = Future(timed("negatives write") { writeOnce(spark,
-          Splits.negativeSampleScalableFrom(ranked), s"$cacheDir/negatives") })
+        // the negatives table is stored PACKED — one (user, domain,
+        // items[99]) row instead of 99 long rows (the long form's
+        // ~300M-row parquet encode was the single longest stage of the
+        // 100× build, VERDICT r10 #6); consumers read the long form via
+        // explodeNegatives (position = draw order, lossless)
+        val negF = Future(timed("negatives write") {
+          Splits.explodeNegatives(writeOnce(spark,
+            Splits.negativeSampleScalablePackedFrom(ranked),
+            s"$cacheDir/negatives")) })
         val trainF = Future(timed("train write") { writeOnce(spark,
           Splits.trainSubsampleFromRanked(ranked, Splits.TRAIN_PCT),
           s"$cacheDir/train") })

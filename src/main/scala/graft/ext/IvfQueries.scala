@@ -676,4 +676,85 @@ object IvfQueries {
         .orderBy("query_id", "rn")
       }
   }
+
+  /** Pair-mining nprobe: how many nearest cells each vector PROBES when
+    * generating near-dup candidate pairs (its HOME cell is always rank
+    * 1, so identical vectors are never missed). Recall at a given
+    * cosine rises with nprobe; candidate mass rises linearly in it.
+    */
+  val PAIR_NPROBE = 8
+
+  // centroids are deterministic (h60-seeded Lloyd) and cost KM_ITERS
+  // corpus passes — memoize per (dir, k) so q_dedup_embed and
+  // q_dedup_embed_cluster train once. k·dim longs per entry: bounded.
+  private val pairCentCache = new scala.collection.concurrent.TrieMap[
+    (String, Int), Seq[(Int, Array[Long])]]
+
+  /** Centroids for pair mining via the DISTRIBUTED Lloyd trainer
+    * ([[kmeans]] — the same machinery behind q_kmeans): the driver only
+    * ever holds k·dim aggregate rows, so k can follow
+    * [[VectorOps.ivfPairNlistFor]] past the sample-trainer's 256 cap.
+    */
+  private def pairCentroids(spark: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): Seq[(Int, Array[Long])] =
+    pairCentCache.getOrElseUpdate((d, k), {
+      import spark.implicits._
+      kmeans(spark, d, k)
+        .select(col("cent_id"), col("i"), col("c"))
+        .as[(Int, Int, Long)].collect()
+        .groupBy(_._1).toSeq.sortBy(_._1).map { case (ci, rows) =>
+          val c = new Array[Long](rows.map(_._2).max)
+          rows.foreach { case (_, i, v) => c(i - 1) = v }
+          (ci, c)
+        }
+    })
+
+  /** IVF multi-probe candidate PAIRS over the whole corpus — the
+    * weak-band near-dup generator (r11, VERDICT r10 #3). Sign-LSH
+    * banding is theorem-bound to miss the cos ∈ [0.4, 0.9) band
+    * (sub-quadratic Σbucket² forces p^bits ≪ 1 — see
+    * SimilarityQueries.bandedCandidates), but a data-adaptive Voronoi
+    * quantizer has no such bound: a pair at cosine τ is found whenever
+    * either side's HOME cell is among the other's [[PAIR_NPROBE]]
+    * nearest cells, which depends on cell geometry, not on a per-plane
+    * agreement probability. Emits unordered (query_id < vec_id) pairs
+    * from a probes ⋈ home join keyed by cell — mass is
+    * Σ_cell home(c)·probe(c) ≈ nprobe·n²/k = nprobe·n^1.5 at the
+    * k = √n dial, never all-pairs — then every returned pair is
+    * exact-cosine verified downstream (precision 1, same contract as
+    * the banded arm). Recall is MEASURED per cosine band by
+    * graft.RecallProbe (table in SCALING.md).
+    */
+  private[ext] def probePairCandidates(spark: org.apache.spark.sql.SparkSession,
+      d: String, nprobe: Int = PAIR_NPROBE): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val n = VectorOps.corpusSize(spark, d)
+    val cents = pairCentroids(spark, d, VectorOps.ivfPairNlistFor(n))
+    if (cents.isEmpty)
+      return spark.emptyDataset[(Long, Long)].toDF("query_id", "vec_id")
+    val bc = spark.sparkContext.broadcast(cents)
+    val vecs = Tables.embeddings(spark, d)
+      .filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("e"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Long])]
+    val home = vecs.mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (v, e) => (v, best(e, cs, 1).head) }
+    }.toDF("vec_id", "cent_id")
+    val probes = vecs.mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (v, e) => best(e, cs, nprobe).map(c => (v, c)) }
+    }.toDF("p_id", "cent_id")
+    // probes ⋈ home covers both directions of each unordered pair
+    // (a finds b if home(b) ∈ probe(a); b finds a symmetrically), so
+    // normalizing to query_id < vec_id + distinct is the full relation
+    probes.join(home, "cent_id")
+      .filter(col("p_id") =!= col("vec_id"))
+      .select(least(col("p_id"), col("vec_id")).as("query_id"),
+        greatest(col("p_id"), col("vec_id")).as("vec_id"))
+      .distinct()
+  }
 }

@@ -435,11 +435,15 @@ object SimilarityQueries {
     * measured 1.0 / ~0.5 / 0.19 / 0.03). The decay at weak cosine is
     * sign-LSH theory, not a tuning miss: keeping Σ bucket² sub-quadratic
     * forces p^bits ≪ 1, and at cos 0.4 (p ≈ 0.63) no (bits, bands)
-    * choice is both sub-quadratic and high-recall — weak-similarity
-    * mining needs a different candidate generator (IVF/graph), while
-    * DEDUP-relevant near-dups (cos ≥ 0.9) and the identical mass are
-    * served. Transitive closure through the base recovers part of the
-    * weak tail (cluster recall > pair recall, RecallProbe).
+    * choice is both sub-quadratic and high-recall — so the QUERY path
+    * does not rely on this generator alone for the weak band: since
+    * r11, [[nearDupCandidates]] unions it with the data-adaptive IVF
+    * multi-probe arm (IvfQueries.probePairCandidates), whose recall at
+    * a given cosine is a cell-geometry property, not a p^bits one
+    * (measured per band in SCALING.md's RecallProbe table). This
+    * generator still owns the identical + strong-cosine mass (≥ 0.96
+    * at cos ≥ 0.9). Transitive closure through the base recovers part
+    * of the weak tail on top (cluster recall > pair recall).
     */
   private val LSH_NUM_BANDS = 8
 
@@ -505,17 +509,48 @@ object SimilarityQueries {
       }.toDF("vec_id", "bi", "blk")
   }
 
+  /** Past-ceiling near-dup candidate generator — the RecallProbe
+    * ablation surface. "union" is the QUERY path (r11): banded sign-LSH
+    * (identical + strong-cosine mass, theorem-quantified recall) ∪
+    * IVF multi-probe pairs (the data-adaptive arm serving the
+    * cos ∈ [0.4, 0.9) band sign-LSH is theorem-bound to miss —
+    * IvfQueries.probePairCandidates). Both arms are sub-quadratic and
+    * both feed ONE exact-cosine verify, so precision stays 1 whatever
+    * the mix; the union is deduplicated on the unordered pair key
+    * BEFORE the verify, so a pair reaching both arms (or several LSH
+    * bands) is verified once.
+    */
+  private[graft] def nearDupCandidates(spark: org.apache.spark.sql.SparkSession,
+      d: String, mode: String = "union"): org.apache.spark.sql.DataFrame = {
+    def banded = bandedCandidates(spark, d, lit(true), lit(true),
+      lowerTriangle = true)
+    mode match {
+      case "banded" => banded
+      case "ivf" => IvfQueries.probePairCandidates(spark, d)
+      case "union" =>
+        banded.union(IvfQueries.probePairCandidates(spark, d)).distinct()
+      case other => throw new IllegalArgumentException(
+        s"nearDupCandidates mode must be banded|ivf|union, got $other")
+    }
+  }
+
+  /** Exact-cosine verify of candidate pairs against the near-dup
+    * threshold — the precision-1 stage shared by every candidate arm.
+    */
+  private[graft] def verifiedNearDup(spark: org.apache.spark.sql.SparkSession,
+      d: String, cand: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    VectorOps.cosineAuto(spark, d, cand)
+      .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
+        round(col("cos"), 6).as("cos"))
+      .filter(col("cos") >= NEAR_DUP_COS)
+
   def embedNearDupAuto(spark: org.apache.spark.sql.SparkSession, d: String,
       maxExact: Long = EMBED_PAIR_EXACT_MAX)
       : org.apache.spark.sql.DataFrame = {
     val n = VectorOps.corpusSize(spark, d)
     if (n <= maxExact) return embedNearDup(spark, d)
-    val cand = bandedCandidates(spark, d, lit(true), lit(true),
-      lowerTriangle = true)
-    VectorOps.cosineAuto(spark, d, cand)
-      .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
-        round(col("cos"), 6).as("cos"))
-      .filter(col("cos") >= NEAR_DUP_COS)
+    verifiedNearDup(spark, d, nearDupCandidates(spark, d))
   }
 
   /** Embedding near-dup pairs, corpus-size aware like [[bruteForceTopK]]:
@@ -531,12 +566,7 @@ object SimilarityQueries {
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     if (VectorOps.corpusSize(spark, d) > maxBroadcast) {
-      val pairs = bandedCandidates(spark, d, lit(true), lit(true),
-        lowerTriangle = true)
-      return VectorOps.cosine(spark, d, pairs)
-        .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
-          round(col("cos"), 6).as("cos"))
-        .filter(col("cos") >= NEAR_DUP_COS)
+      return verifiedNearDup(spark, d, nearDupCandidates(spark, d))
         .orderBy("vec_a", "vec_b")
     }
     val fixed = Tables.embeddings(spark, d)

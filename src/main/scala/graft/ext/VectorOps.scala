@@ -154,6 +154,23 @@ object VectorOps {
     k
   }
 
+  /** IVF list count for PAIR MINING (the weak-band near-dup candidate
+    * generator): the same k ≈ √n rule, but trained by the DISTRIBUTED
+    * Lloyd trainer (driver holds k·dim longs, never sample vectors), so
+    * the driver-trainer cap doesn't apply. Candidate mass is
+    * nprobe·n²/k = nprobe·n^1.5 at k=√n — sub-quadratic; the 4096 cap
+    * bounds the trainer's n·k·dim assignment cost (the binding resource
+    * at this k), past ~1.7×10⁷ vectors a hierarchical (two-level)
+    * quantizer is the right tool.
+    */
+  val IVF_PAIR_MAX_K = 4096
+
+  def ivfPairNlistFor(n: Long): Int = {
+    var k = IVF_MIN_K
+    while (k < IVF_PAIR_MAX_K && k.toLong * k < n) k *= 2
+    k
+  }
+
   /** The identical dial as a DuckDB CASE chain over a count expression. */
   def duckIvfNlist(nExpr: String): String = {
     val ks = Iterator.iterate(IVF_MIN_K)(_ * 2).takeWhile(_ < IVF_MAX_K).toSeq

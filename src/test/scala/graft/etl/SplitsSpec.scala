@@ -88,6 +88,20 @@ class SplitsSpec extends SparkSpec {
     }
   }
 
+  test("packed sampler explodes to exactly the long-form relation, both paths") {
+    def rows(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getInt(3))).sorted
+    val long = rows(Splits.negativeSampleScalableFrom(fixture, draws = 8))
+    val viaPackedB = rows(Splits.explodeNegatives(
+      Splits.negativeSampleScalablePackedFrom(fixture, draws = 8)))
+    assert(viaPackedB.nonEmpty && viaPackedB.sameElements(long))
+    // distributed pack (the past-broadcast-ceiling write shape)
+    val viaPackedJ = rows(Splits.explodeNegatives(
+      Splits.negativeSampleScalablePackedFrom(fixture, draws = 8,
+        maxBroadcastItems = 0)))
+    assert(viaPackedJ.sameElements(long))
+  }
+
   test("approximate cardinalities stay within HLL error of exact") {
     val rows = graft.SparkEntry.defs("q_approx_counts").build(spark, sf()).collect()
     assert(rows.nonEmpty)
