@@ -59,6 +59,25 @@ object Profile {
       // cooc pair-kernel probe: explicit repartition on the pair key
       // before the count agg — skips the futile map-side combine over
       // ~ΣC(d,2) mostly-unique keys (complete-mode agg after exchange)
+      // digest-input shape A/B (r11): the fused multi-epoch digest fold
+      // fed from the PACKED negatives cache (explode on read) vs the
+      // long-form table (the r10 shape). Fixed /tmp dirs so repeats in
+      // one JVM are read-only; 'rm -rf /tmp/negprobe_*' to rebuild.
+      case s"dev:dig_$shape" if shape == "packed" || shape == "long" =>
+        import org.apache.spark.sql.functions.{col, lit}
+        val packed = etl.SplitCache.writeOnce(spark,
+          etl.Splits.negativeSampleScalablePackedFrom(
+            etl.Splits.rankedFrom(etl.Interactions(spark, sfDir))),
+          s"/tmp/negprobe_packed_${sfDir.replaceAll("[^a-z0-9]", "_")}")
+        val negs =
+          if (shape == "packed") etl.Splits.explodeNegatives(packed)
+          else etl.SplitCache.writeOnce(spark,
+            etl.Splits.explodeNegatives(packed),
+            s"/tmp/negprobe_long_${sfDir.replaceAll("[^a-z0-9]", "_")}")
+        val cands = negs.select(col("user_id"), col("domain"),
+          col("item_id"), lit(0).as("is_positive"))
+        time(s"dev:dig_$shape", rank.Metrics.posRanksDigestMultiFrom(
+          Lifecycle.epochScores(cands, 1 to 3), kMax = 10))
       case "dev:cooc_repart" =>
         import org.apache.spark.sql.functions._
         val i = etl.Interactions.cached(spark, sfDir)
