@@ -59,6 +59,15 @@ object Profile {
       // cooc pair-kernel probe: explicit repartition on the pair key
       // before the count agg — skips the futile map-side combine over
       // ~ΣC(d,2) mostly-unique keys (complete-mode agg after exchange)
+      // near-dup candidate-arm probes (r11): count one generator's pair
+      // volume, or run the full verify over one arm, without the CC tail
+      case s"dev:ndcand_$mode" =>
+        time(s"dev:ndcand_$mode",
+          ext.SimilarityQueries.nearDupCandidates(spark, sfDir, mode))
+      case s"dev:ndverify_$mode" =>
+        time(s"dev:ndverify_$mode", ext.SimilarityQueries.verifiedNearDup(
+          spark, sfDir,
+          ext.SimilarityQueries.nearDupCandidates(spark, sfDir, mode)))
       // digest-input shape A/B (r11): the fused multi-epoch digest fold
       // fed from the PACKED negatives cache (explode on read) vs the
       // long-form table (the r10 shape). Fixed /tmp dirs so repeats in

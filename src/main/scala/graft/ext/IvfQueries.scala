@@ -749,12 +749,33 @@ object IvfQueries {
       it.flatMap { case (v, e) => best(e, cs, nprobe).map(c => (v, c)) }
     }.toDF("p_id", "cent_id")
     // probes ⋈ home covers both directions of each unordered pair
-    // (a finds b if home(b) ∈ probe(a); b finds a symmetrically), so
-    // normalizing to query_id < vec_id + distinct is the full relation
-    probes.join(home, "cent_id")
+    // (a finds b if home(b) ∈ probe(a); b finds a symmetrically).
+    // Two measured shapes matter here (SCALING.md r11):
+    //  - NO pre-verify distinct: the raw join output at 100× is
+    //    ~5.8×10⁸ rows, and a distinct on it is a ~10 GB shuffle,
+    //    while the downstream exact-cosine verify is a NARROW
+    //    broadcast dot (64 mults/row, no exchange). A pair reaches
+    //    the verify at most 2·nprobe times; the caller dedups the
+    //    ~10³× smaller verified survivors instead.
+    //  - The home side joins as a BROADCAST under the corpus ceiling:
+    //    a shuffled join here gets AQE-coalesced to ~1 partition
+    //    (both INPUTS are a few MB — AQE cannot see the 400× fan-out)
+    //    and the whole pair stream then runs single-threaded. Past
+    //    the ceiling the exchange is forced wide by salting the home
+    //    side (home×S replicas, probes salted by hash(p_id)) so a
+    //    hot cell spreads over S tasks — same rows either way.
+    val joined =
+      if (n <= VectorOps.CORPUS_BROADCAST_MAX)
+        probes.join(broadcast(home), "cent_id")
+      else {
+        val s = probes.sparkSession.sparkContext.defaultParallelism
+        probes.withColumn("salt", pmod(hash(col("p_id")), lit(s)))
+          .join(home.withColumn("salt",
+            explode(lit((0 until s).toArray))), Seq("cent_id", "salt"))
+      }
+    joined
       .filter(col("p_id") =!= col("vec_id"))
       .select(least(col("p_id"), col("vec_id")).as("query_id"),
         greatest(col("p_id"), col("vec_id")).as("vec_id"))
-      .distinct()
   }
 }

@@ -528,7 +528,7 @@ object SimilarityQueries {
       case "banded" => banded
       case "ivf" => IvfQueries.probePairCandidates(spark, d)
       case "union" =>
-        banded.union(IvfQueries.probePairCandidates(spark, d)).distinct()
+        banded.union(IvfQueries.probePairCandidates(spark, d))
       case other => throw new IllegalArgumentException(
         s"nearDupCandidates mode must be banded|ivf|union, got $other")
     }
@@ -536,6 +536,11 @@ object SimilarityQueries {
 
   /** Exact-cosine verify of candidate pairs against the near-dup
     * threshold — the precision-1 stage shared by every candidate arm.
+    * Candidates may repeat (the IVF arm emits a pair once per shared
+    * probed cell and direction, bounded by 2·nprobe — its scaladoc has
+    * the measured case for verifying raw): duplicates cost one 64-mult
+    * dot each inside the narrow verify and collapse in the distinct
+    * over the ~10³× smaller survivor set, so output pairs stay unique.
     */
   private[graft] def verifiedNearDup(spark: org.apache.spark.sql.SparkSession,
       d: String, cand: org.apache.spark.sql.DataFrame)
@@ -544,6 +549,7 @@ object SimilarityQueries {
       .select(col("query_id").as("vec_a"), col("vec_id").as("vec_b"),
         round(col("cos"), 6).as("cos"))
       .filter(col("cos") >= NEAR_DUP_COS)
+      .distinct()
 
   def embedNearDupAuto(spark: org.apache.spark.sql.SparkSession, d: String,
       maxExact: Long = EMBED_PAIR_EXACT_MAX)
