@@ -242,9 +242,55 @@ object DedupQueries {
   private[ext] def minhashVerifiedPairs(spark: SparkSession,
       d: String): DataFrame =
     graft.Memo.cached(spark, d, "dedup.minhashVerifiedPairs") {
-      minhashVerifiedPairsWith(spark, d,
-        TextOps.wordShingleHashes(spark, d, 5)) // verify input, 8-byte keys
+      // REPRESENTATIVE factoring (r11): identical text ⟹ identical
+      // shingle set ⟹ identical band signatures AND identical Jaccard
+      // against every other document — so band + verify need only run
+      // over one representative per distinct text, and the full pair
+      // relation is a pure output-sized EXPANSION through the
+      // exact-dup groups. On the 100× hot-source axis (replicated,
+      // unmutated text: groups of ~100 identical docs) the direct form
+      // fanned every within-group candidate (Σ C(m,2) ≈ 2.5×10⁷ pairs)
+      // through the shingle-level verify join — ~130 shingle rows per
+      // pair, the 907s tail of the zipf capstone — while this form
+      // verifies 1/m² of the candidates and synthesizes within-group
+      // pairs as (ni = ns, jac = 1.0) directly, which is exactly what
+      // the oracle's verify computes for identical sets. Text identity
+      // is h60(text) (same identity the q_corpus_final exact stage and
+      // its oracle both key on); docs with <5 words have no shingles,
+      // are never oracle candidates, and are excluded from grouping.
+      val docs = Tables.documents(spark, d)
+      // persisted: four downstream joins consume this relation, and
+      // recomputing it is a full text scan + whole-text md5 each time
+      // (measured 29.7s → see SCALING.md; 16 bytes/doc cached). The
+      // persist lands inside this Memo build, so its blocks are
+      // entry-attributed and released with the entry.
+      val withTh = docs
+        .filter(col("text").isNotNull &&
+          size(split(col("text"), " ", -1)) >= 5)
+        .select(col("doc_id"), graft.Hashing.h60(col("text")).as("th"))
         .persist()
+      val groups = withTh.groupBy("th").agg(min(col("doc_id")).as("rep"))
+      val members = withTh.join(groups, "th")
+      val repDocs = docs
+        .join(groups.select(col("rep").as("doc_id")), "doc_id")
+      val sh = TextOps.wordShingleHashesRel(repDocs, 5)
+      val repPairs = minhashVerifiedPairsFrom(repDocs, sh)
+      val within = members
+        .select(col("th"), col("rep"), col("doc_id").as("doc_a"))
+        .join(members.select(col("th"), col("doc_id").as("doc_b")), "th")
+        .filter(col("doc_a") < col("doc_b"))
+        .join(sh.groupBy("doc_id").agg(count(lit(1)).as("ns"))
+          .select(col("doc_id").as("rep"), col("ns")), "rep")
+        .select(col("doc_a"), col("doc_b"), col("ns").as("ni"),
+          lit(1.0).as("jac"))
+      val cross = repPairs
+        .select(col("doc_a").as("ra"), col("doc_b").as("rb"),
+          col("ni"), col("jac"))
+        .join(members.select(col("rep").as("ra"), col("doc_id").as("a")), "ra")
+        .join(members.select(col("rep").as("rb"), col("doc_id").as("b")), "rb")
+        .select(least(col("a"), col("b")).as("doc_a"),
+          greatest(col("a"), col("b")).as("doc_b"), col("ni"), col("jac"))
+      within.unionByName(cross).persist()
     }
 
   /** The candidate+verify stages with an injectable shingle relation —
@@ -254,8 +300,16 @@ object DedupQueries {
     * side exchange-free (BucketedDocsSpec proves plan + value equality).
     */
   def minhashVerifiedPairsWith(spark: SparkSession, d: String,
+      sh: DataFrame): DataFrame =
+    minhashVerifiedPairsFrom(Tables.documents(spark, d), sh)
+
+  /** Band + candidate + shingle-level verify over an explicit documents
+    * slice (`sh` must be the shingle relation of the SAME slice) — the
+    * primitive [[minhashVerifiedPairs]] runs over text representatives.
+    */
+  private[ext] def minhashVerifiedPairsFrom(docs: DataFrame,
       sh: DataFrame): DataFrame = {
-    val bands = minhashBands(spark, d, 5)
+    val bands = minhashBandsFrom(docs, 5)
     val cand = bands.as("a")
       .join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.sig") === col("b.sig") &&

@@ -51,17 +51,37 @@ object LinkQueries {
         |WHERE levenshtein(substr(a.text, 1, $HeadLen),
         |                  substr(b.text, 1, $HeadLen)) <= $MaxDist
         |ORDER BY doc_a, doc_b""".stripMargin) { (spark, d) =>
+      // REPRESENTATIVE factoring (r11, same proof shape as
+      // minhashVerifiedPairs): dist depends only on the two HEADS, and
+      // the block is a prefix of the head — so the DP runs once per
+      // distinct-head pair and the full relation is an output-sized
+      // expansion (within-group pairs are dist 0 by definition). On the
+      // 100× hot-source axis (~100 identical copies per text) this
+      // replaces C(100,2) levenshtein calls per group with zero.
+      // Null text never joins in the oracle (= on NULL) — excluded.
       val docs = Tables.documents(spark, d)
+        .filter(col("text").isNotNull)
         .select(col("doc_id"), substring(col("text"), 1, BlockLen).as("blk"),
-          substring(col("text"), 1, HeadLen).as("head"))
-      docs.as("a").join(docs.as("b"),
-          col("a.blk") === col("b.blk") && col("a.doc_id") < col("b.doc_id"))
-        .withColumn("dist",
-          expr(s"levenshtein(a.head, b.head, $MaxDist)"))
+          substring(col("text"), 1, HeadLen).as("head"),
+          graft.Hashing.h60(substring(col("text"), 1, HeadLen)).as("hh"))
+      val groups = docs.groupBy("hh").agg(min(col("doc_id")).as("rep"))
+      val members = docs.select(col("hh"), col("doc_id")).join(groups, "hh")
+      val reps = docs.join(groups.select(col("rep").as("doc_id")), "doc_id")
+      val repPairs = reps.as("a").join(reps.as("b"),
+          col("a.blk") === col("b.blk") && col("a.hh") < col("b.hh"))
+        .withColumn("dist", expr(s"levenshtein(a.head, b.head, $MaxDist)"))
         .filter(col("dist") >= 0 && col("dist") <= MaxDist)
-        .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-          col("dist"))
-        .orderBy("doc_a", "doc_b")
+        .select(col("a.hh").as("ha"), col("b.hh").as("hb"), col("dist"))
+      val cross = repPairs
+        .join(members.select(col("hh").as("ha"), col("doc_id").as("a")), "ha")
+        .join(members.select(col("hh").as("hb"), col("doc_id").as("b")), "hb")
+        .select(least(col("a"), col("b")).as("doc_a"),
+          greatest(col("a"), col("b")).as("doc_b"), col("dist"))
+      val within = members.select(col("hh"), col("doc_id").as("doc_a"))
+        .join(members.select(col("hh"), col("doc_id").as("doc_b")), "hh")
+        .filter(col("doc_a") < col("doc_b"))
+        .select(col("doc_a"), col("doc_b"), lit(0).as("dist"))
+      within.unionByName(cross).orderBy("doc_a", "doc_b")
     },
 
     // ---- q_entropy: per-source Shannon entropy of the token unigram
