@@ -269,6 +269,23 @@ object DedupQueries {
           size(split(col("text"), " ", -1)) >= 5)
         .select(col("doc_id"), graft.Hashing.h60(col("text")).as("th"))
         .persist()
+      // COUNT-GATED dial (same rule family as the ANN/broadcast dials):
+      // the factoring pays a ~fixed overhead (group joins + a rep-side
+      // text shuffle, ~50s at 100×) that only repays when texts
+      // actually repeat — on a distinct-text corpus (nd axis: 499 213
+      // distinct of 500 000) the direct form measured 77.1 → ~25s.
+      // approx_count_distinct suffices: the branch point is a 2×
+      // duplication ratio, far outside HLL error.
+      val st = withTh.agg(count(lit(1)),
+        approx_count_distinct(col("th"))).head()
+      val dupRatio =
+        if (st.getLong(1) == 0L) 1.0
+        else st.getLong(0).toDouble / st.getLong(1)
+      if (dupRatio < 2.0) {
+        withTh.unpersist(blocking = false)
+        minhashVerifiedPairsWith(spark, d,
+          TextOps.wordShingleHashes(spark, d, 5)).persist()
+      } else {
       val groups = withTh.groupBy("th").agg(min(col("doc_id")).as("rep"))
       val members = withTh.join(groups, "th")
       val repDocs = docs
@@ -291,6 +308,7 @@ object DedupQueries {
         .select(least(col("a"), col("b")).as("doc_a"),
           greatest(col("a"), col("b")).as("doc_b"), col("ni"), col("jac"))
       within.unionByName(cross).persist()
+      }
     }
 
   /** The candidate+verify stages with an injectable shingle relation —
