@@ -99,6 +99,20 @@ object Memo {
     }
   }
 
+  /** The entry for (session, sfDir, name) if a build already registered
+    * one — no build is triggered. Lets a consumer pick up an OPTIONAL
+    * side relation that another entry's build registers only on some
+    * branches (e.g. the factored near-dup build's connectivity-reduced
+    * edge twin) and fall back when the branch wasn't taken.
+    */
+  def peek(spark: SparkSession, sfDir: String, name: String)
+      : Option[DataFrame] = synchronized {
+    tick += 1
+    reg.get(Key(sessionId(spark), sfDir, name)).map { e =>
+      e.lastUse = tick; e.df
+    }
+  }
+
   /** Drop and unpersist every entry of this session (one sfDir, or all
     * when sfDir is null). Safe to call at any point between queries; the
     * next consumer rebuilds.

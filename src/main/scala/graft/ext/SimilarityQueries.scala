@@ -564,8 +564,106 @@ object SimilarityQueries {
       spark: org.apache.spark.sql.SparkSession, d: String)
       : org.apache.spark.sql.DataFrame =
     graft.Memo.cached(spark, d, "sim.nearDupPairs") {
-      verifiedNearDup(spark, d, nearDupCandidates(spark, d)).persist()
+      // REPRESENTATIVE factoring, vector edition (r11): the text twin's
+      // logic transfers verbatim — an identical embedding has identical
+      // cosine against every other vector, so pair mining need only run
+      // over one representative per DISTINCT vector, and the full
+      // relation is an output-sized expansion (within-group pairs are
+      // cos 1.0 by definition; cross-group pairs inherit the verified
+      // representative cosine). Identity is the QUANTIZED form — the
+      // exact verify's own input representation, so "identical" means
+      // identical to the cosine every path computes — keyed by two
+      // independent 64-bit hashes (collision odds ~n²/2¹²⁸; the text
+      // factoring's single-h60 key carries more risk and is oracle-
+      // anchored). Zero-quantized vectors are excluded up front: no
+      // path emits a pair for them (the exact loop skips norm 0, the
+      // verify's threshold filter drops NaN). The payoff regime is
+      // duplicated corpora — exactly where band buckets and IVF cells
+      // blow up quadratically (the zipf 100× axis: 100 verbatim copies
+      // per vector, union arms 575.7s) — and when representatives fit
+      // the pair-exact ceiling the factored relation is BIT-EXACT to
+      // the quadratic oracle form (recall 1, not a recall contract).
+      // Count-gated like the text dial: duplication < 2× or too many
+      // representatives → the union-generator path unchanged.
+      val withVh = Tables.embeddings(spark, d)
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+          .as("e"))
+        .filter(expr("exists(e, x -> x != 0L)"))
+        .select(col("vec_id"), xxhash64(col("e")).as("vh"),
+          xxhash64(col("e"), lit(88L)).as("vh2"))
+        .persist()
+      val st = withVh.agg(count(lit(1)),
+        approx_count_distinct(col("vh"))).head()
+      val nRep = if (st.isNullAt(1)) 0L else st.getLong(1)
+      val dupRatio =
+        if (nRep == 0L) 1.0 else st.getLong(0).toDouble / nRep
+      if (dupRatio < 2.0 || nRep > EMBED_PAIR_EXACT_MAX) {
+        withVh.unpersist(blocking = false)
+        verifiedNearDup(spark, d, nearDupCandidates(spark, d)).persist()
+      } else {
+        val groups = withVh.groupBy("vh", "vh2")
+          .agg(min(col("vec_id")).as("rep"))
+        val members = withVh.join(groups, Seq("vh", "vh2"))
+        val repPairs = embedNearDupFrom(spark,
+            Tables.embeddings(spark, d)
+              .join(groups.select(col("rep").as("vec_id")), "vec_id"))
+          .select(col("vec_a").as("ra"), col("vec_b").as("rb"), col("cos"))
+        val within = members
+          .select(col("vh"), col("vh2"), col("vec_id").as("a"))
+          .join(members.select(col("vh"), col("vh2"),
+            col("vec_id").as("b")), Seq("vh", "vh2"))
+          .filter(col("a") < col("b"))
+          .select(col("a").as("vec_a"), col("b").as("vec_b"),
+            lit(1.0).as("cos"))
+        val cross = repPairs
+          .join(members.select(col("rep").as("ra"),
+            col("vec_id").as("a")), "ra")
+          .join(members.select(col("rep").as("rb"),
+            col("vec_id").as("b")), "rb")
+          .select(least(col("a"), col("b")).as("vec_a"),
+            greatest(col("a"), col("b")).as("vec_b"), col("cos"))
+        // connectivity-reduced edge twin for cluster assembly: a
+        // within-group CLIQUE is connectivity-equivalent to a STAR on
+        // its representative, and the cross expansion of a rep pair to
+        // one rep–rep edge — components (hence min-id labels) are
+        // identical, but the edge count is members + rep pairs instead
+        // of the output-sized pair relation (the zipf 100× pair
+        // relation is 19.1M rows of ~100-cliques; propagating labels
+        // through it cost q_dedup_embed_cluster 255s vs seconds over
+        // the reduction). Registered here because only this build
+        // knows the group structure; consumers peek and fall back to
+        // the pair relation when this branch wasn't taken.
+        graft.Memo.cached(spark, d, "sim.nearDupEdges") {
+          members.filter(col("vec_id") =!= col("rep"))
+            .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+            .unionByName(repPairs.select(col("ra").as("vec_a"),
+              col("rb").as("vec_b")))
+            .persist()
+        }
+        within.unionByName(cross).persist()
+      }
     }
+
+  /** Edge relation for near-dup cluster assembly: the pair relation
+    * itself, or — when the representative factoring built one — its
+    * connectivity-equivalent reduction (stars + rep pairs). Builds the
+    * pair relation first so the factored branch has registered the
+    * twin; label equality between the two inputs is spec-proven on a
+    * duplicated fixture.
+    */
+  private[graft] def nearDupClusterEdges(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      maxExact: Long = EMBED_PAIR_EXACT_MAX)
+      : org.apache.spark.sql.DataFrame = {
+    val pairs = embedNearDupAuto(spark, d, maxExact)
+    val n = VectorOps.corpusSize(spark, d)
+    val src =
+      if (n <= maxExact) pairs
+      else graft.Memo.peek(spark, d, "sim.nearDupEdges").getOrElse(pairs)
+    src.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+  }
 
   def embedNearDupAuto(spark: org.apache.spark.sql.SparkSession, d: String,
       maxExact: Long = EMBED_PAIR_EXACT_MAX)
@@ -586,12 +684,26 @@ object SimilarityQueries {
   def embedNearDup(spark: org.apache.spark.sql.SparkSession, d: String,
       maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX)
       : org.apache.spark.sql.DataFrame = {
-    import spark.implicits._
     if (VectorOps.corpusSize(spark, d) > maxBroadcast) {
       return verifiedNearDup(spark, d, nearDupCandidates(spark, d))
         .orderBy("vec_a", "vec_b")
     }
-    val fixed = Tables.embeddings(spark, d)
+    embedNearDupFrom(spark, Tables.embeddings(spark, d))
+  }
+
+  /** The exact broadcast-matrix pair loop over an explicit embeddings
+    * slice — the primitive behind [[embedNearDup]]'s under-ceiling
+    * branch, and what the representative factoring runs over the
+    * distinct-vector slice (collect is bounded by the CALLER's ceiling:
+    * [[embedNearDup]] gates on corpus count, the factoring on
+    * representative count).
+    */
+  private[ext] def embedNearDupFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      embDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val fixed = embDf
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
         .as("e")).as[(Long, Array[Long])]
@@ -1075,9 +1187,7 @@ object SimilarityQueries {
          |       CAST(MAX(vec_id) AS BIGINT) AS max_member
          |FROM comp GROUP BY cluster_id
          |ORDER BY cluster_id""".stripMargin) { (spark, d) =>
-      DedupCluster.connectedComponents(
-          embedNearDupAuto(spark, d)
-            .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+      DedupCluster.connectedComponents(nearDupClusterEdges(spark, d))
         .groupBy(col("label").as("cluster_id"))
         .agg(count(lit(1)).as("n_members"),
           sum(col("id")).as("member_checksum"),

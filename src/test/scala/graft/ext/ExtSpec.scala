@@ -62,6 +62,45 @@ class ExtSpec extends SparkSpec {
     }
   }
 
+  test("representative factoring over duplicated vectors is bit-exact") {
+    // three copies of every vector under shifted ids → duplication
+    // ratio 3 ≥ 2 with representatives under the pair-exact ceiling, so
+    // nearDupPairsPastCeiling takes the FACTORED branch (exact loop
+    // over one representative per distinct quantized vector + the
+    // output-sized within/cross expansion) — which must equal the plain
+    // exact loop over the whole duplicated corpus, pair for pair,
+    // cosine for cosine
+    val OFF = 1000000L
+    val tmp = java.nio.file.Files.createTempDirectory("rep_factor").toString
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    base.unionByName(base.withColumn("vec_id", col("vec_id") + OFF))
+      .unionByName(base.withColumn("vec_id", col("vec_id") + 2 * OFF))
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    def rel(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Double]("cos"))).sorted
+    val exact = rel(SimilarityQueries.embedNearDup(spark, tmp))
+    val factored = rel(
+      SimilarityQueries.embedNearDupAuto(spark, tmp, maxExact = 0L))
+    // the duplicated fixture must actually exercise both pair kinds:
+    // within-group (cos 1.0 synthesized) and cross-group (inherited)
+    assert(factored.exists(_._3 == 1.0) && factored.exists(_._3 < 1.0))
+    assert(factored.sameElements(exact),
+      s"factored ${factored.length} pairs != exact ${exact.length}")
+    // the connectivity-reduced edge twin (stars + rep pairs) must
+    // produce the SAME component labels as propagating through the
+    // full pair relation — same components, same min-id labels
+    def labels(edges: org.apache.spark.sql.DataFrame) =
+      DedupCluster.connectedComponents(edges).collect()
+        .map(r => (r.getAs[Long]("id"), r.getAs[Long]("label"))).sorted
+    val viaPairs = labels(
+      SimilarityQueries.embedNearDup(spark, tmp)
+        .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b")))
+    val viaReduced = labels(
+      SimilarityQueries.nearDupClusterEdges(spark, tmp, maxExact = 0L))
+    assert(viaReduced.nonEmpty && viaReduced.sameElements(viaPairs))
+  }
+
   test("LSH near-dup branch returns only exact-verified pairs with full identical-pair recall") {
     // force the scale branch (maxExact=0) at fixture size and compare
     // against the exact generator: every LSH pair must appear in the
