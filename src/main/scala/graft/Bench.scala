@@ -65,8 +65,14 @@ object Bench {
     val skip: Set[String] = sys.env.get("SPARK_GRAFT_SKIP")
       .map(_.split(",").toSet).getOrElse(Set.empty)
     var refusedSec = Map.empty[String, Double]
+    // per-query internal stage timings (VERDICT r11 #8): operators report
+    // build stages into StageTiming; draining per query attributes them
+    var stages = List.empty[(String, Seq[(String, Double)])]
+    StageTiming.drain() // discard anything from session warm-up
     val results = SparkEntry.orderedQueries.filterNot(q => skip(q._1)).flatMap { case (name, fn) =>
       val outcome = runOne(spark, sfDir, fn)
+      val st = StageTiming.drain()
+      if (st.nonEmpty) stages ::= name -> st
       evictions += Memo.enforceBudget(spark, memoBudget).size
       // co-tenant noise is the dominant variance source in driver runs
       // (r8: q_outliers 14.6s under load 18-27 vs 0.6s quiet) — record
@@ -111,8 +117,12 @@ object Bench {
         "\"" + n + "\":{\"peak_mb\":" + (b / 1024 / 1024) +
           ",\"builds\":" + c + "}"
       }.mkString("{", ",", "}")
+    val stagesJson = stages.reverse.map { case (q, st) =>
+      "\"" + q + "\":" + st.map { case (s, v) => "\"" + s + "\":" + f1(v) }
+        .mkString("{", ",", "}")
+    }.mkString("{", ",", "}")
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"refused":$refusedJson,"refused_sec":$refusedSecJson,"sf":"$sfDir","load_avg_start":${f1(loadStart)},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions,"memo_entries":$memoEntries}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"refused":$refusedJson,"refused_sec":$refusedSecJson,"sf":"$sfDir","load_avg_start":${f1(loadStart)},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions,"memo_entries":$memoEntries,"stages":$stagesJson}"""
     println(json)
     // full, untruncated artifact: the driver's log tail drops entries
     // past its window (8 of 74 in r5), so round-over-round comparisons

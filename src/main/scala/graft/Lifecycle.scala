@@ -20,17 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Lifecycle {
 
-  /** Stage timer for dev profiling — prints to stderr only when
-    * GRAFT_STAGE_TIMING is set, so Bench/Verify output is unaffected.
+  /** Stage timer: records into the bench artifact via StageTiming,
+    * stderr echo only when GRAFT_STAGE_TIMING is set.
     */
-  private def timed[A](stage: String)(body: => A): A = {
-    if (sys.env.contains("GRAFT_STAGE_TIMING")) {
-      val t0 = System.nanoTime()
-      val r = body
-      System.err.println(f"[lifecycle] $stage%-24s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-      r
-    } else body
-  }
+  private def timed[A](stage: String)(body: => A): A =
+    StageTiming.timed(s"lifecycle/$stage")(body)
 
   /** One epoch: score candidates (epoch-salted), compute ranking metrics,
     * append them to the log. Returns this epoch's metrics.

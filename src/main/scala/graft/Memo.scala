@@ -37,6 +37,10 @@ import scala.collection.mutable
   * land in the wrong entry's delta and a later eviction could unpersist a
   * live localCheckpoint — a correctness bug, not just a perf one). Queries
   * execute sequentially in every harness, so the lock is uncontended.
+  * NESTED builds (an inner `cached` completing inside an outer build — the
+  * lock is re-entrant) are sound: the inner registers first, and the outer
+  * delta subtracts ids already owned by registered entries, so each RDD
+  * has exactly one owning entry.
   */
 object Memo {
 
@@ -82,8 +86,16 @@ object Memo {
         // consumer paid this exact materialization anyway — cached() is
         // only ever called by one — so the cost moves, it doesn't grow.
         df.count()
+        // exclude ids already owned by OTHER entries: a nested cached()
+        // (an inner build registering a twin relation mid-build, e.g. the
+        // factored near-dup build's edge twin) completes and registers
+        // before this delta is taken, so without the subtraction the
+        // inner's RDDs land in BOTH entries — evicting the outer would
+        // then raw-unpersist the still-registered inner's blocks and
+        // double-count its bytes in per-entry accounting.
+        val owned = reg.valuesIterator.flatMap(_.rddIds).toSet
         val pinned = spark.sparkContext.getPersistentRDDs.keySet
-          .diff(before).toSet
+          .diff(before).toSet.diff(owned)
         reg(key) = new Entry(df, pinned, tick)
         val st = stats.getOrElseUpdate(key, new Stats)
         st.builds += 1
@@ -122,6 +134,12 @@ object Memo {
       reg.keys.filter(k => k.session == sessionId(spark) &&
           (sfDir == null || k.sfDir == sfDir))
         .toList.foreach(releaseEntry(spark, _))
+    }
+
+  /** Drop and unpersist ONE named entry (no-op if absent). */
+  def releaseOne(spark: SparkSession, sfDir: String, name: String): Unit =
+    synchronized {
+      releaseEntry(spark, Key(sessionId(spark), sfDir, name))
     }
 
   /** Evict least-recently-used entries of this session until cached

@@ -1,0 +1,50 @@
+package graft
+
+/** Per-stage wall-clock collector for the expensive builds (VERDICT r11
+  * #8): operators wrap their internal stages in [[timed]], Bench drains
+  * the buffer after every query and embeds the stages in the bench
+  * artifact, so a capstone tail's host-vs-plan attribution (is the 600 s
+  * in the kmeans train, the pair join, or spread evenly — i.e. load?)
+  * is readable from the JSON alone, without a re-run under
+  * GRAFT_STAGE_TIMING.
+  *
+  * Collection is always on — the cost is one queue append per stage, a
+  * handful per query. Stderr echo only under GRAFT_STAGE_TIMING (the
+  * pre-r12 behavior of the lifecycle/split-cache timers, which now
+  * delegate here).
+  */
+object StageTiming {
+
+  private val buf =
+    new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
+
+  def timed[A](stage: String)(body: => A): A = {
+    val t0 = System.nanoTime()
+    val r = body
+    val sec = (System.nanoTime() - t0) / 1e9
+    buf.add(stage -> sec)
+    if (sys.env.contains("GRAFT_STAGE_TIMING"))
+      System.err.println(
+        f"[stage] $stage%-36s $sec%8.2f s")
+    r
+  }
+
+  /** Entries recorded since the last drain, in record order, repeated
+    * stage names summed (an epoch loop hits the same stage per epoch).
+    * Bench calls this once per query, so the drained list is exactly
+    * that query's stages — memoized builds report on the query that
+    * actually built.
+    */
+  def drain(): Seq[(String, Double)] = {
+    val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    var e = buf.poll()
+    while (e != null) {
+      out.updateWith(e._1) {
+        case Some(v) => Some(v + e._2)
+        case None => Some(e._2)
+      }
+      e = buf.poll()
+    }
+    out.toSeq
+  }
+}

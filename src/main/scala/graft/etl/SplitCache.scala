@@ -16,17 +16,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SplitCache {
 
-  /** Dev stage timer (same contract as Lifecycle.timed): stderr only
-    * when GRAFT_STAGE_TIMING is set.
+  /** Stage timer: records into the bench artifact via StageTiming,
+    * stderr echo only when GRAFT_STAGE_TIMING is set.
     */
-  private def timed[A](stage: String)(body: => A): A = {
-    if (sys.env.contains("GRAFT_STAGE_TIMING")) {
-      val t0 = System.nanoTime()
-      val r = body
-      System.err.println(f"[splitcache] $stage%-22s ${(System.nanoTime() - t0) / 1e9}%7.2f s")
-      r
-    } else body
-  }
+  private def timed[A](stage: String)(body: => A): A =
+    graft.StageTiming.timed(s"splitcache/$stage")(body)
 
   /** Materialize `df` at `path` unless already present AND complete;
     * return a scan of the materialized table (never the in-memory plan,

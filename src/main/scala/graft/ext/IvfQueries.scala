@@ -455,18 +455,28 @@ object IvfQueries {
   private def kmeans(spark: org.apache.spark.sql.SparkSession, d: String,
       k: Int): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val vecs = Tables.embeddings(spark, d)
+    kmeansVecs(spark, Tables.embeddings(spark, d)
       .filter(size(col("embedding")) > 0)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
         .as("e"))
+      .as[(Long, Array[Long])], k)
+  }
+
+  /** The distributed Lloyd trainer over an EXPLICIT (vec_id, fixed-point
+    * vector) dataset — [[kmeans]] is the full-embedding instance; the
+    * r12 pair-mining product quantizer trains one codebook per vector
+    * HALF through the same machinery (seeds, iteration count, integer
+    * arithmetic all identical, so half-codebooks inherit q_kmeans'
+    * determinism argument).
+    */
+  private def kmeansVecs(spark: org.apache.spark.sql.SparkSession,
+      vecsIn: org.apache.spark.sql.Dataset[(Long, Array[Long])],
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val vecs = vecsIn
       .repartition(spark.sparkContext.defaultParallelism)
-      .as[(Long, Array[Long])]
-    val seeds = Tables.embeddings(spark, d)
-      .filter(size(col("embedding")) > 0)
-      .select(col("vec_id"), expr(
-        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
-        .as("e"))
+    val seeds = vecsIn.toDF("vec_id", "e")
       .orderBy(Hashing.h60(col("vec_id"), lit("km")), col("vec_id"))
       .limit(k)
       .as[(Long, Array[Long])].collect()
@@ -478,27 +488,15 @@ object IvfQueries {
         java.security.MessageDigest.getInstance("MD5"), s"${s._1}:km"), s._1))
         .zipWithIndex.map { case ((_, e), ci) => (ci + 1, e) }.toSeq
 
-    def nearest(e: Array[Long], cs: Seq[(Int, Array[Long])]): Int = {
-      var bd = Long.MaxValue
-      var bc = Int.MaxValue
-      cs.foreach { case (ci, c) =>
-        var s = 0L
-        var i = 0
-        while (i < e.length) { val x = e(i) - c(i); s += x * x; i += 1 }
-        if (s < bd || (s == bd && ci < bc)) { bd = s; bc = ci }
-      }
-      bc
-    }
-
     var lastStats: Array[(Int, Int, Long, Long)] = Array.empty
     for (_ <- 1 to KM_ITERS) {
-      val bc = spark.sparkContext.broadcast(cents)
+      val bc = spark.sparkContext.broadcast(compile(cents))
       // one corpus pass: emit (cent, i, e) rows straight from the
       // broadcast argmin — the (cent, i) agg partials combine map-side
       lastStats = vecs.mapPartitions { it =>
         val cs = bc.value
         it.flatMap { case (_, e) =>
-          val ci = nearest(e, cs)
+          val ci = bestC(e, cs, 1)(0)
           e.iterator.zipWithIndex.map { case (x, i0) => (ci, i0 + 1, x) }
         }
       }.toDF("cent_id", "i", "e")
@@ -532,7 +530,75 @@ object IvfQueries {
   /** cent ids ranked by (distance, cent_id) — first `n`. */
   private def best(e: Array[Long], cents: Seq[(Int, Array[Long])],
       n: Int): Seq[Int] =
-    cents.map { case (id, c) => (d2(e, c), id) }.sorted.take(n).map(_._2)
+    bestC(e, compile(cents), n).toSeq
+
+  /** Flattened centroid table for allocation-free distance loops. The
+    * Seq[(Int, Array[Long])] form built and SORTED a boxed k-tuple list
+    * per vector inside [[best]] — at 500 k vectors × k ≥ 1024 cells that
+    * allocation dominated every assignment pass (r12; the distance mults
+    * themselves are ~2 s of SIMD-friendly work). Compile once per task
+    * (or per driver loop), then [[bestC]] runs a primitive insertion
+    * top-n with the identical (d2, cent_id) order contract.
+    */
+  private[ext] final class Cents(val ids: Array[Int], val flat: Array[Long],
+      val dim: Int) extends Serializable {
+    def size: Int = ids.length
+  }
+
+  private[ext] def compile(cents: Seq[(Int, Array[Long])]): Cents = {
+    val s = cents.sortBy(_._1).toArray
+    if (s.isEmpty) new Cents(Array.empty, Array.empty, 0)
+    else {
+      val dim = s(0)._2.length
+      val flat = new Array[Long](s.length * dim)
+      val ids = new Array[Int](s.length)
+      var i = 0
+      while (i < s.length) {
+        ids(i) = s(i)._1
+        System.arraycopy(s(i)._2, 0, flat, i * dim, dim)
+        i += 1
+      }
+      new Cents(ids, flat, dim)
+    }
+  }
+
+  /** Top-`n` centroid ids by (d2, cent_id) — [[best]]'s exact order
+    * (insertion uses strict comparisons and ascending-id iteration, so
+    * equal distances keep the smaller id, as the tuple sort did).
+    */
+  private def bestC(e: Array[Long], c: Cents, n: Int): Array[Int] =
+    bestWithDist(e, c, n)._1
+
+  private def bestWithDist(e: Array[Long], c: Cents,
+      n: Int): (Array[Int], Array[Long]) = {
+    val m = math.min(n, c.size)
+    val ids = new Array[Int](m)
+    val ds = new Array[Long](m)
+    var filled = 0
+    val dim = c.dim
+    var ci = 0
+    while (ci < c.size) {
+      var s = 0L
+      var i = 0
+      val off = ci * dim
+      while (i < dim) { val x = e(i) - c.flat(off + i); s += x * x; i += 1 }
+      if (filled < m) {
+        var j = filled
+        while (j > 0 && ds(j - 1) > s) {
+          ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1
+        }
+        ds(j) = s; ids(j) = c.ids(ci); filled += 1
+      } else if (m > 0 && s < ds(m - 1)) {
+        var j = m - 1
+        while (j > 0 && ds(j - 1) > s) {
+          ds(j) = ds(j - 1); ids(j) = ids(j - 1); j -= 1
+        }
+        ds(j) = s; ids(j) = c.ids(ci)
+      }
+      ci += 1
+    }
+    (ids, ds)
+  }
 
   /** One-refinement IVF centroid trainer with the training POPULATION
     * parameterized (`trainWhere`) — [[build]] trains on the whole corpus,
@@ -551,7 +617,7 @@ object IvfQueries {
       d: String, slice: org.apache.spark.sql.Column,
       cents: Seq[(Int, Array[Long])]): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val bc = spark.sparkContext.broadcast(cents)
+    val bc = spark.sparkContext.broadcast(compile(cents))
     Tables.embeddings(spark, d)
       .filter(size(col("embedding")) > 0)
       .filter(slice)
@@ -562,7 +628,7 @@ object IvfQueries {
       .as[(Long, Array[Long])]
       .mapPartitions { it =>
         val cs = bc.value
-        it.map { case (v, e) => (v, best(e, cs, 1).head) }
+        it.map { case (v, e) => (v, bestC(e, cs, 1)(0)) }
       }.toDF("vec_id", "cent_id")
   }
 
@@ -614,8 +680,9 @@ object IvfQueries {
       val dim = trainCorpus.head._2.length
       val seedIds = trainCorpus.map(_._1).sorted.take(k)
       val cent0 = seedIds.zipWithIndex.map { case (v, ci) => (ci + 1, trainMap(v)) }.toSeq
+      val cent0C = compile(cent0)
       val cells = trainCorpus.toSeq
-        .map { case (v, e) => (best(e, cent0, 1).head, e) }
+        .map { case (_, e) => (bestC(e, cent0C, 1)(0), e) }
         .groupBy(_._1)
       cells.toSeq.sortBy(_._1).map { case (cid, vs) =>
         val c = Array.tabulate(dim) { i =>
@@ -639,7 +706,7 @@ object IvfQueries {
         spark.emptyDataset[(Long, Long, Double, Int)]
           .toDF("query_id", "vec_id", "cos", "rn")
       else {
-      val bcCent1 = spark.sparkContext.broadcast(cent1)
+      val bcCent1 = spark.sparkContext.broadcast(compile(cent1))
 
       // assignment/probing stream the corpus THROUGH tasks against the
       // tiny centroid broadcast — no full-corpus collect anywhere on the
@@ -657,11 +724,12 @@ object IvfQueries {
         .as[(Long, Array[Long])]
       val assign1 = vecs.mapPartitions { it =>
         val cents = bcCent1.value
-        it.map { case (v, e) => (v, best(e, cents, 1).head) }
+        it.map { case (v, e) => (v, bestC(e, cents, 1)(0)) }
       }.toDF("vec_id", "cent_id")
       val probes = vecs.filter(expr(querySlice)).mapPartitions { it =>
         val cents = bcCent1.value
-        it.flatMap { case (v, e) => best(e, cents, nprobe).map(c => (v, c)) }
+        it.flatMap { case (v, e) =>
+          bestC(e, cents, nprobe).iterator.map(c => (v, c)) }
       }.toDF("query_id", "cent_id")
 
       val pairs = probes.join(assign1, "cent_id")
@@ -684,56 +752,153 @@ object IvfQueries {
     */
   val PAIR_NPROBE = 8
 
-  // centroids are deterministic (h60-seeded Lloyd) and cost KM_ITERS
-  // corpus passes — memoize per (dir, k) so q_dedup_embed and
-  // q_dedup_embed_cluster train once. k·dim longs per entry: bounded.
-  private val pairCentCache = new scala.collection.concurrent.TrieMap[
-    (String, Int), Seq[(Int, Array[Long])]]
-
-  /** Centroids for pair mining via the DISTRIBUTED Lloyd trainer
-    * ([[kmeans]] — the same machinery behind q_kmeans): the driver only
-    * ever holds k·dim aggregate rows, so k can follow
-    * [[VectorOps.ivfPairNlistFor]] past the sample-trainer's 256 cap.
+  /** Target mean vectors per PRODUCT cell for pair mining (r12, VERDICT
+    * r11 #2). The r11 flat quantizer was pinned to k ≈ √n because its
+    * assignment pass costs n·k·dim — so candidate mass was
+    * nprobe·n²/k = nprobe·√n per vector, the measured 413 s scale-killer
+    * at the 100× distinct-vector axis. The product (multi-index) form
+    * splits the vector into two halves with an INDEPENDENT codebook of
+    * [[pairHalfKFor]] centroids each: k_eff = K² cells at n·2K·(dim/2) =
+    * n·K·dim assignment cost, so K can follow √(n/occ) and the join mass
+    * stays ≈ nprobe·n·occ — LINEAR in n at fixed target occupancy, while
+    * the assignment term grows only as n·√(n/occ)·dim, embarrassingly
+    * parallel narrow compute with no shuffle. Recall at a given cosine
+    * is still a cell-geometry property (measured per band by
+    * graft.RecallProbe); every returned pair is exact-verified.
     */
-  private def pairCentroids(spark: org.apache.spark.sql.SparkSession,
-      d: String, k: Int): Seq[(Int, Array[Long])] =
-    pairCentCache.getOrElseUpdate((d, k), {
+  val PAIR_TARGET_OCC = 128L
+  val PAIR_HALF_MIN_K = 16
+  val PAIR_HALF_MAX_K = 4096
+
+  /** Per-half codebook size: smallest power of two K in
+    * [[[PAIR_HALF_MIN_K]], [[PAIR_HALF_MAX_K]]] with K² product cells
+    * holding ≤ [[PAIR_TARGET_OCC]] vectors each in expectation. The cap
+    * bounds the assignment pass at n·4096·dim — good to ~2×10⁹ vectors
+    * at occupancy 128 before occupancy starts growing again.
+    */
+  def pairHalfKFor(n: Long): Int = {
+    var k = PAIR_HALF_MIN_K
+    while (k < PAIR_HALF_MAX_K && k.toLong * k * PAIR_TARGET_OCC < n) k *= 2
+    k
+  }
+
+  // codebooks are deterministic (h60-seeded Lloyd over each half) and
+  // cost KM_ITERS corpus passes per half — memoize per (dir, K) so
+  // q_dedup_embed and q_dedup_embed_cluster train once. 2·K·dim longs
+  // per entry: bounded.
+  private val pairCodebookCache = new scala.collection.concurrent.TrieMap[
+    (String, Int), (Cents, Cents)]
+
+  /** The two per-half codebooks, trained on the FULL corpus via the
+    * DISTRIBUTED Lloyd trainer ([[kmeansVecs]] — the machinery behind
+    * q_kmeans, driver holds k·dim aggregate rows only). Training on the
+    * full corpus keeps the codebooks valid for any SLICE a caller mines
+    * over (the representative factoring's distinct-vector slice has
+    * identical geometry — dedup removes mass, not support).
+    */
+  private def pairCodebooks(spark: org.apache.spark.sql.SparkSession,
+      d: String, kHalf: Int): (Cents, Cents) =
+    pairCodebookCache.getOrElseUpdate((d, kHalf), {
       import spark.implicits._
-      kmeans(spark, d, k)
-        .select(col("cent_id"), col("i"), col("c"))
-        .as[(Int, Int, Long)].collect()
-        .groupBy(_._1).toSeq.sortBy(_._1).map { case (ci, rows) =>
-          val c = new Array[Long](rows.map(_._2).max)
-          rows.foreach { case (_, i, v) => c(i - 1) = v }
-          (ci, c)
+      val vecs = Tables.embeddings(spark, d)
+        .filter(size(col("embedding")) > 0)
+        .select(col("vec_id"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+          .as("e"))
+        .as[(Long, Array[Long])]
+      def train(lo: Boolean): Cents = {
+        val hv = vecs.map { case (v, e) =>
+          val d1 = e.length / 2
+          (v, if (lo) java.util.Arrays.copyOfRange(e, 0, d1)
+          else java.util.Arrays.copyOfRange(e, d1, e.length))
         }
+        compile(kmeansVecs(spark, hv, kHalf)
+          .select(col("cent_id"), col("i"), col("c"))
+          .as[(Int, Int, Long)].collect()
+          .groupBy(_._1).toSeq.map { case (ci, rows) =>
+            val c = new Array[Long](rows.map(_._2).max)
+            rows.foreach { case (_, i, v) => c(i - 1) = v }
+            (ci, c)
+          })
+      }
+      (train(lo = true), train(lo = false))
     })
 
+  /** Product-cell id of the two per-half ids (K ≤ 4096 so the encoding
+    * is collision-free in a Long).
+    */
+  private def cellId(c1: Int, c2: Int, kHalf: Int): Long =
+    c1.toLong * (kHalf + 1) + c2
+
+  /** The [[PAIR_NPROBE]] nearest product cells by d²(e₁,c₁) + d²(e₂,c₂),
+    * ties by (c1, c2) — rank 1 is always the HOME cell (the sum is
+    * minimized half-wise, and bestWithDist's tie order matches the
+    * lexicographic tie order here). Exactness of the t×t grid: a cell
+    * whose halves rank (r1, r2) has at least max(r1, r2) − 1 cells with
+    * strictly smaller sums, so the true top-nprobe by sum always lies
+    * inside the top-nprobe × top-nprobe grid.
+    */
+  private def probeCells(e: Array[Long], cb1: Cents, cb2: Cents,
+      kHalf: Int, nprobe: Int): Array[Long] = {
+    val d1 = cb1.dim
+    val e1 = java.util.Arrays.copyOfRange(e, 0, d1)
+    val e2 = java.util.Arrays.copyOfRange(e, d1, e.length)
+    val (i1, s1) = bestWithDist(e1, cb1, nprobe)
+    val (i2, s2) = bestWithDist(e2, cb2, nprobe)
+    val combos = new Array[(Long, Int, Int)](i1.length * i2.length)
+    var a = 0
+    var w = 0
+    while (a < i1.length) {
+      var b = 0
+      while (b < i2.length) {
+        combos(w) = (s1(a) + s2(b), i1(a), i2(b))
+        w += 1
+        b += 1
+      }
+      a += 1
+    }
+    java.util.Arrays.sort(combos, Ordering.Tuple3[Long, Int, Int])
+    combos.iterator.take(nprobe)
+      .map { case (_, c1, c2) => cellId(c1, c2, kHalf) }.toArray
+  }
+
   /** IVF multi-probe candidate PAIRS over the whole corpus — the
-    * weak-band near-dup generator (r11, VERDICT r10 #3). Sign-LSH
-    * banding is theorem-bound to miss the cos ∈ [0.4, 0.9) band
-    * (sub-quadratic Σbucket² forces p^bits ≪ 1 — see
+    * weak-band near-dup generator (r11, VERDICT r10 #3; r12: product
+    * quantizer, see [[PAIR_TARGET_OCC]]). Sign-LSH banding is
+    * theorem-bound to miss the cos ∈ [0.4, 0.9) band (sub-quadratic
+    * Σbucket² forces p^bits ≪ 1 — see
     * SimilarityQueries.bandedCandidates), but a data-adaptive Voronoi
     * quantizer has no such bound: a pair at cosine τ is found whenever
     * either side's HOME cell is among the other's [[PAIR_NPROBE]]
     * nearest cells, which depends on cell geometry, not on a per-plane
-    * agreement probability. Emits unordered (query_id < vec_id) pairs
-    * from a probes ⋈ home join keyed by cell — mass is
-    * Σ_cell home(c)·probe(c) ≈ nprobe·n²/k = nprobe·n^1.5 at the
-    * k = √n dial, never all-pairs — then every returned pair is
-    * exact-cosine verified downstream (precision 1, same contract as
-    * the banded arm). Recall is MEASURED per cosine band by
-    * graft.RecallProbe (table in SCALING.md).
+    * agreement probability. Every returned pair is exact-cosine
+    * verified downstream (precision 1, same contract as the banded
+    * arm). Recall is MEASURED per cosine band by graft.RecallProbe
+    * (table in SCALING.md).
     */
   private[ext] def probePairCandidates(spark: org.apache.spark.sql.SparkSession,
-      d: String, nprobe: Int = PAIR_NPROBE): org.apache.spark.sql.DataFrame = {
+      d: String, nprobe: Int = PAIR_NPROBE): org.apache.spark.sql.DataFrame =
+    probePairCandidatesFrom(spark, d, Tables.embeddings(spark, d),
+      VectorOps.corpusSize(spark, d), nprobe)
+
+  /** [[probePairCandidates]] over an EXPLICIT embeddings slice (r12,
+    * VERDICT r11 #1a): the representative factoring mines over one row
+    * per distinct vector; the cell dial follows the SLICE count while
+    * the codebooks train on the full corpus (cached per (dir, K)).
+    */
+  private[ext] def probePairCandidatesFrom(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      embDf: org.apache.spark.sql.DataFrame, n: Long,
+      nprobe: Int = PAIR_NPROBE): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val n = VectorOps.corpusSize(spark, d)
-    val cents = pairCentroids(spark, d, VectorOps.ivfPairNlistFor(n))
-    if (cents.isEmpty)
+    val kHalf = pairHalfKFor(n)
+    val (cb1, cb2) = graft.StageTiming.timed("embed/ivf-train") {
+      pairCodebooks(spark, d, kHalf)
+    }
+    if (cb1.size == 0 || cb2.size == 0)
       return spark.emptyDataset[(Long, Long)].toDF("query_id", "vec_id")
-    val bc = spark.sparkContext.broadcast(cents)
-    val vecs = Tables.embeddings(spark, d)
+    val bc = spark.sparkContext.broadcast((cb1, cb2))
+    val vecs = embDf
       .filter(size(col("embedding")) > 0)
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
@@ -741,13 +906,14 @@ object IvfQueries {
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Long])]
     val home = vecs.mapPartitions { it =>
-      val cs = bc.value
-      it.map { case (v, e) => (v, best(e, cs, 1).head) }
-    }.toDF("vec_id", "cent_id")
+      val (c1, c2) = bc.value
+      it.map { case (v, e) => (v, probeCells(e, c1, c2, kHalf, 1)(0)) }
+    }.toDF("vec_id", "cell")
     val probes = vecs.mapPartitions { it =>
-      val cs = bc.value
-      it.flatMap { case (v, e) => best(e, cs, nprobe).map(c => (v, c)) }
-    }.toDF("p_id", "cent_id")
+      val (c1, c2) = bc.value
+      it.flatMap { case (v, e) =>
+        probeCells(e, c1, c2, kHalf, nprobe).iterator.map(c => (v, c)) }
+    }.toDF("p_id", "cell")
     // probes ⋈ home covers both directions of each unordered pair
     // (a finds b if home(b) ∈ probe(a); b finds a symmetrically).
     // Two measured shapes matter here (SCALING.md r11):
@@ -766,12 +932,12 @@ object IvfQueries {
     //    hot cell spreads over S tasks — same rows either way.
     val joined =
       if (n <= VectorOps.CORPUS_BROADCAST_MAX)
-        probes.join(broadcast(home), "cent_id")
+        probes.join(broadcast(home), "cell")
       else {
         val s = probes.sparkSession.sparkContext.defaultParallelism
         probes.withColumn("salt", pmod(hash(col("p_id")), lit(s)))
           .join(home.withColumn("salt",
-            explode(lit((0 until s).toArray))), Seq("cent_id", "salt"))
+            explode(lit((0 until s).toArray))), Seq("cell", "salt"))
       }
     joined
       .filter(col("p_id") =!= col("vec_id"))

