@@ -41,6 +41,24 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    // mass-only mode: candidate/verified counts + stage wall times, no
+    // exact anchor — usable on dirs too large for the all-pairs loop
+    // (e.g. the 100× axes), where MASS is the question and recall is
+    // extrapolated from the anchored 10×/30× tables
+    if (args.contains("--mass")) {
+      args.drop(1).filterNot(_ == "--mass").foreach { mode =>
+        val t = System.nanoTime()
+        val cand = ext.SimilarityQueries.nearDupCandidates(spark, dir, mode)
+        val nCand = cand.count()
+        val tc = (System.nanoTime() - t) / 1e9
+        val nVer = ext.SimilarityQueries.verifiedNearDup(spark, dir, cand)
+          .count()
+        println(f"[recall] MASS mode=$mode%-8s candidates=$nCand%12d (${tc}%.1fs) verified=$nVer%10d (${(System.nanoTime() - t) / 1e9}%.1fs total)")
+      }
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val exact =                               // broadcast all-pairs anchor
       ext.SimilarityQueries.embedNearDup(spark, dir, Long.MaxValue)
@@ -56,8 +74,14 @@ object RecallProbe {
       ("weak [0.4,0.6)", (c: Double) => c >= 0.4 && c < 0.6))
 
     // ablation over the past-ceiling candidate arms; "union" is the
-    // path q_dedup_embed actually runs past the ceiling
-    val byMode = Seq("banded", "ivf", "union").map { mode =>
+    // path q_dedup_embed actually runs past the ceiling. "ivfp<n>"
+    // forces the product-regime quantizer (the past-flat-cap form) at
+    // probe count n — its recall price vs the flat arm sets
+    // IvfQueries.PAIR_NPROBE_PRODUCT.
+    // modes may be passed after the dir (ablation subsets re-run fast)
+    val modes = if (args.length > 1) args.drop(1).toSeq
+      else Seq("banded", "ivf", "union", "ivfp8", "ivfp16", "ivfp32")
+    val byMode = modes.map { mode =>
       val t = System.nanoTime()
       val cand = ext.SimilarityQueries.nearDupCandidates(spark, dir, mode)
       val nCand = cand.count()
@@ -74,20 +98,21 @@ object RecallProbe {
       }
       mode -> got
     }.toMap
-    val banded = byMode("union")
-    // cluster-level: does transitive closure through the banded pairs
-    // put the same pairs in one cluster as closure through exact pairs?
-    def sameClusterPairs(ps: Iterable[(Long, Long)]): UF = {
-      val uf = new UF; ps.foreach { case (a, b) => uf.union(a, b) }; uf
+    byMode.get("union").foreach { banded =>
+      // cluster-level: does transitive closure through the banded pairs
+      // put the same pairs in one cluster as closure through exact pairs?
+      def sameClusterPairs(ps: Iterable[(Long, Long)]): UF = {
+        val uf = new UF; ps.foreach { case (a, b) => uf.union(a, b) }; uf
+      }
+      val ufE = sameClusterPairs(exact.keys)
+      val ufB = sameClusterPairs(banded.keys)
+      val exactPairsList = exact.keys.toArray
+      val recovered = exactPairsList.count { case (a, b) => ufB.find(a) == ufB.find(b) }
+      println(f"[recall] cluster recall (exact pairs co-clustered under banded closure): ${recovered.toDouble / exactPairsList.length}%.4f ($recovered/${exactPairsList.length})")
+      // sanity: banded closure never merges what exact closure separates
+      val overMerged = banded.keys.count { case (a, b) => ufE.find(a) != ufE.find(b) }
+      println(s"[recall] banded-only merges (should be 0): $overMerged")
     }
-    val ufE = sameClusterPairs(exact.keys)
-    val ufB = sameClusterPairs(banded.keys)
-    val exactPairsList = exact.keys.toArray
-    val recovered = exactPairsList.count { case (a, b) => ufB.find(a) == ufB.find(b) }
-    println(f"[recall] cluster recall (exact pairs co-clustered under banded closure): ${recovered.toDouble / exactPairsList.length}%.4f ($recovered/${exactPairsList.length})")
-    // sanity: banded closure never merges what exact closure separates
-    val overMerged = banded.keys.count { case (a, b) => ufE.find(a) != ufE.find(b) }
-    println(s"[recall] banded-only merges (should be 0): $overMerged")
     spark.stop()
   }
 }

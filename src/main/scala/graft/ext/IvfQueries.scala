@@ -752,32 +752,59 @@ object IvfQueries {
     */
   val PAIR_NPROBE = 8
 
-  /** Target mean vectors per PRODUCT cell for pair mining (r12, VERDICT
-    * r11 #2). The r11 flat quantizer was pinned to k ≈ √n because its
-    * assignment pass costs n·k·dim — so candidate mass was
-    * nprobe·n²/k = nprobe·√n per vector, the measured 413 s scale-killer
-    * at the 100× distinct-vector axis. The product (multi-index) form
-    * splits the vector into two halves with an INDEPENDENT codebook of
-    * [[pairHalfKFor]] centroids each: k_eff = K² cells at n·2K·(dim/2) =
-    * n·K·dim assignment cost, so K can follow √(n/occ) and the join mass
-    * stays ≈ nprobe·n·occ — LINEAR in n at fixed target occupancy, while
-    * the assignment term grows only as n·√(n/occ)·dim, embarrassingly
-    * parallel narrow compute with no shuffle. Recall at a given cosine
-    * is still a cell-geometry property (measured per band by
-    * graft.RecallProbe); every returned pair is exact-verified.
+  /** Target mean vectors per cell for pair mining (r12, VERDICT r11
+    * #2): the join mass is ≈ nprobe·n·occupancy, so holding occupancy
+    * fixed holds mass LINEAR in n — the r11 flat quantizer was pinned
+    * to k ≈ √n (occupancy √n, mass nprobe·n^1.5) only because its
+    * boxed assignment loop made n·k·dim passes unaffordable; with the
+    * compiled loops the pass is ~2 s per 10¹¹ mults, so k can follow
+    * n / occ up to [[PAIR_FLAT_MAX_K]].
+    *
+    * Past the flat cap the PRODUCT (two-half multi-index) codebook
+    * takes over: k_eff = K² cells at n·2K·(dim/2) = n·K·dim assignment
+    * cost, so the cell count keeps following n / occ with the
+    * assignment term growing only as n·√(n/occ)·dim. The product form
+    * is NOT free — measured at sf1nd (RecallProbe, equal ~12.5 M
+    * candidate mass, nprobe 8): product recall 0.84/0.38 in the
+    * [0.6,0.9)/[0.4,0.6) bands vs the flat arm's 0.97/0.55 — the
+    * half-split costs cell geometry, bought back with
+    * [[PAIR_NPROBE_PRODUCT]] probes (measured below). That price is
+    * why the flat regime stays the default wherever its assignment
+    * pass is affordable.
     */
   val PAIR_TARGET_OCC = 128L
-  val PAIR_HALF_MIN_K = 16
+  val PAIR_MIN_K = 16
+
+  /** Flat-regime cell cap: one assignment pass is n·k·dim mults —
+    * 2×10¹² at the cap's regime edge (n = cap·occ ≈ 2·10⁶), seconds on
+    * one 32-core box and trivial for a cluster; past the edge the
+    * product regime holds occupancy instead of letting it grow.
+    */
+  val PAIR_FLAT_MAX_K = 16384
   val PAIR_HALF_MAX_K = 4096
 
-  /** Per-half codebook size: smallest power of two K in
-    * [[[PAIR_HALF_MIN_K]], [[PAIR_HALF_MAX_K]]] with K² product cells
-    * holding ≤ [[PAIR_TARGET_OCC]] vectors each in expectation. The cap
-    * bounds the assignment pass at n·4096·dim — good to ~2×10⁹ vectors
-    * at occupancy 128 before occupancy starts growing again.
+  /** Smallest power-of-two k with k·occ ≥ n (expected occupancy at or
+    * below target), capped — the FLAT regime's cell count.
+    */
+  def pairFlatKFor(n: Long): Int = {
+    var k = PAIR_MIN_K
+    while (k < PAIR_FLAT_MAX_K && k.toLong * PAIR_TARGET_OCC < n) k *= 2
+    k
+  }
+
+  /** The regime switch: product codebooks once the flat cap can no
+    * longer hold target occupancy.
+    */
+  def pairUseProduct(n: Long): Boolean =
+    n > PAIR_FLAT_MAX_K.toLong * PAIR_TARGET_OCC
+
+  /** Per-half codebook size for the product regime: smallest power of
+    * two K with K² product cells holding ≤ [[PAIR_TARGET_OCC]] vectors
+    * each in expectation. The cap bounds the assignment pass at
+    * n·4096·dim — good to ~2×10⁹ vectors at occupancy 128.
     */
   def pairHalfKFor(n: Long): Int = {
-    var k = PAIR_HALF_MIN_K
+    var k = PAIR_MIN_K
     while (k < PAIR_HALF_MAX_K && k.toLong * k * PAIR_TARGET_OCC < n) k *= 2
     k
   }
@@ -788,6 +815,25 @@ object IvfQueries {
   // per entry: bounded.
   private val pairCodebookCache = new scala.collection.concurrent.TrieMap[
     (String, Int), (Cents, Cents)]
+  private val pairFlatCache = new scala.collection.concurrent.TrieMap[
+    (String, Int), Cents]
+
+  /** Flat-regime codebook over the FULL corpus, distributed Lloyd —
+    * same trainer and caching contract as [[pairCodebooks]].
+    */
+  private def pairFlatCents(spark: org.apache.spark.sql.SparkSession,
+      d: String, k: Int): Cents =
+    pairFlatCache.getOrElseUpdate((d, k), {
+      import spark.implicits._
+      compile(kmeans(spark, d, k)
+        .select(col("cent_id"), col("i"), col("c"))
+        .as[(Int, Int, Long)].collect()
+        .groupBy(_._1).toSeq.map { case (ci, rows) =>
+          val c = new Array[Long](rows.map(_._2).max)
+          rows.foreach { case (_, i, v) => c(i - 1) = v }
+          (ci, c)
+        })
+    })
 
   /** The two per-half codebooks, trained on the FULL corpus via the
     * DISTRIBUTED Lloyd trainer ([[kmeansVecs]] — the machinery behind
@@ -876,28 +922,30 @@ object IvfQueries {
     * arm). Recall is MEASURED per cosine band by graft.RecallProbe
     * (table in SCALING.md).
     */
+  /** Product-regime probe count: the half-split's geometry loss is
+    * bought back with probes (measured at sf1nd — see the RecallProbe
+    * table in SCALING.md for the nprobe sweep that set this).
+    */
+  val PAIR_NPROBE_PRODUCT = 32
+
   private[ext] def probePairCandidates(spark: org.apache.spark.sql.SparkSession,
-      d: String, nprobe: Int = PAIR_NPROBE): org.apache.spark.sql.DataFrame =
+      d: String): org.apache.spark.sql.DataFrame =
     probePairCandidatesFrom(spark, d, Tables.embeddings(spark, d),
-      VectorOps.corpusSize(spark, d), nprobe)
+      VectorOps.corpusSize(spark, d))
 
   /** [[probePairCandidates]] over an EXPLICIT embeddings slice (r12,
     * VERDICT r11 #1a): the representative factoring mines over one row
     * per distinct vector; the cell dial follows the SLICE count while
     * the codebooks train on the full corpus (cached per (dir, K)).
+    * `forceProduct`/`nprobeOverride` exist for RecallProbe's regime
+    * ablation only.
     */
   private[ext] def probePairCandidatesFrom(
       spark: org.apache.spark.sql.SparkSession, d: String,
       embDf: org.apache.spark.sql.DataFrame, n: Long,
-      nprobe: Int = PAIR_NPROBE): org.apache.spark.sql.DataFrame = {
+      forceProduct: Boolean = false,
+      nprobeOverride: Int = 0): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
-    val kHalf = pairHalfKFor(n)
-    val (cb1, cb2) = graft.StageTiming.timed("embed/ivf-train") {
-      pairCodebooks(spark, d, kHalf)
-    }
-    if (cb1.size == 0 || cb2.size == 0)
-      return spark.emptyDataset[(Long, Long)].toDF("query_id", "vec_id")
-    val bc = spark.sparkContext.broadcast((cb1, cb2))
     val vecs = embDf
       .filter(size(col("embedding")) > 0)
       .select(col("vec_id"), expr(
@@ -905,15 +953,45 @@ object IvfQueries {
         .as("e"))
       .repartition(spark.sparkContext.defaultParallelism)
       .as[(Long, Array[Long])]
-    val home = vecs.mapPartitions { it =>
-      val (c1, c2) = bc.value
-      it.map { case (v, e) => (v, probeCells(e, c1, c2, kHalf, 1)(0)) }
-    }.toDF("vec_id", "cell")
-    val probes = vecs.mapPartitions { it =>
-      val (c1, c2) = bc.value
-      it.flatMap { case (v, e) =>
-        probeCells(e, c1, c2, kHalf, nprobe).iterator.map(c => (v, c)) }
-    }.toDF("p_id", "cell")
+    val product = forceProduct || pairUseProduct(n)
+    val (home, probes) =
+      if (product) {
+        val nprobe =
+          if (nprobeOverride > 0) nprobeOverride else PAIR_NPROBE_PRODUCT
+        val kHalf = pairHalfKFor(n)
+        val (cb1, cb2) = graft.StageTiming.timed("embed/ivf-train") {
+          pairCodebooks(spark, d, kHalf)
+        }
+        if (cb1.size == 0 || cb2.size == 0)
+          return spark.emptyDataset[(Long, Long)].toDF("query_id", "vec_id")
+        val bc = spark.sparkContext.broadcast((cb1, cb2))
+        (vecs.mapPartitions { it =>
+          val (c1, c2) = bc.value
+          it.map { case (v, e) => (v, probeCells(e, c1, c2, kHalf, 1)(0)) }
+        }.toDF("vec_id", "cell"),
+          vecs.mapPartitions { it =>
+            val (c1, c2) = bc.value
+            it.flatMap { case (v, e) =>
+              probeCells(e, c1, c2, kHalf, nprobe).iterator.map(c => (v, c)) }
+          }.toDF("p_id", "cell"))
+      } else {
+        val nprobe = if (nprobeOverride > 0) nprobeOverride else PAIR_NPROBE
+        val cents = graft.StageTiming.timed("embed/ivf-train") {
+          pairFlatCents(spark, d, pairFlatKFor(n))
+        }
+        if (cents.size == 0)
+          return spark.emptyDataset[(Long, Long)].toDF("query_id", "vec_id")
+        val bc = spark.sparkContext.broadcast(cents)
+        (vecs.mapPartitions { it =>
+          val cs = bc.value
+          it.map { case (v, e) => (v, bestC(e, cs, 1)(0).toLong) }
+        }.toDF("vec_id", "cell"),
+          vecs.mapPartitions { it =>
+            val cs = bc.value
+            it.flatMap { case (v, e) =>
+              bestC(e, cs, nprobe).iterator.map(c => (v, c.toLong)) }
+          }.toDF("p_id", "cell"))
+      }
     // probes ⋈ home covers both directions of each unordered pair
     // (a finds b if home(b) ∈ probe(a); b finds a symmetrically).
     // Two measured shapes matter here (SCALING.md r11):

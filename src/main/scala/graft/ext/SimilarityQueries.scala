@@ -559,8 +559,21 @@ object SimilarityQueries {
       case "ivf" => IvfQueries.probePairCandidates(spark, d)
       case "union" =>
         banded.union(IvfQueries.probePairCandidates(spark, d))
+      // product-regime ablation (RecallProbe only): "ivfp<nprobe>"
+      // forces the past-flat-cap quantizer at a given probe count so its
+      // recall price is measurable on dirs small enough to have an
+      // exact anchor
+      case p if p.startsWith("ivfp") =>
+        IvfQueries.probePairCandidatesFrom(spark, d,
+          Tables.embeddings(spark, d), VectorOps.corpusSize(spark, d),
+          forceProduct = true, nprobeOverride = p.stripPrefix("ivfp").toInt)
+      // flat-regime nprobe ablation: "ivff<nprobe>"
+      case p if p.startsWith("ivff") =>
+        IvfQueries.probePairCandidatesFrom(spark, d,
+          Tables.embeddings(spark, d), VectorOps.corpusSize(spark, d),
+          nprobeOverride = p.stripPrefix("ivff").toInt)
       case other => throw new IllegalArgumentException(
-        s"nearDupCandidates mode must be banded|ivf|union, got $other")
+        s"nearDupCandidates mode must be banded|ivf|union|ivfp<n>|ivff<n>, got $other")
     }
   }
 
