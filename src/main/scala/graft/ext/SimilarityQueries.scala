@@ -929,13 +929,87 @@ object SimilarityQueries {
     * no gradient anyway.
     */
   def hardNegatives(spark: org.apache.spark.sql.SparkSession, d: String,
-      maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX)
+      maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX,
+      factorOverride: Option[Boolean] = None)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val labels = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
     if (VectorOps.corpusSize(spark, d) > maxBroadcast) {
-      val cand = bandedCandidates(spark, d, expr(negSlice), lit(true),
-        lowerTriangle = false)
+      // REPRESENTATIVE factoring, hard-negative edition (r12, VERDICT
+      // r11 #6): two vectors with an identical quantized embedding AND
+      // identical label receive the identical negative list — the
+      // candidate set is "label ≠ mine" (so a query's own duplicates
+      // are excluded for both by the label filter — self-exclusion is
+      // IMPLIED), band membership is a function of the embedding alone,
+      // and cosines follow the embedding. So past the ceiling, mine
+      // once per distinct (vector, label) group on BOTH sides:
+      //  - query side: one rep per group intersecting the query slice;
+      //  - candidate side: one rep per group, rank() with ties kept at
+      //    the NEG_K-th distinct cosine — any member row of the true
+      //    top-NEG_K has ≥ its rep's rank ≤ NEG_K (rank r means r−1
+      //    strictly-better distinct candidates, each with ≥ 1 member
+      //    above it), so expanding kept reps to members and re-ranking
+      //    by (cos desc, vec_id) reproduces the unfactored rows
+      //    EXACTLY (spec-proven on a duplicated fixture).
+      // Count-gated on the query slice's measured duplication, like
+      // the other factorings.
+      val e8 = Tables.embeddings(spark, d)
+        .select(col("vec_id"), col("label"), expr(
+          "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+          .as("e"))
+        .select(col("vec_id"), col("label"),
+          xxhash64(col("e")).as("vh"), xxhash64(col("e"), lit(88L)).as("vh2"))
+      val qStats = e8.filter(expr(negSlice))
+        .agg(count(lit(1)),
+          count_distinct(col("vh"), col("vh2"), col("label"))).head()
+      val factor = factorOverride.getOrElse(
+        !qStats.isNullAt(1) && qStats.getLong(1) > 0 &&
+          qStats.getLong(0) >= 2 * qStats.getLong(1))
+      val cand =
+        if (!factor)
+          bandedCandidates(spark, d, expr(negSlice), lit(true),
+            lowerTriangle = false)
+        else {
+          val qGroups = e8.filter(expr(negSlice))
+            .groupBy("vh", "vh2", "label").agg(min(col("vec_id")).as("qrep"))
+          val cGroups = e8
+            .groupBy("vh", "vh2", "label").agg(min(col("vec_id")).as("crep"))
+          val emb = Tables.embeddings(spark, d)
+          // band dial stays the CORPUS count, NOT the rep count: members
+          // co-bucket exactly as their reps do at the same width, so the
+          // rep-level candidate relation is precisely the dedup of the
+          // unfactored one and the expansion reproduces its rows — a row
+          // EQUALITY contract (spec-proven), not a re-dialed recall
+          // trade like the near-dup factoring's
+          val repCand = bandedCandidatesFrom(spark,
+            emb.join(qGroups.select(col("qrep").as("vec_id")), "vec_id"),
+            emb.join(cGroups.select(col("crep").as("vec_id")), "vec_id"),
+            VectorOps.corpusSize(spark, d), lowerTriangle = false)
+          val repPairs = repCand
+            .join(labels.select(col("vec_id").as("query_id"),
+              col("label").as("qlab")), "query_id")
+            .join(labels, "vec_id")
+            .filter(col("label") =!= col("qlab"))
+            .select("query_id", "vec_id")
+          val repTop = VectorOps.cosine(spark, d, repPairs)
+            .withColumn("rk", rank().over(Window.partitionBy("query_id")
+              .orderBy(col("cos").desc)))
+            .filter(col("rk") <= NEG_K)
+          val qm = e8.filter(expr(negSlice)).join(qGroups, Seq("vh", "vh2", "label"))
+            .select(col("qrep"), col("vec_id").as("qm"))
+          val cm = e8.join(cGroups, Seq("vh", "vh2", "label"))
+            .select(col("crep"), col("vec_id").as("cm"))
+          return repTop
+            .join(qm, col("query_id") === col("qrep"))
+            .join(cm, col("vec_id") === col("crep"))
+            .select(col("qm").as("query_id"), col("cm").as("vec_id"), col("cos"))
+            .withColumn("rn", row_number().over(Window.partitionBy("query_id")
+              .orderBy(col("cos").desc, col("vec_id"))))
+            .filter(col("rn") <= NEG_K)
+            .select(col("query_id"), col("vec_id"),
+              round(col("cos"), 6).as("cos"), col("rn"))
+            .orderBy("query_id", "rn")
+        }
       val pairs = cand
         .join(labels.select(col("vec_id").as("query_id"),
           col("label").as("qlab")), "query_id")

@@ -101,6 +101,34 @@ class ExtSpec extends SparkSpec {
     assert(viaReduced.nonEmpty && viaReduced.sameElements(viaPairs))
   }
 
+  test("hard-negative representative factoring matches the unfactored banded path row-for-row") {
+    // duplicated fixture: 3 copies of every vector (labels copied with
+    // them), ids shifted by multiples of 20 so slice membership is
+    // preserved — every (vector, label) group has 3 members. The
+    // factored path (rep mining + rank-with-ties + member expansion)
+    // must reproduce the unfactored banded past-ceiling rows exactly.
+    val OFF = 1000000L // multiple of 20: preserves negSlice membership
+    val tmp = java.nio.file.Files.createTempDirectory("hn_factor").toString
+    val base = spark.read.parquet(sf() + "/embeddings.parquet")
+    base.unionByName(base.withColumn("vec_id", col("vec_id") + OFF))
+      .unionByName(base.withColumn("vec_id", col("vec_id") + 2 * OFF))
+      .write.mode("overwrite").parquet(tmp + "/embeddings.parquet")
+    // compare on long bits so identical NaN cosines (zero-norm vectors)
+    // compare equal — NaN != NaN under ==
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("vec_id"),
+        java.lang.Double.doubleToLongBits(r.getAs[Double]("cos")),
+        r.getAs[Int]("rn"))).sorted
+    val un = rows(SimilarityQueries.hardNegatives(spark, tmp,
+      maxBroadcast = 0, factorOverride = Some(false)))
+    val fa = rows(SimilarityQueries.hardNegatives(spark, tmp,
+      maxBroadcast = 0, factorOverride = Some(true)))
+    assert(un.nonEmpty)
+    assert(fa.sameElements(un),
+      s"factored ${fa.length} rows != unfactored ${un.length}; " +
+        s"first diff: ${fa.zip(un).find { case (a, b) => a != b }}")
+  }
+
   test("LSH near-dup branch returns only exact-verified pairs with full identical-pair recall") {
     // force the scale branch (maxExact=0) at fixture size and compare
     // against the exact generator: every LSH pair must appear in the
