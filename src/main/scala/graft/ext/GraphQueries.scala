@@ -247,19 +247,22 @@ object GraphQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
     // coalesce: sum over ZERO rows is null — an empty projection must
     // report 0 wedges/triangles, not throw on getLong
-    val nWedges = adj.agg(coalesce(sum(expr("(dout * (dout - 1)) div 2")), lit(0L)))
-      .head().getLong(0)
+    val nWedges = graft.StageTiming.timed("tri/adjacency") {
+      adj.agg(coalesce(sum(expr("(dout * (dout - 1)) div 2")), lit(0L)))
+        .head().getLong(0)
+    }
     // sorted_intersect_size: native two-pointer merge (zero allocation,
     // whole-stage codegen) — size(array_intersect(...)) built a per-row
     // hash set + result array just to take its length (5.2s → 1.5s for
     // this stage at sf0.1, SCALING.md round-7)
     graft.functions.SortedIntersectSize.ensureRegistered(spark)
-    val nTri = o
-      .join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
-      .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"), "left")
-      .select(expr("sorted_intersect_size(na, " +
-        "coalesce(nb, CAST(array() AS ARRAY<BIGINT>)))").as("k"))
-      .agg(coalesce(sum(col("k")), lit(0L))).head().getLong(0)
+    val nTri = graft.StageTiming.timed("tri/intersect") {
+      o.join(adj.select(col("a"), col("nbrs").as("na")), Seq("a"))
+        .join(adj.select(col("a").as("b"), col("nbrs").as("nb")), Seq("b"), "left")
+        .select(expr("sorted_intersect_size(na, " +
+          "coalesce(nb, CAST(array() AS ARRAY<BIGINT>)))").as("k"))
+        .agg(coalesce(sum(col("k")), lit(0L))).head().getLong(0)
+    }
     val nNodes = deg.count(); val nEdges = e.count()
     e.unpersist(false); o.unpersist(false); adj.unpersist(false)
     import spark.implicits._
