@@ -21,12 +21,18 @@ object StageTiming {
   def timed[A](stage: String)(body: => A): A = {
     val t0 = System.nanoTime()
     val r = body
-    val sec = (System.nanoTime() - t0) / 1e9
+    record(stage, (System.nanoTime() - t0) / 1e9)
+    r
+  }
+
+  /** Record an already-measured stage (for loops where a wrapping block
+    * would obscure the control flow).
+    */
+  def record(stage: String, sec: Double): Unit = {
     buf.add(stage -> sec)
     if (sys.env.contains("GRAFT_STAGE_TIMING"))
       System.err.println(
         f"[stage] $stage%-36s $sec%8.2f s")
-    r
   }
 
   /** Entries recorded since the last drain, in record order, repeated

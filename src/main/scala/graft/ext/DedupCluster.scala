@@ -76,6 +76,11 @@ object DedupCluster {
     var relFrontier: () => Unit = () => ()
     var active = frontier.count()
     var rounds = 0
+    // one stage for the whole propagation loop: CC feeds several
+    // queries (q_dedup_embed_cluster, q_dedup_cluster, curation), and a
+    // driver-side anomaly needs "was it the CC rounds or the edge
+    // build" answerable from the bench artifact (VERDICT r11 #4)
+    val tCc = System.nanoTime()
     while (active > 0 && rounds < MAX_ROUNDS) {
       // labels pushed across edges FROM the frontier only
       val pushed = edges
@@ -104,6 +109,8 @@ object DedupCluster {
       relFrontier = relUpdates
       rounds += 1
     }
+    graft.StageTiming.record(s"cc/propagate($rounds rounds)",
+      (System.nanoTime() - tCc) / 1e9)
     relFrontier() // the final (empty) frontier; labels stay live for the caller
     edges.unpersist()
     require(active == 0,

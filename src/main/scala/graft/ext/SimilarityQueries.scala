@@ -766,6 +766,13 @@ object SimilarityQueries {
     src.select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
   }
 
+  /** Near-dup pairs with the exact-vs-scale switch. `maxExact` gates
+    * only the CORPUS-level branch (tests pass 0 to force the scale
+    * path); the past-ceiling build keeps its own fixed
+    * [[EMBED_PAIR_EXACT_MAX]] rep ceiling — the memo entry is keyed per
+    * (session, dir), so parameterizing the rep gate would fork the
+    * cache per caller.
+    */
   def embedNearDupAuto(spark: org.apache.spark.sql.SparkSession, d: String,
       maxExact: Long = EMBED_PAIR_EXACT_MAX)
       : org.apache.spark.sql.DataFrame = {

@@ -32,10 +32,16 @@ class DocCountsSpec extends AnyFunSuite {
   }
 
   test("README suite count matches the test tree") {
+    // count RUNNABLE suites — what `sbt test` prints (VERDICT r11 #6):
+    // SparkSpec.scala is the shared abstract base, not a suite the
+    // runner completes
     val suites = {
       val root = java.nio.file.Paths.get("src/test/scala")
       val s = java.nio.file.Files.walk(root)
-      try s.filter(_.getFileName.toString.endsWith("Spec.scala")).count()
+      try s.filter { p =>
+        val n = p.getFileName.toString
+        n.endsWith("Spec.scala") && n != "SparkSpec.scala"
+      }.count()
       finally s.close()
     }
     val readme = read("README.md")
