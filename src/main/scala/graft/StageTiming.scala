@@ -18,6 +18,16 @@ object StageTiming {
   private val buf =
     new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]
 
+  /** Ring-buffer cap (r13, ADVICE r12): collection is always-on, but only
+    * Bench drains — a long-lived non-Bench process (Verify, a lifecycle
+    * service) would otherwise grow the queue without bound. Past the cap
+    * the OLDEST entry is dropped per append (recent stages are the ones a
+    * post-hoc drain wants); the cap is far above any single query's stage
+    * count, so Bench's per-query drains never hit it.
+    */
+  private val CAP = 8192
+  private val size = new java.util.concurrent.atomic.AtomicInteger(0)
+
   def timed[A](stage: String)(body: => A): A = {
     val t0 = System.nanoTime()
     val r = body
@@ -29,6 +39,8 @@ object StageTiming {
     * would obscure the control flow).
     */
   def record(stage: String, sec: Double): Unit = {
+    if (size.incrementAndGet() > CAP && buf.poll() != null)
+      size.decrementAndGet()
     buf.add(stage -> sec)
     if (sys.env.contains("GRAFT_STAGE_TIMING"))
       System.err.println(
@@ -45,6 +57,7 @@ object StageTiming {
     val out = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     var e = buf.poll()
     while (e != null) {
+      size.decrementAndGet()
       out.updateWith(e._1) {
         case Some(v) => Some(v + e._2)
         case None => Some(e._2)

@@ -966,9 +966,15 @@ object SimilarityQueries {
           .as("e"))
         .select(col("vec_id"), col("label"),
           xxhash64(col("e")).as("vh"), xxhash64(col("e"), lit(88L)).as("vh2"))
-      val qStats = e8.filter(expr(negSlice))
-        .agg(count(lit(1)),
-          count_distinct(col("vh"), col("vh2"), col("label"))).head()
+      // stage-attributed (r13, VERDICT r12 #5): the zipf 100× capstone's
+      // in-suite-vs-standalone gap (235.7 vs 47.5-90.6s) was inferred
+      // from r11 parity, not readable from the artifact — these lines
+      // plus the memo'd rep mine below make it artifact-attributable
+      val qStats = graft.StageTiming.timed("hardneg/rep-stats") {
+        e8.filter(expr(negSlice))
+          .agg(count(lit(1)),
+            count_distinct(col("vh"), col("vh2"), col("label"))).head()
+      }
       val factor = factorOverride.getOrElse(
         !qStats.isNullAt(1) && qStats.getLong(1) > 0 &&
           qStats.getLong(0) >= 2 * qStats.getLong(1))
@@ -988,20 +994,28 @@ object SimilarityQueries {
           // unfactored one and the expansion reproduces its rows — a row
           // EQUALITY contract (spec-proven), not a re-dialed recall
           // trade like the near-dup factoring's
-          val repCand = bandedCandidatesFrom(spark,
-            emb.join(qGroups.select(col("qrep").as("vec_id")), "vec_id"),
-            emb.join(cGroups.select(col("crep").as("vec_id")), "vec_id"),
-            VectorOps.corpusSize(spark, d), lowerTriangle = false)
-          val repPairs = repCand
-            .join(labels.select(col("vec_id").as("query_id"),
-              col("label").as("qlab")), "query_id")
-            .join(labels, "vec_id")
-            .filter(col("label") =!= col("qlab"))
-            .select("query_id", "vec_id")
-          val repTop = VectorOps.cosine(spark, d, repPairs)
-            .withColumn("rk", rank().over(Window.partitionBy("query_id")
-              .orderBy(col("cos").desc)))
-            .filter(col("rk") <= NEG_K)
+          // the rep-level mine (banded candidates → label filter → exact
+          // cosine → rank-with-ties) is a Memo entry: materialized inside
+          // the build so its cost lands as a memo/ stage line in bench
+          // artifacts (VERDICT r12 #5), persisted under the byte budget,
+          // and shared if anything else in the session needs it
+          val repTop = graft.Memo.cached(spark, d, "sim.hardNegRepTop") {
+            val repCand = bandedCandidatesFrom(spark,
+              emb.join(qGroups.select(col("qrep").as("vec_id")), "vec_id"),
+              emb.join(cGroups.select(col("crep").as("vec_id")), "vec_id"),
+              VectorOps.corpusSize(spark, d), lowerTriangle = false)
+            val repPairs = repCand
+              .join(labels.select(col("vec_id").as("query_id"),
+                col("label").as("qlab")), "query_id")
+              .join(labels, "vec_id")
+              .filter(col("label") =!= col("qlab"))
+              .select("query_id", "vec_id")
+            VectorOps.cosine(spark, d, repPairs)
+              .withColumn("rk", rank().over(Window.partitionBy("query_id")
+                .orderBy(col("cos").desc)))
+              .filter(col("rk") <= NEG_K)
+              .persist()
+          }
           val qm = e8.filter(expr(negSlice)).join(qGroups, Seq("vh", "vh2", "label"))
             .select(col("qrep"), col("vec_id").as("qm"))
           val cm = e8.join(cGroups, Seq("vh", "vh2", "label"))

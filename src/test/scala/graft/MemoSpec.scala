@@ -120,6 +120,36 @@ class MemoSpec extends SparkSpec {
     assert(inner.storageLevel == StorageLevel.NONE)
   }
 
+  test("cachedObj: builds once, counts toward the budget, released with the dir") {
+    val d = freshDir("obj")
+    var builds = 0
+    def get() = Memo.cachedObj(spark, d, "codebook",
+        (_: Array[Long]) => 1024L * 1024 * 1024) {
+      builds += 1
+      Array.fill(8)(7L)
+    }
+    val a = get(); val b = get()
+    assert(builds == 1)
+    assert(a eq b, "cached object identity preserved")
+    assert(Memo.entries(spark).contains(s"$d:codebook"))
+    // the 1 GiB estimate alone exceeds a 1 MB budget: the object entry
+    // must be LRU-evicted like a DataFrame entry would be
+    val evicted = Memo.enforceBudget(spark, 1024L * 1024)
+    assert(evicted.contains(s"$d:codebook"),
+      s"object bytes must count toward the budget; evicted=$evicted")
+    assert(!Memo.entries(spark).contains(s"$d:codebook"))
+    get()
+    assert(builds == 2, "post-eviction consumer rebuilds")
+    // telemetry carries the object entry's bytes + build count
+    val t = Memo.telemetry(spark).find(_._1 == s"$d:codebook")
+    assert(t.exists(x => x._2 == 1024L * 1024 * 1024 && x._3 == 2), s"telemetry: $t")
+    Memo.release(spark, d)
+    assert(!Memo.entries(spark).contains(s"$d:codebook"))
+    get()
+    assert(builds == 3, "post-release consumer rebuilds")
+    Memo.release(spark, d)
+  }
+
   test("release is scoped: other sfDirs and sessions are untouched") {
     val d1 = freshDir("s1"); val d2 = freshDir("s2")
     val a = Memo.cached(spark, d1, "m")(spark.range(10).toDF("id").persist())

@@ -129,6 +129,36 @@ class ExtSpec extends SparkSpec {
         s"first diff: ${fa.zip(un).find { case (a, b) => a != b }}")
   }
 
+  test("pair codebooks register as Memo object entries and release drops them") {
+    // r13 (VERDICT r12 #4): the compiled pair codebooks lived in
+    // TrieMaps outside Memo accounting — never released with the dir,
+    // invisible to the byte budget. Now they are Memo object entries:
+    // building a candidate plan trains + registers the codebook, release
+    // of the dir drops it, and the next build re-trains (telemetry
+    // build count increments).
+    graft.Memo.release(spark, sf())
+    def objEntries = graft.Memo.entries(spark)
+      .filter(e => e.startsWith(sf()) && e.contains("sim.pair"))
+    SimilarityQueries.nearDupCandidates(spark, sf(), "ivff8")
+    SimilarityQueries.nearDupCandidates(spark, sf(), "ivfp8")
+    val after = objEntries
+    assert(after.exists(_.contains("sim.pairFlatCents.k")), s"entries: $after")
+    assert(after.exists(_.contains("sim.pairCodebooks.k")), s"entries: $after")
+    def builds(sub: String) = graft.Memo.telemetry(spark)
+      .filter(t => t._1.startsWith(sf()) && t._1.contains(sub))
+      .map(_._3).sum
+    val flatBuilds = builds("sim.pairFlatCents")
+    // cached: a second plan build must NOT re-train
+    SimilarityQueries.nearDupCandidates(spark, sf(), "ivff8")
+    assert(builds("sim.pairFlatCents") == flatBuilds, "second build must hit the cache")
+    graft.Memo.release(spark, sf())
+    assert(objEntries.isEmpty, s"release must drop codebook entries: $objEntries")
+    SimilarityQueries.nearDupCandidates(spark, sf(), "ivff8")
+    assert(builds("sim.pairFlatCents") == flatBuilds + 1,
+      "post-release build must re-train")
+    graft.Memo.release(spark, sf())
+  }
+
   test("LSH near-dup branch returns only exact-verified pairs with full identical-pair recall") {
     // force the scale branch (maxExact=0) at fixture size and compare
     // against the exact generator: every LSH pair must appear in the
