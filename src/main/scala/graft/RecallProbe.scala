@@ -41,6 +41,12 @@ object RecallProbe {
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
 
+    val bins = Seq(
+      ("identical (cos>0.999999)", (c: Double) => c > 0.999999),
+      ("near [0.9,0.999999]", (c: Double) => c >= 0.9 && c <= 0.999999),
+      ("near [0.6,0.9)", (c: Double) => c >= 0.6 && c < 0.9),
+      ("weak [0.4,0.6)", (c: Double) => c >= 0.4 && c < 0.6))
+
     // mass-only mode: candidate/verified counts + stage wall times, no
     // exact anchor — usable on dirs too large for the all-pairs loop
     // (e.g. the 100× axes), where MASS is the question and recall is
@@ -59,6 +65,112 @@ object RecallProbe {
       return
     }
 
+    // hard-negative generator ablation (r13, VERDICT r12 #6): top-K row
+    // recall of the banded past-ceiling path and the ANN-bucketed probe
+    // variant against the EXACT broadcast path, on anchored dirs. A row
+    // is recalled iff the same (query_id, vec_id) appears in the exact
+    // top-K (rank-displacements from a missed better negative count as
+    // misses on the displaced rows, which is the honest metric for "did
+    // training see the same negatives").
+    if (args.contains("--hardneg")) {
+      val nprobes = args.drop(1).filterNot(_ == "--hardneg")
+        .map(_.toInt).toSeq match {
+        case Nil => Seq(8)
+        case s => s
+      }
+      def rows(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("query_id", "vec_id").as[(Long, Long)].collect().toSet
+      val t0 = System.nanoTime()
+      val exact = rows(ext.SimilarityQueries.hardNegatives(spark, dir,
+        maxBroadcast = Long.MaxValue))
+      println(f"[hardneg] dir=$dir exact rows=${exact.size} (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      val t1 = System.nanoTime()
+      val banded = rows(ext.SimilarityQueries.hardNegatives(spark, dir,
+        maxBroadcast = 0, gen = "banded"))
+      println(f"[hardneg] banded    recall=${(banded & exact).size.toDouble / exact.size}%.4f rows=${banded.size} (${(System.nanoTime() - t1) / 1e9}%.1fs)")
+      nprobes.foreach { np =>
+        val t = System.nanoTime()
+        val ann = rows(ext.SimilarityQueries.hardNegativesAnn(spark, dir, np))
+        println(f"[hardneg] ann np=$np%-3d recall=${(ann & exact).size.toDouble / exact.size}%.4f rows=${ann.size} (${(System.nanoTime() - t) / 1e9}%.1fs)")
+      }
+      spark.stop()
+      return
+    }
+
+    // planted-pair mode (r13, VERDICT r12 #2): recall against the pairs
+    // ScaleGen PLANTED rather than the exact all-pairs anchor — usable at
+    // any corpus size (the product regime activates past 2.1M vectors,
+    // where an O(n²d) anchor is impossible). ScaleGen's neardup replicas
+    // are in-capacity iff rep < 100 DIV (pmod(xxhash64(base),100)+1)
+    // (generator knowledge — this probe measures the generator's own
+    // plant); the anchor is every within-base-group in-capacity pair at
+    // verified cos ≥ 0.4, computed exactly per group (groups ≤ 100
+    // members — bounded by the capacity rule, never the corpus). Recall
+    // per cosine band = planted pairs the candidate generator emits /
+    // planted pairs. Cross-base chance pairs are excluded by
+    // construction; on anchored dirs the planted set ≈ the exact set
+    // (bases are random, cross-base cos ≈ 0), validated at sf1nd.
+    if (args.contains("--planted")) {
+      val OFF = 10000000L
+      val fp = org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+      import org.apache.spark.sql.functions._
+      val t0 = System.nanoTime()
+      val planted = Tables.embeddings(spark, dir)
+        .filter(col("embedding").isNotNull && size(col("embedding")) > 0)
+        .filter(expr(s"vec_id DIV ${OFF}L < 100 DIV (pmod(xxhash64(vec_id % ${OFF}L), 100) + 1)"))
+        .select((col("vec_id") % OFF).as("base"), col("vec_id"), fp.as("e"))
+        .as[(Long, Long, Array[Long])]
+        .groupByKey(_._1)
+        .flatMapGroups { (_, it) =>
+          val vs = it.map(t => (t._2, t._3)).toArray.sortBy(_._1)
+          val norms = vs.map { case (_, e) =>
+            math.sqrt(e.map(x => x * x).sum.toDouble) }
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+          var i = 0
+          while (i < vs.length) {
+            var j = i + 1
+            while (j < vs.length) {
+              if (norms(i) > 0 && norms(j) > 0) {
+                var dot = 0L
+                var k = 0
+                val (ea, eb) = (vs(i)._2, vs(j)._2)
+                while (k < ea.length) { dot += ea(k) * eb(k); k += 1 }
+                val cos = BigDecimal(dot.toDouble / (norms(i) * norms(j)))
+                  .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+                if (cos >= 0.4) out += ((vs(i)._1, vs(j)._1, cos))
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }.toDF("query_id", "vec_id", "cos").persist()
+      val nPlanted = planted.count()
+      val plantedArr = planted.as[(Long, Long, Double)].collect()
+        .map { case (a, b, c) => (a, b) -> c }.toMap
+      println(f"[recall] dir=$dir PLANTED anchor=$nPlanted (${(System.nanoTime() - t0) / 1e9}%.1fs)")
+      args.drop(1).filterNot(_ == "--planted").foreach { mode =>
+        val t = System.nanoTime()
+        val cand = ext.SimilarityQueries.nearDupCandidates(spark, dir, mode)
+        val nCand = cand.count()
+        val tc = (System.nanoTime() - t) / 1e9
+        val hits = cand
+          .join(broadcast(planted.select("query_id", "vec_id")),
+            Seq("query_id", "vec_id"))
+          .distinct().as[(Long, Long)].collect().toSet
+        val sec = (System.nanoTime() - t) / 1e9
+        println(f"[recall] PLANTED mode=$mode%-8s candidates=$nCand%12d (${tc}%.1fs) hits=${hits.size}%9d/$nPlanted (${sec}%.1fs total)")
+        bins.foreach { case (name, in) =>
+          val e = plantedArr.count { case (_, c) => in(c) }
+          val b = plantedArr.count { case (k, c) => in(c) && hits.contains(k) }
+          println(f"[recall] PLANTED $mode%-8s recall $name%-26s ${if (e == 0) 1.0 else b.toDouble / e}%.4f  ($b/$e)")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     val t0 = System.nanoTime()
     val exact =                               // broadcast all-pairs anchor
       ext.SimilarityQueries.embedNearDup(spark, dir, Long.MaxValue)
@@ -66,12 +178,6 @@ object RecallProbe {
         .collect().map { case (a, b, c) => (a, b) -> c }.toMap
     val tExact = (System.nanoTime() - t0) / 1e9
     println(f"[recall] dir=$dir exact=${exact.size} (${tExact}%.1fs)")
-
-    val bins = Seq(
-      ("identical (cos>0.999999)", (c: Double) => c > 0.999999),
-      ("near [0.9,0.999999]", (c: Double) => c >= 0.9 && c <= 0.999999),
-      ("near [0.6,0.9)", (c: Double) => c >= 0.6 && c < 0.9),
-      ("weak [0.4,0.6)", (c: Double) => c >= 0.4 && c < 0.6))
 
     // ablation over the past-ceiling candidate arms; "union" is the
     // path q_dedup_embed actually runs past the ceiling. "ivfp<n>"

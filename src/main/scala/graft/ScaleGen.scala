@@ -70,6 +70,33 @@ object ScaleGen {
                 |  CASE WHEN pmod(xxhash64(vec_id, ${i}L, CAST(j AS BIGINT)), 2) = 0
                 |  THEN -x ELSE x END)""".stripMargin))
 
+  /** Column form of [[mutateEmbedding]] for the crossJoin replicator
+    * (`embedonly` mode): the replica index is the `rep` COLUMN instead
+    * of a literal, so one crossJoin with `range(n)` replaces an n-leg
+    * union — the union plan is fine at n ≤ 100 but the >2.1M-vector
+    * product-regime anchor needs n ≈ 1200 (r13, VERDICT r12 #2).
+    * Bit-compatible with [[mutateEmbedding]]: `xxhash64(vec_id, rep, …)`
+    * over a long column equals the literal form's value for the same
+    * (vec_id, i), so an `embedonly` dir plants the identical structure.
+    */
+  def mutateEmbeddingRep: Column =
+    when(col("embedding").isNull, col("embedding"))
+      .when(col("rep") === 0, col("embedding"))
+      .when(col("rep") < expr("100 DIV (pmod(xxhash64(vec_id), 100) + 1)"),
+        expr("""CASE pmod(xxhash64(vec_id, rep, 13L), 4)
+                |  WHEN 0 THEN embedding
+                |  WHEN 1 THEN transform(embedding, (x, j) ->
+                |    CASE WHEN pmod(xxhash64(vec_id, rep, CAST(j AS BIGINT)), 64) < 2
+                |    THEN -x ELSE x END)
+                |  ELSE transform(embedding, (x, j) ->
+                |    CASE WHEN pmod(xxhash64(vec_id, rep, CAST(j AS BIGINT)), 64) < 10
+                |    THEN -x ELSE x END)
+                |END""".stripMargin))
+      .otherwise(
+        expr("""transform(embedding, (x, j) ->
+                |  CASE WHEN pmod(xxhash64(vec_id, rep, CAST(j AS BIGINT)), 2) = 0
+                |  THEN -x ELSE x END)""".stripMargin))
+
   /** Replica-i text mutation for `neardup` mode (see object doc). Keyed
     * on the BASE doc_id — apply before the key offset.
     */
@@ -139,6 +166,21 @@ object ScaleGen {
       val base = spark.read.parquet(s"$src/$name.parquet")
       writeSingle(base, name)
       println(s"copied $name -> ${spark.read.parquet(s"$dst/$name.parquet").count()} rows")
+    }
+
+    // embedonly: write ONLY the embeddings table, replicated by a
+    // crossJoin with range(n) under the neardup mutation — the form that
+    // scales to the product-regime anchor (n ≈ 1200 → 2.4M vectors)
+    if (modes.contains("embedonly")) {
+      val base = spark.read.parquet(s"$src/embeddings.parquet")
+      val out = base.crossJoin(spark.range(0, n).select(col("id").as("rep")))
+        .withColumn("embedding", mutateEmbeddingRep)
+        .withColumn("vec_id", col("vec_id") + col("rep") * OFF)
+        .drop("rep")
+      writeSingle(out, "embeddings")
+      println(s"scaled embeddings -> ${spark.read.parquet(s"$dst/embeddings.parquet").count()} rows")
+      spark.stop()
+      return
     }
 
     def off(c: String, k: Long) = col(c) + k

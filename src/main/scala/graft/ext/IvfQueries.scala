@@ -780,10 +780,12 @@ object IvfQueries {
       }
   }
 
-  /** Pair-mining nprobe: how many nearest cells each vector PROBES when
-    * generating near-dup candidate pairs (its HOME cell is always rank
-    * 1, so identical vectors are never missed). Recall at a given
+  /** Base pair-mining nprobe: how many nearest cells each vector PROBES
+    * when generating near-dup candidate pairs (its HOME cell is always
+    * rank 1, so identical vectors are never missed). Recall at a given
     * cosine rises with nprobe; candidate mass rises linearly in it.
+    * The flat regime's EFFECTIVE probe count is count-derived —
+    * [[pairNprobeFor]] (r13) steps it up as cells shrink.
     */
   val PAIR_NPROBE = 8
 
@@ -810,12 +812,29 @@ object IvfQueries {
   val PAIR_TARGET_OCC = 128L
   val PAIR_MIN_K = 16
 
-  /** Flat-regime cell cap: one assignment pass is n·k·dim mults —
-    * 2×10¹² at the cap's regime edge (n = cap·occ ≈ 2·10⁶), seconds on
-    * one 32-core box and trivial for a cluster; past the edge the
-    * product regime holds occupancy instead of letting it grow.
+  /** Flat-regime cell cap — RAISED 16384 → 65536 in r13 on an
+    * at-regime measurement (VERDICT r12 #3): the two-half product
+    * codebook that took over past the old cap was dialed at 20k vectors
+    * by forced ablation (mid-band 0.965 at nprobe 32), but measured AT
+    * its actual activation scale (2.4M vectors, planted anchor —
+    * SCALING.md r13) it recalls only 0.52 of the planted [0.6,0.9)
+    * band and 0.11 of [0.4,0.6) at the same dial — the half-split
+    * geometry loss compounds with at-scale cell shrink, and the 20k
+    * number did not transfer. A FLAT assignment pass at the new cap's
+    * regime edge (n = cap·occ ≈ 8.4M, n·k·dim ≈ 3×10¹³ mults) is
+    * minutes on one 32-core box and embarrassingly parallel on a
+    * cluster, so the flat regime — whose recall is measured to hold at
+    * 2.4M (planted mid 0.99 — the ivff16 row) — now covers to ~8.4M
+    * vectors, aligning the product switchover with the 10M corpus
+    * broadcast ceiling where every other vector path re-plans anyway.
+    * Past THAT, the product regime applies with its at-regime-measured
+    * (2.4M, occ-37) numbers as the honest lower bound — at its real
+    * ≥8.4M activation its cells are 128-occupancy, so recall lands
+    * between the 2.4M forced row and the flat arm's; a residual/
+    * two-level quantizer is the documented roadmap if that band
+    * matters at >8.4M.
     */
-  val PAIR_FLAT_MAX_K = 16384
+  val PAIR_FLAT_MAX_K = 65536
   val PAIR_HALF_MAX_K = 4096
 
   /** Smallest power-of-two k with k·occ ≥ n (expected occupancy at or
@@ -826,6 +845,33 @@ object IvfQueries {
     while (k < PAIR_FLAT_MAX_K && k.toLong * PAIR_TARGET_OCC < n) k *= 2
     k
   }
+
+  /** Count-derived pair-mining probe count for the FLAT regime (r13,
+    * VERDICT r12 #1): fixed-occupancy cells shrink as the corpus grows,
+    * so weak-band pair recall decays at fixed nprobe. Measured against
+    * EXACT all-pairs anchors (RecallProbe union path — SCALING.md r13):
+    * 20k vectors (k=256) 0.548 @8; 60k (k=512) 0.406 @8 / 0.550 @16;
+    * 200k (k=2048) 0.217 @8 / 0.315 @16 / 0.386 @24. The dial steps
+    * 8 → 16 once the cell count passes 256, which holds the weak-band
+    * [0.4,0.6) target ≥ 0.5 through the 30×/60k anchor (0.5502).
+    *
+    * It deliberately does NOT chase ≥ 0.5 past that scale: the 100×
+    * anchor (10.05M exact pairs — the first at this n) measures the
+    * weak band to be 98.8% cross-base CHANCE pairs (cos 0.4 is ~3.2σ of
+    * the 64-dim random-pair cosine distribution, so the band's mass is
+    * Θ(n²·7e−4) — the ANCHOR ITSELF is quadratic chance mass, not
+    * near-dup structure), and every probed point on the curve shows
+    * recall ∝ probed pair-space fraction (503M candidates = 2.5% of
+    * pair space buys 0.386): holding 0.5 on a chance population
+    * re-quadratizes the generator that fixed occupancy exists to keep
+    * linear. What a dedup consumer actually relies on scales fine at
+    * nprobe 16: structured (planted) pair recall and cluster-closure
+    * recall (1.0000 at the 100× anchor) — measured per scale in
+    * SCALING.md's r13 tables; the q_dedup_embed QueryDef carries the
+    * contract.
+    */
+  def pairNprobeFor(n: Long): Int =
+    if (pairFlatKFor(n) <= 256) PAIR_NPROBE else 16
 
   /** The regime switch: product codebooks once the flat cap can no
     * longer hold target occupancy.
@@ -970,6 +1016,77 @@ object IvfQueries {
     probePairCandidatesFrom(spark, d, Tables.embeddings(spark, d),
       VectorOps.corpusSize(spark, d))
 
+  /** DIRECTED ANN candidates (query → corpus) within probed flat-IVF
+    * cells — the hard-negative mining generator (r13, VERDICT r12 #6):
+    * each query-slice vector probes its `nprobe` nearest cells and meets
+    * every corpus vector HOMED there; the caller label-filters and
+    * exact-cosine top-K ranks. Mass = nprobe·|Q|·occupancy (occupancy is
+    * the fixed [[PAIR_TARGET_OCC]]), vs the banded mine's Σ|q∩bucket|·
+    * |bucket|. The recall trade vs the banded generator is measured on
+    * exact-anchored dirs in SCALING.md's r13 table — hard negatives live
+    * at the high-cosine end, where the data-adaptive cells recall ≥0.96
+    * and sign-LSH bands recall ~0.45.
+    */
+  private[ext] def annQueryCandidates(spark: org.apache.spark.sql.SparkSession,
+      d: String, qSlice: String, nprobe: Int): org.apache.spark.sql.DataFrame = {
+    val emb = Tables.embeddings(spark, d)
+    annQueryCandidatesFrom(spark, d, emb.filter(expr(qSlice)), emb,
+      VectorOps.corpusSize(spark, d), nprobe)
+  }
+
+  /** [[annQueryCandidates]] over EXPLICIT query/corpus embedding slices —
+    * what the hard-negative representative factoring mines over (one row
+    * per distinct (vector, label) group on each side). `n` is the CORPUS
+    * count: the cell dial and the codebook (trained on the full corpus,
+    * Memo-cached per (dir, k) — shared with the near-dup pair arm) stay
+    * the corpus's, so group members land in exactly the cells their rep
+    * does and the rep-level candidate relation is precisely the dedup of
+    * the unfactored one — the row-EQUALITY contract the banded factoring
+    * proved transfers verbatim (ExtSpec).
+    */
+  private[ext] def annQueryCandidatesFrom(
+      spark: org.apache.spark.sql.SparkSession, d: String,
+      qEmb: org.apache.spark.sql.DataFrame,
+      cEmb: org.apache.spark.sql.DataFrame, n: Long,
+      nprobe: Int): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
+    val cents = graft.StageTiming.timed("hardneg/ivf-train") {
+      pairFlatCents(spark, d, pairFlatKFor(n))
+    }
+    if (cents.size == 0)
+      return spark.emptyDataset[(Long, Long)].toDF("query_id", "vec_id")
+    val bc = spark.sparkContext.broadcast(cents)
+    def fixed(df: org.apache.spark.sql.DataFrame) = df
+      .filter(size(col("embedding")) > 0)
+      .select(col("vec_id"), expr(
+        "transform(embedding, x -> cast(round(cast(x as double) * 10000000, 0) as bigint))")
+        .as("e"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .as[(Long, Array[Long])]
+    val home = fixed(cEmb).mapPartitions { it =>
+      val cs = bc.value
+      it.map { case (v, e) => (v, bestC(e, cs, 1)(0).toLong) }
+    }.toDF("vec_id", "cell")
+    val probes = fixed(qEmb).mapPartitions { it =>
+      val cs = bc.value
+      it.flatMap { case (v, e) =>
+        bestC(e, cs, nprobe).iterator.map(c => (v, c.toLong)) }
+    }.toDF("query_id", "cell")
+    // same broadcast-vs-salted join shape as probePairCandidatesFrom
+    val joined =
+      if (n <= VectorOps.CORPUS_BROADCAST_MAX)
+        probes.join(broadcast(home), "cell")
+      else {
+        val s = spark.sparkContext.defaultParallelism
+        probes.withColumn("salt", pmod(hash(col("query_id")), lit(s)))
+          .join(home.withColumn("salt",
+            explode(lit((0 until s).toArray))), Seq("cell", "salt"))
+      }
+    joined
+      .filter(col("query_id") =!= col("vec_id"))
+      .select("query_id", "vec_id").distinct()
+  }
+
   /** [[probePairCandidates]] over an EXPLICIT embeddings slice (r12,
     * VERDICT r11 #1a): the representative factoring mines over one row
     * per distinct vector; the cell dial follows the SLICE count while
@@ -981,7 +1098,8 @@ object IvfQueries {
       spark: org.apache.spark.sql.SparkSession, d: String,
       embDf: org.apache.spark.sql.DataFrame, n: Long,
       forceProduct: Boolean = false,
-      nprobeOverride: Int = 0): org.apache.spark.sql.DataFrame = {
+      nprobeOverride: Int = 0,
+      flatKOverride: Int = 0): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val vecs = embDf
       .filter(size(col("embedding")) > 0)
@@ -1012,9 +1130,11 @@ object IvfQueries {
               probeCells(e, c1, c2, kHalf, nprobe).iterator.map(c => (v, c)) }
           }.toDF("p_id", "cell"))
       } else {
-        val nprobe = if (nprobeOverride > 0) nprobeOverride else PAIR_NPROBE
+        val nprobe =
+          if (nprobeOverride > 0) nprobeOverride else pairNprobeFor(n)
         val cents = graft.StageTiming.timed("embed/ivf-train") {
-          pairFlatCents(spark, d, pairFlatKFor(n))
+          pairFlatCents(spark, d,
+            if (flatKOverride > 0) flatKOverride else pairFlatKFor(n))
         }
         if (cents.size == 0)
           return spark.emptyDataset[(Long, Long)].toDF("query_id", "vec_id")
