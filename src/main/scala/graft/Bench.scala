@@ -78,9 +78,30 @@ object Bench {
     // query so Spark's codegen compiler, parquet reader, and shuffle
     // machinery are primed before anything is timed.
     ext.IvfQueries.warmJit()
-    SparkEntry.queries.get("q_scalar_funcs").foreach { fn =>
-      try fn(spark, sfDir).count()
-      catch { case _: Throwable => () } // warm-up failures surface in the timed run
+    // synthetic end-to-end warm-up, NOT a suite entry (ADVICE r13: the
+    // previous q_scalar_funcs warm-up made that one timed line a fully
+    // warmed second run, incomparable to its prior-round readings): a
+    // dim-table scan + broadcast join + shuffle agg + partitioned window
+    // drives the codegen compiler, parquet reader and shuffle machinery
+    // through the same code paths without pre-running any timed query.
+    try {
+      import org.apache.spark.sql.functions._
+      val nat = spark.read.parquet(s"$sfDir/nation.parquet")
+      val reg = spark.read.parquet(s"$sfDir/region.parquet")
+      nat.join(broadcast(reg), nat("n_regionkey") === reg("r_regionkey"))
+        .groupBy("r_name")
+        .agg(count(lit(1)).as("c"), sum(length(col("n_name"))).as("s"))
+        .withColumn("rn", org.apache.spark.sql.functions.row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy("r_name")
+            .orderBy(col("c").desc)))
+        .count()
+    } catch {
+      // NonFatal only (ADVICE r13: a swallowed OutOfMemoryError would let
+      // the timed suite continue in an unreliable JVM) — and log it: a
+      // silent warm-up failure otherwise leaves cold-JIT noise in the
+      // first timed lines with nothing in the artifact explaining it
+      case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] warm-up failed (timed suite continues cold): $e")
     }
     StageTiming.drain() // discard anything from session warm-up
     val results = SparkEntry.orderedQueries.filterNot(q => skip(q._1)).flatMap { case (name, fn) =>

@@ -214,11 +214,23 @@ object Memo {
         }
       }
       var mineObj = objReg.filter(_._1.session == sessionId(spark))
-      while (cachedBytes > budgetBytes && (mine.nonEmpty || mineObj.nonEmpty)) {
+      // Object entries (compiled codebooks — full-corpus Lloyd trains)
+      // are evictable ONLY while their own bytes exceed the budget
+      // (ADVICE r13): storage the registry does not own (e.g. the
+      // harness-persisted interactions relation) counts toward the
+      // budget but cannot be evicted, and before this guard it alone
+      // could force every object entry out on every pass — a retrain
+      // per consumer, the exact thrash the old TrieMaps avoided. Once
+      // objBytes fits the budget the loop falls back to DataFrame
+      // entries only, and stops when none remain.
+      def objOverBudget = mineObj.nonEmpty &&
+        mineObj.valuesIterator.map(_.bytes).sum > budgetBytes
+      while (cachedBytes > budgetBytes && (mine.nonEmpty || objOverBudget)) {
         // LRU across BOTH registries: DataFrame entries and driver-side
         // object entries share one recency axis (tick)
         val dfLru = mine.minByOption(_._2.lastUse)
-        val objLru = mineObj.minByOption(_._2.lastUse)
+        val objLru = if (objOverBudget) mineObj.minByOption(_._2.lastUse)
+          else None
         if (objLru.exists(o => dfLru.forall(d => o._2.lastUse < d._2.lastUse))) {
           val k = objLru.get._1
           objReg.remove(k)

@@ -65,16 +65,25 @@ object RecallProbe {
       return
     }
 
-    // hard-negative generator ablation (r13, VERDICT r12 #6): top-K row
-    // recall of the banded past-ceiling path and the ANN-bucketed probe
-    // variant against the EXACT broadcast path, on anchored dirs. A row
-    // is recalled iff the same (query_id, vec_id) appears in the exact
-    // top-K (rank-displacements from a missed better negative count as
-    // misses on the displaced rows, which is the honest metric for "did
-    // training see the same negatives").
+    // hard-negative generator ablation (r13, VERDICT r12 #6; r14 runs it
+    // through the SHIPPED past-ceiling pipeline — ADVICE r13: the r13
+    // sweep measured an unfactored row_number variant while the shipped
+    // path is the factored rank()-with-ties mine, so tie-boundary rows
+    // and factoring were not exactly what was measured): top-K row recall
+    // of the banded and ANN past-ceiling paths against the EXACT
+    // broadcast path, on anchored dirs. A row is recalled iff the same
+    // (query_id, vec_id) appears in the exact top-K (rank-displacements
+    // from a missed better negative count as misses on the displaced
+    // rows, which is the honest metric for "did training see the same
+    // negatives"). Pass `dial` as an nprobe to measure hnNprobeFor(n)'s
+    // value; `nobanded` skips the (measured-lost, slow at 100×) banded
+    // arm on re-runs.
     if (args.contains("--hardneg")) {
-      val nprobes = args.drop(1).filterNot(_ == "--hardneg")
-        .map(_.toInt).toSeq match {
+      val rest = args.drop(1).filterNot(a => a == "--hardneg" || a == "nobanded")
+      val nprobes = rest.map(n => if (n == "dial")
+          ext.SimilarityQueries.hnNprobeFor(
+            ext.VectorOps.corpusSize(spark, dir))
+        else n.toInt).toSeq match {
         case Nil => Seq(8)
         case s => s
       }
@@ -84,14 +93,20 @@ object RecallProbe {
       val exact = rows(ext.SimilarityQueries.hardNegatives(spark, dir,
         maxBroadcast = Long.MaxValue))
       println(f"[hardneg] dir=$dir exact rows=${exact.size} (${(System.nanoTime() - t0) / 1e9}%.1fs)")
-      val t1 = System.nanoTime()
-      val banded = rows(ext.SimilarityQueries.hardNegatives(spark, dir,
-        maxBroadcast = 0, gen = "banded"))
-      println(f"[hardneg] banded    recall=${(banded & exact).size.toDouble / exact.size}%.4f rows=${banded.size} (${(System.nanoTime() - t1) / 1e9}%.1fs)")
+      if (!args.contains("nobanded")) {
+        val t1 = System.nanoTime()
+        val banded = rows(ext.SimilarityQueries.hardNegatives(spark, dir,
+          maxBroadcast = 0, gen = "banded"))
+        println(f"[hardneg] banded    recall=${(banded & exact).size.toDouble / exact.size}%.4f rows=${banded.size} (${(System.nanoTime() - t1) / 1e9}%.1fs)")
+      }
       nprobes.foreach { np =>
         val t = System.nanoTime()
-        val ann = rows(ext.SimilarityQueries.hardNegativesAnn(spark, dir, np))
-        println(f"[hardneg] ann np=$np%-3d recall=${(ann & exact).size.toDouble / exact.size}%.4f rows=${ann.size} (${(System.nanoTime() - t) / 1e9}%.1fs)")
+        // the SHIPPED path, forced past-ceiling: factoring decision,
+        // rank()-with-ties rep mine, member expansion — everything the
+        // >10M-vector consumer actually runs, at this probe count
+        val ann = rows(ext.SimilarityQueries.hardNegatives(spark, dir,
+          maxBroadcast = 0, gen = "ann", nprobeOverride = Some(np)))
+        println(f"[hardneg] ann np=$np%-4d recall=${(ann & exact).size.toDouble / exact.size}%.4f rows=${ann.size} (${(System.nanoTime() - t) / 1e9}%.1fs)")
       }
       spark.stop()
       return

@@ -28,23 +28,48 @@ object StageTiming {
   private val CAP = 8192
   private val size = new java.util.concurrent.atomic.AtomicInteger(0)
 
+  /** Nesting depth of [[timed]] scopes (ADVICE r13: a Memo.cached build
+    * invoking another timed build — e.g. memo/sim.hardNegRepTop wrapping
+    * hardneg/ivf-train wrapping memo/sim.pairFlatCents — recorded three
+    * top-level entries for ONE train, so a drained per-query stage sum
+    * could exceed the query wall). A stage recorded inside d enclosing
+    * scopes is tagged with d leading '+' characters: depth-0 names sum to
+    * non-overlapping wall seconds, '+'-prefixed entries RE-attribute
+    * seconds already counted inside their enclosing stage (net them out
+    * of any sum). Inheritable so the per-call thread pools the split
+    * cache and lifecycle spawn INSIDE a timed scope (their threads are
+    * created by the first submit, i.e. under the scope) tag their stages
+    * as nested too.
+    */
+  private val depth = new InheritableThreadLocal[Integer] {
+    override def initialValue(): Integer = 0
+  }
+
   def timed[A](stage: String)(body: => A): A = {
+    val d = depth.get.intValue()
+    depth.set(d + 1)
     val t0 = System.nanoTime()
-    val r = body
-    record(stage, (System.nanoTime() - t0) / 1e9)
-    r
+    try {
+      val r = body
+      record0(d, stage, (System.nanoTime() - t0) / 1e9)
+      r
+    } finally depth.set(d)
   }
 
   /** Record an already-measured stage (for loops where a wrapping block
     * would obscure the control flow).
     */
-  def record(stage: String, sec: Double): Unit = {
+  def record(stage: String, sec: Double): Unit =
+    record0(depth.get.intValue(), stage, sec)
+
+  private def record0(d: Int, stage: String, sec: Double): Unit = {
+    val tagged = if (d <= 0) stage else ("+" * d) + stage
     if (size.incrementAndGet() > CAP && buf.poll() != null)
       size.decrementAndGet()
-    buf.add(stage -> sec)
+    buf.add(tagged -> sec)
     if (sys.env.contains("GRAFT_STAGE_TIMING"))
       System.err.println(
-        f"[stage] $stage%-36s $sec%8.2f s")
+        f"[stage] $tagged%-36s $sec%8.2f s")
   }
 
   /** Entries recorded since the last drain, in record order, repeated

@@ -949,6 +949,30 @@ object SimilarityQueries {
     */
   val HN_NPROBE = 16
 
+  /** Count-derived hard-negative probe dial (r14, VERDICT r13 #1): the
+    * r13 adoption fixed the GENERATOR (ANN cells beat sign bands 3-5×)
+    * but left the probe count a constant, and exact top-K recall at
+    * fixed nprobe decays as fixed-occupancy cells shrink with n —
+    * 0.494 (10×, k=256) → 0.388 (30×, k=512) @16. Unlike the pair-mine
+    * band (quadratic chance mass — see [[IvfQueries.pairNprobeFor]]'s
+    * deliberate stop), the top-K target is a FIXED per-query set, so
+    * recall here is a real quantity worth holding and the cost of
+    * holding it is linear in |Q|: candidate mass per query =
+    * nprobe·occupancy, independent of n. Probing a fixed FRACTION of
+    * the cell space holds the probed pair-space share constant as
+    * cells shrink: nprobe = k/16 (6.25% of cells — 16 at the 10×
+    * anchor where 0.494 was measured), floored at [[HN_NPROBE]].
+    * Measured on exact-anchored dirs (RecallProbe --hardneg through
+    * the SHIPPED past-ceiling path — SCALING.md r14 table): the dial
+    * holds top-K recall ≈ 0.5 flat across 10×/30×/100× where the
+    * fixed constant decays. Cost at the dial: k/16·128 = 8·occ·√-free
+    * candidates/query — 16k exact cosines/query at 100× vs the exact
+    * path's n = 200k, a 12× saving that holds because BOTH sides of
+    * the ratio scale with k.
+    */
+  def hnNprobeFor(n: Long): Int =
+    math.max(HN_NPROBE, IvfQueries.pairFlatKFor(n) / 16)
+
   /** Hard-negative mining for embedding-model training: per query
     * vector, the NEG_K most-similar vectors carrying a DIFFERENT label
     * (the classic contrastive-training batch builder — easy negatives
@@ -966,7 +990,8 @@ object SimilarityQueries {
   def hardNegatives(spark: org.apache.spark.sql.SparkSession, d: String,
       maxBroadcast: Long = VectorOps.CORPUS_BROADCAST_MAX,
       factorOverride: Option[Boolean] = None,
-      gen: String = "ann")
+      gen: String = "ann",
+      nprobeOverride: Option[Int] = None)
       : org.apache.spark.sql.DataFrame = {
     import spark.implicits._
     val labels = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
@@ -1009,11 +1034,12 @@ object SimilarityQueries {
           qStats.getLong(0) >= 2 * qStats.getLong(1))
       val emb0 = Tables.embeddings(spark, d)
       val corpusN = VectorOps.corpusSize(spark, d)
+      val np = nprobeOverride.getOrElse(hnNprobeFor(corpusN))
       def genCand(qEmb: org.apache.spark.sql.DataFrame,
           cEmb: org.apache.spark.sql.DataFrame) = gen match {
         case "ann" =>
           IvfQueries.annQueryCandidatesFrom(spark, d, qEmb, cEmb,
-            corpusN, HN_NPROBE)
+            corpusN, np)
         case "banded" =>
           bandedCandidatesFrom(spark, qEmb, cEmb, corpusN,
             lowerTriangle = false)
@@ -1040,7 +1066,11 @@ object SimilarityQueries {
           // the build so its cost lands as a memo/ stage line in bench
           // artifacts (VERDICT r12 #5), persisted under the byte budget,
           // and shared if anything else in the session needs it
-          val repTop = graft.Memo.cached(spark, d, s"sim.hardNegRepTop.$gen") {
+          // key carries the probe count: a sweep (RecallProbe --hardneg)
+          // runs several nprobe values in one session, and a dial-blind
+          // key would hand later values the first build's rows
+          val repTop = graft.Memo.cached(spark, d,
+              s"sim.hardNegRepTop.$gen.np$np") {
             val repCand = genCand(
               emb.join(qGroups.select(col("qrep").as("vec_id")), "vec_id"),
               emb.join(cGroups.select(col("crep").as("vec_id")), "vec_id"))
@@ -1121,36 +1151,6 @@ object SimilarityQueries {
         }
       }
       .toDF("query_id", "vec_id", "cos", "rn")
-      .orderBy("query_id", "rn")
-  }
-
-  /** ANN-bucketed hard-negative mining — the r13 probe variant (VERDICT
-    * r12 #6): candidates come from probed flat-IVF cells
-    * ([[IvfQueries.annQueryCandidates]]) instead of sign-LSH band
-    * agreement, then the identical label filter + exact cosine +
-    * deterministic top-[[NEG_K]]. Hard negatives are the HIGH-cosine
-    * different-label near-misses — exactly the band where the
-    * data-adaptive cells measure ≥0.96 recall and sign-LSH bands ~0.45
-    * (SCALING.md r12 table) — so this generator's top-K row recall vs
-    * the exact path is measured (RecallProbe --hardneg) before any
-    * adoption decision.
-    */
-  private[graft] def hardNegativesAnn(spark: org.apache.spark.sql.SparkSession,
-      d: String, nprobe: Int = IvfQueries.PAIR_NPROBE)
-      : org.apache.spark.sql.DataFrame = {
-    val labels = Tables.embeddings(spark, d).select(col("vec_id"), col("label"))
-    val pairs = IvfQueries.annQueryCandidates(spark, d, negSlice, nprobe)
-      .join(labels.select(col("vec_id").as("query_id"),
-        col("label").as("qlab")), "query_id")
-      .join(labels, "vec_id")
-      .filter(col("label") =!= col("qlab"))
-      .select("query_id", "vec_id")
-    VectorOps.cosine(spark, d, pairs)
-      .withColumn("rn", row_number().over(Window.partitionBy("query_id")
-        .orderBy(col("cos").desc, col("vec_id"))))
-      .filter(col("rn") <= NEG_K)
-      .select(col("query_id"), col("vec_id"),
-        round(col("cos"), 6).as("cos"), col("rn"))
       .orderBy("query_id", "rn")
   }
 
