@@ -37,6 +37,12 @@ object RecallProbe {
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      // the --planted mass metric rides an observe() node under the
+      // hits join; a runtime row-level filter injected below it would
+      // silently undercount the candidate mass
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      .config("spark.sql.optimizer.runtimeFilter.semiJoinReduction.enabled",
+        "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     import spark.implicits._
@@ -167,15 +173,21 @@ object RecallProbe {
       println(f"[recall] dir=$dir PLANTED anchor=$nPlanted (${(System.nanoTime() - t0) / 1e9}%.1fs)")
       args.drop(1).filterNot(_ == "--planted").foreach { mode =>
         val t = System.nanoTime()
-        val cand = ext.SimilarityQueries.nearDupCandidates(spark, dir, mode)
-        val nCand = cand.count()
-        val tc = (System.nanoTime() - t) / 1e9
-        val hits = cand
+        // ONE generator pass (r14): the candidate mass and the planted
+        // hits used to be two actions over the un-persisted generator —
+        // at the 8.4M product-regime anchor that is ~8.6B candidates
+        // built twice. observe() rides the mass count on the hits
+        // action's execution instead.
+        val hitsDs = ext.SimilarityQueries.nearDupCandidates(spark, dir, mode)
+          .observe(s"mass_$mode", count(lit(1)).as("n"))
           .join(broadcast(planted.select("query_id", "vec_id")),
             Seq("query_id", "vec_id"))
-          .distinct().as[(Long, Long)].collect().toSet
+          .distinct().as[(Long, Long)]
+        val hits = hitsDs.collect().toSet
+        val mass = hitsDs.queryExecution.observedMetrics
+          .get(s"mass_$mode").map(_.getLong(0)).getOrElse(-1L)
         val sec = (System.nanoTime() - t) / 1e9
-        println(f"[recall] PLANTED mode=$mode%-8s candidates=$nCand%12d (${tc}%.1fs) hits=${hits.size}%9d/$nPlanted (${sec}%.1fs total)")
+        println(f"[recall] PLANTED mode=$mode%-8s candidates=$mass%12d hits=${hits.size}%9d/$nPlanted (${sec}%.1fs total)")
         bins.foreach { case (name, in) =>
           val e = plantedArr.count { case (_, c) => in(c) }
           val b = plantedArr.count { case (k, c) => in(c) && hits.contains(k) }

@@ -224,18 +224,26 @@ object EtlQueries {
       // 2.5σ).
       val rsd = EtlQueries.APPROX_RSD
       val bound = EtlQueries.APPROX_BOUND
-      Interactions(spark, d)
-        .groupBy("domain")
-        .agg(
-          countDistinct(col("user_id")).as("n_users_exact"),
-          countDistinct(col("item_id")).as("n_items_exact"),
-          (abs(approx_count_distinct(col("user_id"), rsd).cast("double")
-              - countDistinct(col("user_id")))
-            / countDistinct(col("user_id")) < bound).as("users_within_5pct"),
-          (abs(approx_count_distinct(col("item_id"), rsd).cast("double")
-              - countDistinct(col("item_id")))
-            / countDistinct(col("item_id")) < bound).as("items_within_5pct"))
-        .orderBy("domain")
+      // the exact-distinct twin that gates the sketch is this query's
+      // entire cost (74.4s on zipf 100×, previously with no stages
+      // object in the artifact — VERDICT r13 #7); materializing the
+      // two-row agg as a registry entry lands that cost as a memo/
+      // stage line so a capstone tail reads as "the exact-distinct
+      // gate's price" rather than unattributed wall
+      graft.Memo.cached(spark, d, "etl.approxCounts") {
+        Interactions(spark, d)
+          .groupBy("domain")
+          .agg(
+            countDistinct(col("user_id")).as("n_users_exact"),
+            countDistinct(col("item_id")).as("n_items_exact"),
+            (abs(approx_count_distinct(col("user_id"), rsd).cast("double")
+                - countDistinct(col("user_id")))
+              / countDistinct(col("user_id")) < bound).as("users_within_5pct"),
+            (abs(approx_count_distinct(col("item_id"), rsd).cast("double")
+                - countDistinct(col("item_id")))
+              / countDistinct(col("item_id")) < bound).as("items_within_5pct"))
+          .persist()
+      }.orderBy("domain")
     },
 
     // ---- per-group collect: the dict-of-lists view itself (A2,

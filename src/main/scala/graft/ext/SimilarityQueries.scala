@@ -954,21 +954,31 @@ object SimilarityQueries {
     * but left the probe count a constant, and exact top-K recall at
     * fixed nprobe decays as fixed-occupancy cells shrink with n —
     * 0.494 (10×, k=256) → 0.388 (30×, k=512) @16. Unlike the pair-mine
-    * band (quadratic chance mass — see [[IvfQueries.pairNprobeFor]]'s
-    * deliberate stop), the top-K target is a FIXED per-query set, so
-    * recall here is a real quantity worth holding and the cost of
-    * holding it is linear in |Q|: candidate mass per query =
-    * nprobe·occupancy, independent of n. Probing a fixed FRACTION of
-    * the cell space holds the probed pair-space share constant as
-    * cells shrink: nprobe = k/16 (6.25% of cells — 16 at the 10×
-    * anchor where 0.494 was measured), floored at [[HN_NPROBE]].
-    * Measured on exact-anchored dirs (RecallProbe --hardneg through
-    * the SHIPPED past-ceiling path — SCALING.md r14 table): the dial
-    * holds top-K recall ≈ 0.5 flat across 10×/30×/100× where the
-    * fixed constant decays. Cost at the dial: k/16·128 = 8·occ·√-free
-    * candidates/query — 16k exact cosines/query at 100× vs the exact
-    * path's n = 200k, a 12× saving that holds because BOTH sides of
-    * the ratio scale with k.
+    * weak band (quadratic chance mass — see
+    * [[IvfQueries.pairNprobeFor]]'s deliberate stop), the top-K target
+    * is a FIXED per-query set, so recall here is a real quantity worth
+    * holding, and the r14 anchored sweep (RecallProbe --hardneg through
+    * the SHIPPED factored pipeline, exact top-K set recall — SCALING.md
+    * r14 table) shows recall is governed by the PROBED CELL FRACTION
+    * np/k, not by np: at 6.25% of cells every scale recalls ≥ 0.494
+    * (0.494 at 10×, 0.529 at 30×, 0.651 at 100× — rising with n, since
+    * finer cells at equal fraction waste less probe mass, the same
+    * geometry the r13 equal-mass ablation measured for pairs). So the
+    * dial holds the fraction: nprobe = k/16, floored at [[HN_NPROBE]]
+    * — the r13 adoption operating point (np 16 at k 256) carried
+    * across scale where the fixed constant decays (0.494 → 0.388 →
+    * 0.270 at np 16).
+    *
+    * The priced trade: candidate mass per query at the dial is
+    * (k/16)·(n/k) = n/16 — a FIXED 1/16 of the corpus, 16× cheaper
+    * than the exact scan at every n (and past [[IvfQueries
+    * .PAIR_FLAT_MAX_K]] the capped k with growing occupancy keeps the
+    * fraction exactly 1/16), in exchange for recall ≈ 0.5 held flat.
+    * A consumer that needs sub-quadratic total mass instead keeps the
+    * fixed-np arm via `nprobeOverride` and inherits the MEASURED decay
+    * (0.494 → 0.388 → see the r14 table's fixed-16 column): both arms
+    * are contracted, the dial is the default because a mine whose
+    * recall silently halves per 10× of corpus is the worse surprise.
     */
   def hnNprobeFor(n: Long): Int =
     math.max(HN_NPROBE, IvfQueries.pairFlatKFor(n) / 16)
@@ -1080,7 +1090,14 @@ object SimilarityQueries {
               .join(labels, "vec_id")
               .filter(col("label") =!= col("qlab"))
               .select("query_id", "vec_id")
-            VectorOps.cosine(spark, d, repPairs)
+            // cosineAuto (r14): in production this branch only runs past
+            // the corpus-broadcast ceiling, where auto resolves to the
+            // SAME distributed join as before — but a forced probe run
+            // (maxBroadcast = 0 on an anchored dir) now scores pairs
+            // against the broadcast matrix instead of spilling a
+            // pairs×embeddings join to disk (the |Q|·n/16-row shuffle
+            // at the 100× dial exceeded this box's disk)
+            VectorOps.cosineAuto(spark, d, repPairs)
               .withColumn("rk", rank().over(Window.partitionBy("query_id")
                 .orderBy(col("cos").desc)))
               .filter(col("rk") <= NEG_K)
@@ -1107,7 +1124,9 @@ object SimilarityQueries {
         .join(labels, "vec_id")
         .filter(col("label") =!= col("qlab"))
         .select("query_id", "vec_id")
-      return VectorOps.cosine(spark, d, pairs)
+      // cosineAuto: same production plan (join form past the ceiling),
+      // broadcast scoring on forced probe runs — see the factored branch
+      return VectorOps.cosineAuto(spark, d, pairs)
         .withColumn("rn", row_number().over(Window.partitionBy("query_id")
           .orderBy(col("cos").desc, col("vec_id"))))
         .filter(col("rn") <= NEG_K)
@@ -1173,6 +1192,21 @@ object SimilarityQueries {
          |  FROM cosines)
          |WHERE rn <= $NEG_K
          |ORDER BY query_id, rn""".stripMargin) { (spark, d) =>
+      // Past-ceiling RECALL CONTRACT (r14, measured against the exact
+      // broadcast path on anchored dirs up to 200k vectors — SCALING.md
+      // r14 table; under the 10M-vector ceiling the query IS the exact
+      // path): every returned negative is a true different-label vector
+      // with its EXACT cosine (precision 1 — hardness is never
+      // estimated); exact top-K set recall at the count-derived dial
+      // (hnNprobeFor: nprobe = k/16, a fixed 1/16 of the corpus probed
+      // per query) holds ≥ 0.49 at every measured scale and RISES with
+      // n — 0.494 (10×) / 0.529 (30×) / 0.651 (100×) — where the r13
+      // fixed nprobe 16 decays 0.494 → 0.388 → 0.270. Misses are rank
+      // DISPLACEMENTS: a missed true top-K negative is replaced by the
+      // next-hardest in-cell near-miss, not by an easy negative. The
+      // fixed-np arm stays selectable (nprobeOverride) for consumers
+      // trading that recall for linear total mass; its decay is the
+      // measured column in the same table.
       hardNegatives(spark, d)
     },
 
