@@ -111,10 +111,18 @@ object SplitCache {
     val ranked =
       if (allCached) null
       else Splits.rankedFrom(Interactions(spark, sfDir)).persist()
-    // dev-only probe: separates base-relation materialization from the
-    // three writes in stage timings (adds no job otherwise)
-    if (ranked != null && sys.env.contains("GRAFT_STAGE_TIMING"))
-      timed("ranked materialize") { ranked.count() }
+    // always-on stage (r14, VERDICT r13 #4): the r14 skew probe showed
+    // this materialization is the ONLY axis-dependent stage of the
+    // whole lifecycle (89.4s zipf vs 19.1s nd warm — the leave-two-out
+    // window's hot-(user,domain) partition is one task's sort), while
+    // the write and digest stages it used to hide inside are
+    // axis-equal. Folding it into whichever write wins the race made
+    // r13's capstone read "negatives write 74s" for what is really the
+    // ranked window — so the cost now lands under its own name in
+    // every artifact. The extra count() action is shared work: the
+    // three concurrent writes reuse the persisted relation it
+    // materializes.
+    if (ranked != null) timed("ranked materialize") { ranked.count() }
     try {
       // train no longer consumes the written splits table (both derive
       // from `ranked`), so all three writes are independent narrow

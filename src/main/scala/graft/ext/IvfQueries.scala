@@ -826,13 +826,13 @@ object IvfQueries {
     * cluster, so the flat regime — whose recall is measured to hold at
     * 2.4M (planted mid 0.99 — the ivff16 row) — now covers to ~8.4M
     * vectors, aligning the product switchover with the 10M corpus
-    * broadcast ceiling where every other vector path re-plans anyway.
-    * Past THAT, the product regime applies with its at-regime-measured
-    * (2.4M, occ-37) numbers as the honest lower bound — at its real
-    * ≥8.4M activation its cells are 128-occupancy, so recall lands
-    * between the 2.4M forced row and the flat arm's; a residual/
-    * two-level quantizer is the documented roadmap if that band
-    * matters at >8.4M.
+    * broadcast ceiling where every other vector path re-plans anyway
+    * (made literal in r14 — see [[pairUseProduct]]: the r13 guess that
+    * ≥8.4M product recall "lands between the 2.4M row and the flat
+    * arm's" measured at the 8.4M un-forced anchor as mid 0.4259,
+    * BELOW the claimed bound, so the flat arm now carries to the
+    * ceiling at drifting occupancy and the residual/two-level
+    * quantizer is the recorded r15 task for the >10M regime).
     */
   val PAIR_FLAT_MAX_K = 65536
   val PAIR_HALF_MAX_K = 4096
@@ -873,11 +873,31 @@ object IvfQueries {
   def pairNprobeFor(n: Long): Int =
     if (pairFlatKFor(n) <= 256) PAIR_NPROBE else 16
 
-  /** The regime switch: product codebooks once the flat cap can no
-    * longer hold target occupancy.
+  /** The regime switch — moved from the flat cap's occupancy edge
+    * (k·occ ≈ 8.39M) to the LITERAL corpus-broadcast ceiling in r14,
+    * on the second at-regime falsification in two rounds: r13's claim
+    * that ≥8.4M product recall "lands between the 2.4M forced row
+    * (mid 0.525) and the flat arm's (0.987)" measured at the 8.4M
+    * un-forced anchor as mid 0.4259 / weak 0.059 / strong 0.9808
+    * (SCALING.md r14) — BELOW the claimed lower bound: the K² cell
+    * jump (kHalf 512 → 262144 cells) drops occupancy to 32, 4× under
+    * target, and the half-split geometry loss compounds again. The
+    * 8.39M–10M stretch now ships the FLAT codebook at its own design
+    * point instead (k capped at [[PAIR_FLAT_MAX_K]], occupancy
+    * drifting 128 → 153 — bracketed by flat measurements at occ 97 /
+    * mid 0.9963 (200k) and occ 73 / mid 0.987 (2.4M); the ~3.5×10¹³-
+    * mult assignment pass this admits is the same cost the cap raise
+    * already priced). Past the ceiling the product form remains the
+    * only sub-(n·k·dim) option and its at-regime numbers above are
+    * its honest contract — replacing it with a RESIDUAL two-level
+    * quantizer (coarse flat cells + shared sub-codebook over cell
+    * residuals: k_eff = k1·k2 data-adaptive cells at n·(k1+k2)·dim
+    * assignment cost, no half-split independence assumption) is the
+    * recorded next-round task, with the 8.4M anchor as its
+    * acceptance bar.
     */
   def pairUseProduct(n: Long): Boolean =
-    n > PAIR_FLAT_MAX_K.toLong * PAIR_TARGET_OCC
+    n > VectorOps.CORPUS_BROADCAST_MAX
 
   /** Per-half codebook size for the product regime: smallest power of
     * two K with K² product cells holding ≤ [[PAIR_TARGET_OCC]] vectors

@@ -1471,8 +1471,17 @@ object SimilarityQueries {
       // cross-base chance pairs (Θ(n²·7e−4) — cos 0.4 ≈ 3.2σ of the
       // 64-dim random-pair distribution), and chasing a quadratic
       // chance population re-quadratizes the generator; the structured
-      // (planted near-dup) share of the band stays high — see the
-      // planted-anchor table.
+      // (planted near-dup) share of the band stays high, and its decay
+      // across the WHOLE flat regime is measured, smooth and kneeless
+      // (r14, VERDICT r13 #2 — SCALING.md r14 curve): planted-weak at
+      // the nprobe-16 dial is 0.9152 (200k) → 0.8485 (600k) → 0.8153
+      // (1.2M) → 0.7639 (2.4M), ≈ −0.045 per corpus doubling with the
+      // slope flattening, while planted-mid holds ≥ 0.9907 and
+      // identical/strong hold 1.000 at every point. A consumer sizing
+      // for >200k vectors reads recall off that curve, not off the
+      // 200k endpoint; a second dial step is the measured-wrong trade
+      // (r13's 100× planted sweep: doubling mass to np 32 buys +0.032
+      // weak — a 2× cost for three points on a smooth curve).
       embedNearDupAuto(spark, d).orderBy("vec_a", "vec_b")
     },
 

@@ -121,11 +121,26 @@ object VectorOps {
     */
   val LSH_TARGET_BUCKET = 32L
   val LSH_MIN_BITS = 4
-  val LSH_MAX_BITS = 16
+
+  /** Band-width cap — RAISED 16 → 20 in r14: at 16 bits the occupancy
+    * invariant silently breaks past n ≈ 2M (65536 buckets/band stop
+    * growing, occupancy grows as n/2¹⁶), and the banded pair arm's
+    * per-bucket quadratic cost comes back exactly where the dial
+    * exists to kill it — measured at the 8.4M-vector r14 anchor, where
+    * the arm's pair output (occupancy 128 × sign-bit skew) out-sorted
+    * this box's 74 GB of free disk. 20 bits holds occupancy ≤ 32
+    * through n ≈ 33M — past the 10M corpus-broadcast ceiling where
+    * every vector path re-plans anyway (the same alignment argument as
+    * the flat pair cap). Costs that move with the cap: band signature
+    * bits·bands ≤ 40 dot products per vector (one narrow pass), and
+    * the lshTopK single-long signature packing needs bits·bands ≤ 63
+    * (40 at the cap).
+    */
+  val LSH_MAX_BITS = 20
 
   /** Smallest band width in [[LSH_MIN_BITS]], [[LSH_MAX_BITS]]] keeping
     * expected occupancy n / 2^bits at or below [[LSH_TARGET_BUCKET]]:
-    * 4 bits through n=512, 13 bits at n=200k, capped at 16.
+    * 4 bits through n=512, 13 bits at n=200k, capped at 20.
     */
   def lshBandBitsFor(n: Long): Int = {
     var b = LSH_MIN_BITS
