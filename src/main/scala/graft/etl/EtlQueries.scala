@@ -230,18 +230,30 @@ object EtlQueries {
       // two-row agg as a registry entry lands that cost as a memo/
       // stage line so a capstone tail reads as "the exact-distinct
       // gate's price" rather than unattributed wall
+      //
+      // Dedup-first two-branch shape (r14, guide §2.3 "shuffle fewer
+      // bytes"): the single multi-DISTINCT agg planned an Expand ×3
+      // whose post-expand shuffle rows each carried BOTH ~4 KB HLL++
+      // buffers — 953 MiB over the wire for 149k rows at sf0.1
+      // (plans/r14/q_approx_counts_before.txt). Deduping (domain, key)
+      // first ships bare pairs with map-side partial dedup, and the
+      // per-domain re-agg carries one sketch per (partition, domain).
+      // approx_count_distinct is duplicate-insensitive (register max),
+      // so the estimate — hence the gated boolean — is bit-identical;
+      // count over the deduped pairs IS the exact distinct.
       graft.Memo.cached(spark, d, "etl.approxCounts") {
-        Interactions(spark, d)
-          .groupBy("domain")
-          .agg(
-            countDistinct(col("user_id")).as("n_users_exact"),
-            countDistinct(col("item_id")).as("n_items_exact"),
-            (abs(approx_count_distinct(col("user_id"), rsd).cast("double")
-                - countDistinct(col("user_id")))
-              / countDistinct(col("user_id")) < bound).as("users_within_5pct"),
-            (abs(approx_count_distinct(col("item_id"), rsd).cast("double")
-                - countDistinct(col("item_id")))
-              / countDistinct(col("item_id")) < bound).as("items_within_5pct"))
+        def branch(key: String, exactName: String, flagName: String) =
+          Interactions(spark, d).select(col("domain"), col(key)).distinct()
+            .groupBy("domain")
+            .agg(count(lit(1)).as(exactName),
+              (abs(approx_count_distinct(col(key), rsd).cast("double")
+                  - count(lit(1)))
+                / count(lit(1)) < bound).as(flagName))
+        branch("user_id", "n_users_exact", "users_within_5pct")
+          .join(branch("item_id", "n_items_exact", "items_within_5pct"),
+            Seq("domain"))
+          .select(col("domain"), col("n_users_exact"), col("n_items_exact"),
+            col("users_within_5pct"), col("items_within_5pct"))
           .persist()
       }.orderBy("domain")
     },

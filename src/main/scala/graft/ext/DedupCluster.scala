@@ -53,6 +53,20 @@ object DedupCluster {
     */
   private val MAX_ROUNDS = 48
 
+  /** Edge-count gate for the driver union-find fast path: a verified
+    * duplicate-pair relation at or below this many distinct pairs is
+    * collected and labeled on the driver (≤ ~32 MB of 16-byte pairs —
+    * the same count-gated collect-with-distributed-fallback discipline
+    * as the sampler catalogs and ANN codebooks). The dup graph is tiny
+    * relative to its corpus (it holds only verified near-duplicate
+    * PAIRS, not documents), so even a 100 TB corpus's post-verification
+    * graph usually fits; past the gate the distributed propagation loop
+    * runs unchanged. Env override for probes/specs.
+    */
+  private[ext] val CC_DRIVER_MAX_EDGES: Long =
+    sys.env.get("SPARK_GRAFT_CC_DRIVER_MAX").map(_.toLong)
+      .getOrElse(2000000L)
+
   /** `pairs(doc_a, doc_b)` undirected edges → `(id, label)` with
     * `label` = min doc_id of the connected component. Only vertices that
     * appear in at least one pair are emitted (unpaired docs are trivially
@@ -60,21 +74,64 @@ object DedupCluster {
     */
   def connectedComponents(pairs: DataFrame): DataFrame = {
     val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+    // Count-gated driver union-find fast path (r14). The distributed
+    // propagation loop is job-latency bound, not data bound, on small
+    // graphs: diameter-many rounds × 2 jobs × ~0.15s scheduling floor
+    // (5.6s of the sf0.1 q_dedup_embed_cluster line was a 17-round walk
+    // over a few thousand labels; a fused multi-hop round was measured
+    // WORSE — see the loop note). Labels are the component minimum —
+    // algorithm-independent and deterministic — so a driver union-find
+    // over the collected pair list returns the identical relation
+    // (DedupClusterSpec compares all three implementations). The
+    // limit(N+1) collect IS the gate: a graph past the cap falls
+    // through to the propagation loop having collected nothing extra.
+    if (fwd.schema.fields.forall(_.dataType ==
+        org.apache.spark.sql.types.LongType)) {
+      val cap = CC_DRIVER_MAX_EDGES
+      val t0 = System.nanoTime()
+      val collected =
+        fwd.limit((cap + 1).toInt).collect()
+      if (collected.length <= cap) {
+        val labels = driverUnionFind(collected)
+        graft.StageTiming.record(
+          s"cc/propagate(driver uf, ${collected.length} pairs)",
+          (System.nanoTime() - t0) / 1e9)
+        val spark = pairs.sparkSession
+        import spark.implicits._
+        return labels.toSeq.toDF("id", "label")
+      }
+    }
+    connectedComponentsPropagate(pairs)
+  }
+
+  /** The distributed frontier-propagation loop — [[connectedComponents]]'
+    * past-the-gate arm, exposed so DedupClusterSpec can prove it equals
+    * the driver union-find and the star contraction on the same graphs.
+    */
+  private[ext] def connectedComponentsPropagate(pairs: DataFrame): DataFrame = {
+    val fwd = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
     val edges = fwd.unionAll(fwd.select(col("v").as("u"), col("u").as("v")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // tracked checkpoints: each round's state supersedes the previous
     // round's — release the old blocks as soon as the new state is
     // materialized instead of waiting for reference-GC (deterministic
-    // storage under Memo's byte budget)
-    var (labels, relLabels) = graft.Memo.checkpointTracked(
+    // storage under Memo's byte budget).
+    //
+    // Fused round state (r14): (id, label, chg) in ONE checkpointed
+    // relation — chg marks membership in the next frontier. The old
+    // shape checkpointed `updates` AND the merged labels separately
+    // (two materializations + a count + two joins per round); fusing
+    // the adopt-filter into the label merge does one left join, one
+    // checkpoint and one count-over-checkpointed-filter per round —
+    // 17-round graphs (q_dedup_embed_cluster at sf0.1) drop a third of
+    // their propagation jobs. Label arithmetic is unchanged: adopt the
+    // pushed min iff it strictly improves, so results are identical.
+    var (state, relState) = graft.Memo.checkpointTracked(
       edges.select(col("u").as("id")).distinct()
-        .select(col("id"), col("id").as("label")))
-    // round-0 frontier = every vertex (its self-label is "new"); it
-    // SHARES the labels blocks, so its release handle is a no-op
-    var frontier = labels
-    var relFrontier: () => Unit = () => ()
-    var active = frontier.count()
+        .select(col("id"), col("id").as("label"), lit(true).as("chg")))
+    // round-0 frontier = every vertex (its self-label is "new")
+    var active = state.count()
     var rounds = 0
     // one stage for the whole propagation loop: CC feeds several
     // queries (q_dedup_embed_cluster, q_dedup_cluster, curation), and a
@@ -82,40 +139,78 @@ object DedupCluster {
     // build" answerable from the bench artifact (VERDICT r11 #4)
     val tCc = System.nanoTime()
     while (active > 0 && rounds < MAX_ROUNDS) {
-      // labels pushed across edges FROM the frontier only
+      // labels pushed across edges FROM the frontier only. (Fusing
+      // several hops into one checkpointed round was measured and
+      // rejected in r14: each lazy hop nests the previous hop's plan
+      // twice — push branch + merge branch — so a 4-hop round
+      // re-evaluates hop 1 up to 8×; 5.6s → 10.7s on the 17-round
+      // sf0.1 graph. One hop per checkpoint stands.)
       val pushed = edges
-        .join(frontier.select(col("id").as("v"), col("label")), "v")
+        .join(state.filter(col("chg"))
+          .select(col("id").as("v"), col("label")), "v")
         .groupBy(col("u")).agg(min(col("label")).as("cand"))
-      // adopt a pushed label iff it strictly improves — these vertices
-      // are the next frontier
-      val (updates, relUpdates) = graft.Memo.checkpointTracked(
-        labels
-          .join(pushed.select(col("u").as("id"), col("cand")), "id")
-          .filter(col("cand") < col("label"))
-          .select(col("id"), col("cand").as("label")))
-      active = updates.count()
-      if (active > 0) {
-        val (nl, relNl) = graft.Memo.checkpointTracked(
-          labels
-            .join(updates.select(col("id"), col("label").as("upd")),
-              Seq("id"), "left")
-            .select(col("id"), coalesce(col("upd"), col("label")).as("label")))
-        relLabels()
-        labels = nl
-        relLabels = relNl
-      }
-      relFrontier()
-      frontier = updates
-      relFrontier = relUpdates
+      val (ns, relNs) = graft.Memo.checkpointTracked(
+        state.select(col("id"), col("label"))
+          .join(pushed.select(col("u").as("id"), col("cand")), Seq("id"), "left")
+          .select(col("id"),
+            when(col("cand") < col("label"), col("cand"))
+              .otherwise(col("label")).as("label"),
+            coalesce(col("cand") < col("label"), lit(false)).as("chg")))
+      relState()
+      state = ns
+      relState = relNs
+      active = state.filter(col("chg")).count()
       rounds += 1
     }
     graft.StageTiming.record(s"cc/propagate($rounds rounds)",
       (System.nanoTime() - tCc) / 1e9)
-    relFrontier() // the final (empty) frontier; labels stay live for the caller
     edges.unpersist()
     require(active == 0,
       s"connectedComponents did not converge in $MAX_ROUNDS rounds")
-    labels
+    // labels stay live for the caller (the final state's release handle
+    // is deliberately not invoked)
+    state.select(col("id"), col("label"))
+  }
+
+  /** Union-find with union-by-min over a collected pair list: the root
+    * of every set is its minimum id (a larger root always attaches
+    * under a smaller one), so `find` returns exactly the component
+    * minimum the propagation loop converges to. Output sorted by id so
+    * the relation is deterministic row-for-row across JVMs.
+    */
+  private def driverUnionFind(
+      rows: Array[org.apache.spark.sql.Row]): Array[(Long, Long)] = {
+    val parent = new java.util.HashMap[Long, Long]()
+    def find(x0: Long): Long = {
+      var x = x0
+      var p = parent.get(x)
+      while (p != x) {
+        val gp = parent.get(p)
+        parent.put(x, gp)
+        x = p
+        p = gp
+      }
+      x
+    }
+    def add(x: Long): Unit = if (!parent.containsKey(x)) parent.put(x, x)
+    rows.foreach { r =>
+      val u = r.getLong(0); val v = r.getLong(1)
+      add(u); add(v)
+      val ru = find(u); val rv = find(v)
+      if (ru != rv) {
+        if (ru < rv) parent.put(rv, ru) else parent.put(ru, rv)
+      }
+    }
+    val out = new Array[(Long, Long)](parent.size)
+    val it = parent.keySet().iterator()
+    var i = 0
+    while (it.hasNext) {
+      val k = it.next()
+      out(i) = (k, find(k))
+      i += 1
+    }
+    scala.util.Sorting.quickSort(out)(Ordering.by(_._1))
+    out
   }
 
   /** Both orientations of an edge set (no self-loops assumed). */

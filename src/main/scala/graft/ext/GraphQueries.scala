@@ -222,8 +222,12 @@ object GraphQueries {
     val e = a.join(b, col("c") === col("c2") && col("u") < col("v"))
       .select("u", "v").distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // persisted: consumed by BOTH orientation joins and the nNodes count
+    // (r14 — unpersisted it was recomputed three times, a scan + union +
+    // hash agg over the pair relation each time)
     val deg = e.select(col("u").as("n")).unionAll(e.select(col("v")))
       .groupBy("n").agg(count(lit(1)).cast("long").as("d"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     val withDeg = e
       .join(deg.select(col("n").as("u"), (col("d") * R + col("n")).as("ru")), "u")
       .join(deg.select(col("n").as("v"), (col("d") * R + col("n")).as("rv")), "v")
@@ -246,10 +250,15 @@ object GraphQueries {
       .agg(sort_array(collect_list("b")).as("nbrs"), count(lit(1)).as("dout"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     // coalesce: sum over ZERO rows is null — an empty projection must
-    // report 0 wedges/triangles, not throw on getLong
-    val nWedges = graft.StageTiming.timed("tri/adjacency") {
-      adj.agg(coalesce(sum(expr("(dout * (dout - 1)) div 2")), lit(0L)))
-        .head().getLong(0)
+    // report 0 wedges/triangles, not throw on getLong. nEdges rides the
+    // same aggregate (r14): every oriented edge lands in exactly one
+    // adjacency list, so Σ dout = |o| = |e| — one action instead of a
+    // separate e.count() job.
+    val (nWedges, nEdges) = graft.StageTiming.timed("tri/adjacency") {
+      val r = adj.agg(
+        coalesce(sum(expr("(dout * (dout - 1)) div 2")), lit(0L)),
+        coalesce(sum(col("dout")), lit(0L))).head()
+      (r.getLong(0), r.getLong(1))
     }
     // sorted_intersect_size: native two-pointer merge (zero allocation,
     // whole-stage codegen) — size(array_intersect(...)) built a per-row
@@ -263,8 +272,9 @@ object GraphQueries {
           "coalesce(nb, CAST(array() AS ARRAY<BIGINT>)))").as("k"))
         .agg(coalesce(sum(col("k")), lit(0L))).head().getLong(0)
     }
-    val nNodes = deg.count(); val nEdges = e.count()
+    val nNodes = deg.count()
     e.unpersist(false); o.unpersist(false); adj.unpersist(false)
+    deg.unpersist(false)
     import spark.implicits._
     Seq((nNodes, nEdges, nWedges, nTri)).toDF(
         "n_nodes", "n_edges", "n_wedges", "n_triangles")
@@ -310,8 +320,12 @@ object GraphQueries {
         when(col("sd").isNotNull, lit(SCALE / ns)).otherwise(lit(0L))
           .cast("long").as("r")))
     for (_ <- 1 to ITERS) {
+      // same broadcast 1-row dangling-mass fold as [[pagerank]] (r14):
+      // `dm div ns` ≡ the old driver-side `dang / ns` (non-negative
+      // truncating division), one job per round instead of two
       val dang = ranks.join(danglers, "node", "left_semi")
-        .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+        .select(expr(s"dm div $ns").as("dgn"))
       val contrib = srcRanked
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div od").as("share"))
@@ -319,10 +333,11 @@ object GraphQueries {
       val next = nodes
         .join(contrib, Seq("node"), "left")
         .join(seeds.withColumn("sd", lit(1)), Seq("node"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"),
           (when(col("sd").isNotNull, lit(teleSeed)).otherwise(lit(0L)) +
             expr(s"""($DAMP_NUM * (coalesce(contrib, CAST(0 AS BIGINT))
-                    | + CASE WHEN sd IS NOT NULL THEN ${dang / ns}
+                    | + CASE WHEN sd IS NOT NULL THEN dgn
                     |        ELSE CAST(0 AS BIGINT) END)) div $DAMP_DEN"""
               .stripMargin))
             .cast("long").as("r"))
@@ -382,16 +397,25 @@ object GraphQueries {
     var (ranks, relRanks) = graft.Memo.checkpointTracked(
       nodes.select(col("node"), lit(SCALE / n).as("r")))
     for (_ <- 1 to ITERS) {
+      // dangling mass as a broadcast 1-row relation, not a driver
+      // collect (r14, guide §5 "the driver should do almost no data
+      // work"): the old per-round .first() was a blocking job per
+      // iteration; folding it into the next-rank plan lets the round's
+      // single checkpoint action compute it. `dm div n` = truncating
+      // division of non-negative longs — identical to the old
+      // driver-side `dang / n` literal.
       val dang = ranks.join(danglers, "node", "left_semi")
-        .agg(coalesce(sum(col("r")), lit(0L))).first().getLong(0)
+        .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
+        .select(expr(s"dm div $n").as("dgn"))
       val contrib = srcRanked
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div od").as("share"))
         .groupBy("node").agg(sum(col("share")).as("contrib"))
       val next = nodes.join(contrib, Seq("node"), "left")
+        .crossJoin(broadcast(dang))
         .select(col("node"),
           (lit(tele) + expr(
-            s"($DAMP_NUM * (coalesce(contrib, CAST(0 AS BIGINT)) + ${dang / n})) div $DAMP_DEN"))
+            s"($DAMP_NUM * (coalesce(contrib, CAST(0 AS BIGINT)) + dgn)) div $DAMP_DEN"))
             .cast("long").as("r"))
       val (nr, relNr) = graft.Memo.checkpointTracked(next)
       relRanks()

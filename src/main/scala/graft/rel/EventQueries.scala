@@ -235,16 +235,21 @@ object EventQueries {
           when(col("event_type") === "click", 1L).otherwise(0L).as("c"))
         .groupBy("user_id", "bin")
         .agg(sum(col("p")).as("np"), sum(col("c")).as("nc"))
-      // null guard mirrors prevBin's: sum over zero rows is NULL (an
-      // events table with no clicks/purchases must run, not NPE)
-      val sameBinRow = counts.agg(sum(col("np") * col("nc"))).head()
-      val sameBin =
-        if (sameBinRow.isNullAt(0)) 0L else sameBinRow.getLong(0)
-      val prevBin = counts
+      // both bound terms in ONE action (r14, guide §1.2/§2.4: the two
+      // separate aggregates re-ran the scan+agg subtree three times and
+      // paid two blocking driver round-trips; the left join keeps every
+      // counts row exactly once — prev-bin rows are unique per
+      // (user_id, bin) — so sum(np·nc) is unchanged and sum(np·nc_prev)
+      // over the left join equals the old inner-join sum, nulls ignored).
+      // null guard: sum over zero rows is NULL (an events table with no
+      // clicks/purchases must run, not NPE)
+      val boundRow = counts
         .join(counts.select(col("user_id"), (col("bin") + 1).as("bin"),
-          col("nc").as("nc_prev")), Seq("user_id", "bin"))
-        .agg(sum(col("np") * col("nc_prev"))).head()
-      val bound = sameBin + (if (prevBin.isNullAt(0)) 0L else prevBin.getLong(0))
+          col("nc").as("nc_prev")), Seq("user_id", "bin"), "left")
+        .agg(sum(col("np") * col("nc")), sum(col("np") * col("nc_prev")))
+        .head()
+      val bound = (if (boundRow.isNullAt(0)) 0L else boundRow.getLong(0)) +
+        (if (boundRow.isNullAt(1)) 0L else boundRow.getLong(1))
       val budget = sys.env.get("SPARK_GRAFT_STREAM_JOIN_BUDGET")
         .map(_.toLong).getOrElse(100000000L)
       if (bound > budget)
