@@ -37,8 +37,26 @@ object Tables {
     }
   }
 
+  /** Per-session relation memo (r14): every `spark.read.parquet` pays a
+    * driver-side file listing + footer schema read (~10-30 ms), and the
+    * suite issues hundreds of loader calls over the same ten static
+    * files — seconds of pure driver overhead. The analyzed DataFrame is
+    * an immutable plan, so handing every caller the same instance is
+    * free; keyed per session (weak, like Memo) so sessions don't share
+    * state and a closed session's entries are collectable. The source
+    * files are the driver's static test tables — nothing rewrites them
+    * mid-session (derived relations go through SplitCache/Bucketing,
+    * not this loader).
+    */
+  private val loaded = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]())
+
   def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
-    canonTimestamps(spark, spark.read.parquet(s"$sfDir/$name.parquet"))
+    loaded.computeIfAbsent(spark,
+        _ => scala.collection.concurrent.TrieMap.empty[String, DataFrame])
+      .getOrElseUpdate(s"$sfDir/$name.parquet",
+        canonTimestamps(spark, spark.read.parquet(s"$sfDir/$name.parquet")))
 
   def region(spark: SparkSession, d: String): DataFrame = load(spark, d, "region")
   def nation(spark: SparkSession, d: String): DataFrame = load(spark, d, "nation")

@@ -46,7 +46,18 @@ object Bucketing {
       table.toLowerCase(java.util.Locale.ROOT))
     val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(loc)) fs.delete(loc, true)
-    df.write
+    // one exchange on the bucket key before the write (r14, guide §6):
+    // without it every write TASK emits a file per bucket id it holds —
+    // tasks × buckets files (32 × 32 = 1024 at sf0.1; ~1-3 ms of
+    // create/commit overhead each) — while repartition(buckets, cols)
+    // aligns row→task placement with the bucket hash (both are
+    // pmod(Murmur3(cols), buckets)), so each task owns exactly one
+    // bucket and the table lands as `buckets` right-sized files. The
+    // exchange itself is the same co-location work the bucketed layout
+    // exists to pay once.
+    df.repartition(buckets,
+        cols.map(org.apache.spark.sql.functions.col): _*)
+      .write
       .mode("overwrite")
       .bucketBy(buckets, cols.head, cols.tail: _*)
       .sortBy(cols.head, cols.tail: _*)

@@ -242,18 +242,28 @@ object EtlQueries {
       // so the estimate — hence the gated boolean — is bit-identical;
       // count over the deduped pairs IS the exact distinct.
       graft.Memo.cached(spark, d, "etl.approxCounts") {
-        def branch(key: String, exactName: String, flagName: String) =
-          Interactions(spark, d).select(col("domain"), col(key)).distinct()
-            .groupBy("domain")
-            .agg(count(lit(1)).as(exactName),
-              (abs(approx_count_distinct(col(key), rsd).cast("double")
-                  - count(lit(1)))
-                / count(lit(1)) < bound).as(flagName))
-        branch("user_id", "n_users_exact", "users_within_5pct")
-          .join(branch("item_id", "n_items_exact", "items_within_5pct"),
-            Seq("domain"))
-          .select(col("domain"), col("n_users_exact"), col("n_items_exact"),
-            col("users_within_5pct"), col("items_within_5pct"))
+        // one pass: both key kinds in a single (domain, kind, k) dedup
+        // (kind separates user/item key spaces), one tiny agg per
+        // (domain, kind), reshaped to the output row per domain — the
+        // interactions cache is scanned once instead of twice and the
+        // dedup exchange carries both kinds together
+        val inter = Interactions(spark, d)
+        val perKind = inter
+          .select(col("domain"), lit("u").as("kind"), col("user_id").as("k"))
+          .unionAll(inter
+            .select(col("domain"), lit("i").as("kind"), col("item_id").as("k")))
+          .distinct()
+          .groupBy("domain", "kind")
+          .agg(count(lit(1)).as("exact"),
+            (abs(approx_count_distinct(col("k"), rsd).cast("double")
+                - count(lit(1)))
+              / count(lit(1)) < bound).as("flag"))
+        perKind.groupBy("domain")
+          .agg(
+            max(when(col("kind") === "u", col("exact"))).as("n_users_exact"),
+            max(when(col("kind") === "i", col("exact"))).as("n_items_exact"),
+            max(when(col("kind") === "u", col("flag"))).as("users_within_5pct"),
+            max(when(col("kind") === "i", col("flag"))).as("items_within_5pct"))
           .persist()
       }.orderBy("domain")
     },

@@ -126,16 +126,24 @@ object BpeQueries {
 
   // -------------------------------------------------------------- Spark
 
-  /** One merge round: returns (merged symbols, 1-row best-pair frame). */
-  private def mergeRound(syms: DataFrame): (DataFrame, DataFrame) = {
+  /** Best pair of a round — split from the merge application (r14) so
+    * the chain can memoize each piece; expressions unchanged.
+    */
+  private def mergeBest(syms: DataFrame): DataFrame = {
     val wOrd = Window.partitionBy("word").orderBy("p")
     val pr = syms.withColumn("r", lead(col("s"), 1).over(wOrd))
-    val best = pr.filter(col("r").isNotNull)
+    pr.filter(col("r").isNotNull)
       .groupBy(col("s").as("l"), col("r"))
       .agg(sum(col("wc")).cast("long").as("cnt"))
       .orderBy(col("cnt").desc, col("l"), col("r"))
       .limit(1)
       .select(col("l").as("bl"), col("r").as("br"), col("cnt").as("bcnt"))
+  }
+
+  /** One merge round's application of a (memoized) best pair. */
+  private def mergeApply(syms: DataFrame, best: DataFrame): DataFrame = {
+    val wOrd = Window.partitionBy("word").orderBy("p")
+    val pr = syms.withColumn("r", lead(col("s"), 1).over(wOrd))
     val fl = pr.crossJoin(broadcast(best))
       .withColumn("m",
         when(col("s") === col("bl") && col("r") === col("br"), 1).otherwise(0))
@@ -154,7 +162,7 @@ object BpeQueries {
         when(col("take") === 1, concat(col("bl"), col("br"))).otherwise(col("s")))
       .withColumn("p2", row_number().over(wOrd).cast("long"))
       .select(col("word"), col("wc"), col("p2").as("p"), col("s2").as("s"))
-    (merged, best)
+    merged
   }
 
   /** Char-exploded weighted vocabulary: (word, wc, p, s). */
@@ -169,12 +177,29 @@ object BpeQueries {
       .select(col("word"), col("wc"), col("p"),
         expr("substring(word, CAST(p AS INT), 1)").as("s"))
 
-  /** Runs the unrolled chain; returns per-round bests and final syms. */
+  /** Runs the unrolled chain; returns per-round bests and final syms.
+    *
+    * Per-round relations are memoized (r14, the q_candidates rule):
+    * three suite consumers (q_bpe_merges / q_bpe_vocab / q_bpe_apply)
+    * each rebuilt the whole unrolled chain, and within one build round
+    * k's LAZY plan nested round k-1's plan in BOTH the pair-count and
+    * the merge-application branches — the same exponential re-evaluation
+    * the CC multi-hop probe measured. Persisting each round's (tiny)
+    * symbol table and 1-row best makes every branch read the previous
+    * round once, and the second and third consumers ride the memo.
+    */
   private def chain(spark: SparkSession, d: String): (Seq[DataFrame], DataFrame) = {
-    var syms = syms0(spark, d)
-    val bests = (1 to Rounds).map { _ =>
-      val (next, best) = mergeRound(syms)
-      syms = next
+    var syms = graft.Memo.cached(spark, d, "bpe.syms0") {
+      syms0(spark, d).persist()
+    }
+    val bests = (1 to Rounds).map { i =>
+      val s = syms
+      val best = graft.Memo.cached(spark, d, s"bpe.best$i") {
+        mergeBest(s).persist()
+      }
+      syms = graft.Memo.cached(spark, d, s"bpe.syms$i") {
+        mergeApply(s, best).persist()
+      }
       best
     }
     (bests, syms)

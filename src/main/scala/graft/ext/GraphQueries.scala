@@ -305,8 +305,12 @@ object GraphQueries {
       .filter(expr(s"(src div 2) % $PPR_SEED_MOD = 0"))
       .select(col("src").as("node")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    val ns = seeds.count()
-    val teleSeed = (DAMP_DEN - DAMP_NUM) * SCALE / (DAMP_DEN * ns)
+    // seed count + seed teleport as a 1-row broadcast relation — the
+    // same no-driver-collect fold as [[pagerank]]'s `nn` (r14)
+    val nsRow = seeds.agg(count(lit(1)).as("ns"))
+      .select(col("ns"),
+        expr(s"(($DAMP_DEN - $DAMP_NUM) * $SCALE) div ($DAMP_DEN * ns)")
+          .as("teleSeed"))
     val danglers = nodes
       .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -316,8 +320,9 @@ object GraphQueries {
 
     var (ranks, relRanks) = graft.Memo.checkpointTracked(nodes
       .join(seeds.withColumn("sd", lit(1)), Seq("node"), "left")
+      .crossJoin(broadcast(nsRow))
       .select(col("node"),
-        when(col("sd").isNotNull, lit(SCALE / ns)).otherwise(lit(0L))
+        when(col("sd").isNotNull, expr(s"$SCALE div ns")).otherwise(lit(0L))
           .cast("long").as("r")))
     for (_ <- 1 to ITERS) {
       // same broadcast 1-row dangling-mass fold as [[pagerank]] (r14):
@@ -325,7 +330,8 @@ object GraphQueries {
       // truncating division), one job per round instead of two
       val dang = ranks.join(danglers, "node", "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-        .select(expr(s"dm div $ns").as("dgn"))
+        .crossJoin(broadcast(nsRow))
+        .select(expr("dm div ns").as("dgn"), col("teleSeed"))
       val contrib = srcRanked
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div od").as("share"))
@@ -335,7 +341,7 @@ object GraphQueries {
         .join(seeds.withColumn("sd", lit(1)), Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
-          (when(col("sd").isNotNull, lit(teleSeed)).otherwise(lit(0L)) +
+          (when(col("sd").isNotNull, col("teleSeed")).otherwise(lit(0L)) +
             expr(s"""($DAMP_NUM * (coalesce(contrib, CAST(0 AS BIGINT))
                     | + CASE WHEN sd IS NOT NULL THEN dgn
                     |        ELSE CAST(0 AS BIGINT) END)) div $DAMP_DEN"""
@@ -379,10 +385,14 @@ object GraphQueries {
       .union(edges.select(col("dst").as("node")))
       .distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
-    // the two bounded scalars of the whole computation: node count and,
-    // per round, the 1-row dangling mass — never a per-node collect
-    val n = nodes.count()
-    val tele = (DAMP_DEN - DAMP_NUM) * SCALE / (DAMP_DEN * n)
+    // the node count stays a 1-row broadcast relation, never a driver
+    // collect (r14): `nn` folds into every consumer's plan, so the old
+    // up-front nodes.count() action disappears — tele and the initial
+    // rank are the same truncating integer expressions over the column
+    val nn = nodes.agg(count(lit(1)).as("n"))
+      .select(col("n"),
+        expr(s"(($DAMP_DEN - $DAMP_NUM) * $SCALE) div ($DAMP_DEN * n)")
+          .as("tele"))
     val danglers = nodes
       .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
       .persist(StorageLevel.MEMORY_AND_DISK)
@@ -395,7 +405,8 @@ object GraphQueries {
       .persist(StorageLevel.MEMORY_AND_DISK)
 
     var (ranks, relRanks) = graft.Memo.checkpointTracked(
-      nodes.select(col("node"), lit(SCALE / n).as("r")))
+      nodes.crossJoin(broadcast(nn))
+        .select(col("node"), expr(s"$SCALE div n").as("r")))
     for (_ <- 1 to ITERS) {
       // dangling mass as a broadcast 1-row relation, not a driver
       // collect (r14, guide §5 "the driver should do almost no data
@@ -406,7 +417,8 @@ object GraphQueries {
       // driver-side `dang / n` literal.
       val dang = ranks.join(danglers, "node", "left_semi")
         .agg(coalesce(sum(col("r")), lit(0L)).as("dm"))
-        .select(expr(s"dm div $n").as("dgn"))
+        .crossJoin(broadcast(nn))
+        .select(expr("dm div n").as("dgn"), col("tele"))
       val contrib = srcRanked
         .join(ranks.withColumnRenamed("node", "src"), "src")
         .select(col("dst").as("node"), expr("r div od").as("share"))
@@ -414,7 +426,7 @@ object GraphQueries {
       val next = nodes.join(contrib, Seq("node"), "left")
         .crossJoin(broadcast(dang))
         .select(col("node"),
-          (lit(tele) + expr(
+          (col("tele") + expr(
             s"($DAMP_NUM * (coalesce(contrib, CAST(0 AS BIGINT)) + dgn)) div $DAMP_DEN"))
             .cast("long").as("r"))
       val (nr, relNr) = graft.Memo.checkpointTracked(next)

@@ -79,11 +79,17 @@ object EventsStream {
     if (rocksDbState) spark.conf.set(key,
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     try {
-      val q = agg.writeStream.format("memory").queryName(name)
-        .outputMode(mode)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      // stage line per streaming run (r14): the streaming queries were
+      // the last bench tails with no stages entry — artifact-only
+      // attribution of "was it the micro-batch run or the driver-side
+      // pre-pass" (the q_stream_join budget bound) needs this
+      graft.StageTiming.timed(s"stream/run $name") {
+        val q = agg.writeStream.format("memory").queryName(name)
+          .outputMode(mode)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
     } finally {
       if (rocksDbState) prev match {
         case Some(v) => spark.conf.set(key, v)
