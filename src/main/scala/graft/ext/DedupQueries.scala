@@ -108,15 +108,69 @@ object DedupQueries {
       d: String): (DataFrame, DataFrame) = {
     val sfx = graft.etl.Bucketing.tableSuffix(d)
     def idxDocs = Tables.documents(spark, d).filter(col("doc_id") % 10 =!= 3)
+    // ONE tokenize pass feeds BOTH index tables (r14): banding and the
+    // shingle-set aggregate each re-split and re-shingled the identical
+    // 90% corpus slice (and the set side paid an extra (doc_id, sh)
+    // exchange for its collect_list). The fused mapPartitions computes,
+    // per document in-memory, the string-distinct MinHash minima (the
+    // bands contract) AND the hash-distinct sorted shingle array (the
+    // sets contract) — bit-identical to the two separate passes; the
+    // two bucketed writes just project/explode the memoized relation.
+    val fused = graft.Memo.cached(spark, d, "dedup.incrIndexDocs") {
+      import spark.implicits._
+      idxDocs.select("doc_id", "text").as[(Long, String)]
+        .repartition(spark.sparkContext.defaultParallelism)
+        .mapPartitions { it =>
+          val md = java.security.MessageDigest.getInstance("MD5")
+          val utf8 = java.nio.charset.StandardCharsets.UTF_8
+          val empty = Array.emptyByteArray
+          val k = 5
+          it.flatMap { case (docId, text) =>
+            if (text == null) Iterator.empty else {
+              val w = text.split(" ", -1)
+              val seen = new java.util.HashSet[String]
+              val hseen = new java.util.HashSet[Long]
+              val hs = Array.newBuilder[Long]
+              val mins = Array.fill(NUM_HASH)(Long.MaxValue)
+              var s = 0
+              while (s + k <= w.length) {
+                val sh = w.slice(s, s + k).mkString(" ")
+                if (seen.add(sh)) {
+                  val h = Hashing.h60Jvm(md, sh)
+                  if (hseen.add(h)) hs += h
+                  val prefix = (sh + ":").getBytes(utf8)
+                  var j = 0
+                  while (j < NUM_HASH) {
+                    val hj = Hashing.h60JvmParts(md, prefix, j.toString, empty)
+                    if (hj < mins(j)) mins(j) = hj
+                    j += 1
+                  }
+                }
+                s += 1
+              }
+              if (seen.isEmpty) Iterator.empty
+              else {
+                val shs = hs.result()
+                java.util.Arrays.sort(shs)
+                val sigs = (0 until NUM_HASH / BAND_ROWS).map { b =>
+                  (b * BAND_ROWS until (b + 1) * BAND_ROWS)
+                    .map(mins).mkString(",")
+                }.toArray
+                Iterator.single((docId, shs, sigs))
+              }
+            }
+          }
+        }.toDF("doc_id", "shs", "sigs").persist()
+    }
     val bands = graft.Memo.cached(spark, d, "dedup.incrIndexBands") {
-      graft.etl.Bucketing.writeBucketed(minhashBandsFrom(idxDocs, 5),
+      graft.etl.Bucketing.writeBucketed(
+        fused.select(col("doc_id"),
+          posexplode(col("sigs")).as(Seq("band", "sig"))),
         s"incr_idx_bands_$sfx", 32, Seq("band", "sig"))
     }
     val sets = graft.Memo.cached(spark, d, "dedup.incrIndexSets") {
       graft.etl.Bucketing.writeBucketed(
-        TextOps.wordShingleHashesRel(idxDocs, 5)
-          .groupBy("doc_id")
-          .agg(sort_array(collect_list(col("sh"))).as("shs")),
+        fused.select(col("doc_id"), col("shs")),
         s"incr_idx_sets_$sfx", 32, Seq("doc_id"))
     }
     (bands, sets)
