@@ -196,8 +196,10 @@ object GraphQueries {
     //      supplier co-purchase projection. The two 100 TB guards ARE
     //      the operator: (1) the projection's per-hub quadratic blowup
     //      is capped at TriCap suppliers per customer in deterministic
-    //      h60 order (WindowGroupLimit shape — O(cap) state, no stratum
-    //      sort; the documented approximation dial, exact when no hub
+    //      h60 order (the cooc cappedPairs kernel: the cap slices the
+    //      collected array before the positional explode, so a hub's
+    //      task holds O(distinct suppliers) and emits at most C(cap,2)
+    //      pairs; the documented approximation dial, exact when no hub
     //      exceeds the cap); (2) every edge orients from its
     //      lower-(degree, id) endpoint, so wedge enumeration is bounded
     //      by O(m·α) (arboricity), not the hub degree — the standard
@@ -206,21 +208,33 @@ object GraphQueries {
     "q_triangles" -> QueryDef(trianglesSql) { (spark, d) => triangles(spark, d) })
 
   private def triangles(spark: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val R = 100000000L
-    val cs = Tables.orders(spark, d)
+    // Pair generation is the cooc cappedPairs kernel, not a self-join:
+    // ONE customer-keyed shuffle collects each customer's distinct
+    // supplier set (collect_set dedups (h, s) structs — h is a function
+    // of (c, s), so this IS the old SELECT DISTINCT c, s), the h60 cap
+    // happens INSIDE the collected array (array_sort over struct<h,s>
+    // orders by (h60, s) exactly like the old row_number window), and
+    // the C(d,2) ordered pairs explode positionally over the
+    // numerically re-sorted slice — u < v by construction, each
+    // unordered pair once. Replaces distinct → window → c-keyed
+    // self-join (three pair-scale exchanges) with one exchange.
+    val e = Tables.orders(spark, d)
       .join(Tables.lineitem(spark, d), col("l_orderkey") === col("o_orderkey"))
-      .select(col("o_custkey").as("c"), col("l_suppkey").as("s"))
-      .distinct()
-    val cap = cs
-      .withColumn("rn", row_number().over(Window.partitionBy("c")
-        .orderBy(graft.Hashing.h60(col("c"), col("s")), col("s"))))
-      .filter(col("rn") <= TriCap)
-      .select("c", "s")
-    val a = cap.select(col("c"), col("s").as("u"))
-    val b = cap.select(col("c").as("c2"), col("s").as("v"))
-    val e = a.join(b, col("c") === col("c2") && col("u") < col("v"))
-      .select("u", "v").distinct()
+      .select(col("o_custkey").as("c"),
+        graft.Hashing.h60(col("o_custkey"), col("l_suppkey")).as("h"),
+        col("l_suppkey").as("s"))
+      .groupBy("c")
+      .agg(collect_set(struct(col("h"), col("s"))).as("hs"))
+      .withColumn("ss", expr(
+        s"array_sort(transform(slice(array_sort(hs), 1, $TriCap), x -> x.s))"))
+      .filter(size(col("ss")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(ss, (x, ix) ->
+          |  transform(slice(ss, ix + 2, size(ss) - ix - 1),
+          |            y -> named_struct('u', x, 'v', y))))""".stripMargin))
+        .as("p"))
+      .select(col("p.u").as("u"), col("p.v").as("v")).distinct()
       .persist(StorageLevel.MEMORY_AND_DISK)
     // persisted: consumed by BOTH orientation joins and the nNodes count
     // (r14 — unpersisted it was recomputed three times, a scan + union +
@@ -284,23 +298,57 @@ object GraphQueries {
           .as("closure_ratio"))
   }
 
+  /** Purchase-graph relations shared by q_pagerank and q_ppr. The two
+    * queries iterate over the IDENTICAL edge layout (distinct customer →
+    * supplier pairs as long ids, outdeg-annotated and pinned to
+    * HashPartitioning(src)), so the graph init is Memo-shared — the
+    * q_candidates memoization rule: the first consumer pays the distinct
+    * + repartition + persist chain once (attributed as memo/graph.*
+    * stage lines), the second starts at steady-state cost. Memo owns the
+    * persisted storage (LRU/telemetry/release); consumers must NOT
+    * unpersist these.
+    */
+  private def graphInit(spark: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val edges = graft.Memo.cached(spark, d, "graph.edges") {
+      Tables.orders(spark, d)
+        .join(Tables.lineitem(spark, d),
+          col("l_orderkey") === col("o_orderkey"))
+        .select((col("o_custkey") * 2).as("src"),
+          (col("l_suppkey") * 2 + 1).as("dst"))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    def outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
+    // (src, dst, od), pinned to HashPartitioning(src): each iteration's
+    // rank join then shuffles only the (small) rank table — the big edge
+    // relation never moves again, the same "pay the shuffle once" layout
+    // a cluster gets from bucketing
+    val srcRanked = graft.Memo.cached(spark, d, "graph.srcRanked") {
+      edges.join(outdeg, "src")
+        .repartition(col("src"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val nodes = graft.Memo.cached(spark, d, "graph.nodes") {
+      edges.select(col("src").as("node"))
+        .union(edges.select(col("dst").as("node")))
+        .distinct()
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    val danglers = graft.Memo.cached(spark, d, "graph.danglers") {
+      val od = outdeg
+      nodes.join(od, nodes("node") === od("src"), "left_anti")
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    }
+    (edges, srcRanked, nodes, danglers)
+  }
+
   /** Personalized PageRank (see q_ppr entry). Long node ids and the
     * pay-the-shuffle-once edge layout are identical to [[pagerank]];
     * seeds carry the entire teleport/restart mass.
     */
   private def ppr(spark: SparkSession, d: String): DataFrame = {
-    val edges = Tables.orders(spark, d)
-      .join(Tables.lineitem(spark, d),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (edges, srcRanked, nodes, danglers) = graphInit(spark, d)
     val seeds = edges
       .filter(expr(s"(src div 2) % $PPR_SEED_MOD = 0"))
       .select(col("src").as("node")).distinct()
@@ -311,12 +359,6 @@ object GraphQueries {
       .select(col("ns"),
         expr(s"(($DAMP_DEN - $DAMP_NUM) * $SCALE) div ($DAMP_DEN * ns)")
           .as("teleSeed"))
-    val danglers = nodes
-      .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val srcRanked = edges.join(outdeg, "src")
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var (ranks, relRanks) = graft.Memo.checkpointTracked(nodes
       .join(seeds.withColumn("sd", lit(1)), Seq("node"), "left")
@@ -354,11 +396,7 @@ object GraphQueries {
       ranks = nr
       relRanks = relNr
     }
-    edges.unpersist(false)
-    nodes.unpersist(false)
-    seeds.unpersist(false)
-    danglers.unpersist(false)
-    srcRanked.unpersist(false)
+    seeds.unpersist(false) // graph relations are Memo-owned — not ours to release
     ranks.filter(col("r") > 0)
       .select(
         concat(when(col("node") % 2 === 0, "c").otherwise("s"),
@@ -373,18 +411,7 @@ object GraphQueries {
     // instead of "c…"/"s…" strings; the string label is rendered once
     // at output, where the oracle's node naming (and its tie order)
     // lives
-    val edges = Tables.orders(spark, d)
-      .join(Tables.lineitem(spark, d),
-        col("l_orderkey") === col("o_orderkey"))
-      .select((col("o_custkey") * 2).as("src"),
-        (col("l_suppkey") * 2 + 1).as("dst"))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    val outdeg = edges.groupBy("src").agg(count(lit(1)).as("od"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst").as("node")))
-      .distinct()
-      .persist(StorageLevel.MEMORY_AND_DISK)
+    val (_, srcRanked, nodes, danglers) = graphInit(spark, d)
     // the node count stays a 1-row broadcast relation, never a driver
     // collect (r14): `nn` folds into every consumer's plan, so the old
     // up-front nodes.count() action disappears — tele and the initial
@@ -393,16 +420,6 @@ object GraphQueries {
       .select(col("n"),
         expr(s"(($DAMP_DEN - $DAMP_NUM) * $SCALE) div ($DAMP_DEN * n)")
           .as("tele"))
-    val danglers = nodes
-      .join(outdeg, nodes("node") === outdeg("src"), "left_anti")
-      .persist(StorageLevel.MEMORY_AND_DISK)
-    // (src, dst, od), pinned to HashPartitioning(src) and persisted ONCE:
-    // each iteration's rank join then shuffles only the (small) rank
-    // table — the big edge relation never moves again, the same
-    // "pay the shuffle once" layout a cluster gets from bucketing
-    val srcRanked = edges.join(outdeg, "src")
-      .repartition(col("src"))
-      .persist(StorageLevel.MEMORY_AND_DISK)
 
     var (ranks, relRanks) = graft.Memo.checkpointTracked(
       nodes.crossJoin(broadcast(nn))
@@ -434,10 +451,7 @@ object GraphQueries {
       ranks = nr
       relRanks = relNr
     }
-    edges.unpersist(false)
-    nodes.unpersist(false)
-    danglers.unpersist(false)
-    srcRanked.unpersist(false)
+    // graph relations are Memo-owned — not ours to release
     ranks.select(
         concat(when(col("node") % 2 === 0, "c").otherwise("s"),
           expr("(node div 2)").cast("string")).as("node"),
