@@ -87,7 +87,14 @@ object Profile {
           col("item_id"), lit(0).as("is_positive"))
         time(s"dev:dig_$shape", rank.Metrics.posRanksDigestMultiFrom(
           Lifecycle.epochScores(cands, 1 to 3), kMax = 10))
-      case "dev:cooc_repart" =>
+      // cooc_repart vs cooc_base: the unconfounded pair-kernel A/B —
+      // IDENTICAL prune + collect + cap + positional-explode chain
+      // (no memo, no persist, no count-gate joins on either arm); the
+      // only difference is the explicit repartition on the pair key
+      // before the count agg (skipping the map-side combine over
+      // ~ΣC(d,2) mostly-unique keys) vs the shipped partial-agg shape.
+      // Run both twice in one JVM, take the second of each.
+      case s"dev:cooc_$arm" if arm == "repart" || arm == "base" =>
         import org.apache.spark.sql.functions._
         val i = etl.Interactions.cached(spark, sfDir)
           .filter(col("domain") === "x").select("user_id", "item_id")
@@ -102,14 +109,17 @@ object Profile {
           .withColumn("items", expr(
             "array_sort(transform(slice(array_sort(hs), 1, 500), s -> s.it))"))
           .filter(size(col("items")) >= 2)
-        time("dev:cooc_repart", lists
+        val pairs = lists
           .select(explode(expr(
             """flatten(transform(items, (x, ix) ->
               |  transform(slice(items, ix + 2, size(items) - ix - 1),
               |            y -> named_struct('a', x, 'b', y))))""".stripMargin))
             .as("p"))
           .select(col("p.a").as("item_a"), col("p.b").as("item_b"))
-          .repartition(col("item_a"), col("item_b"))
+        val shaped =
+          if (arm == "repart") pairs.repartition(col("item_a"), col("item_b"))
+          else pairs
+        time(s"dev:cooc_$arm", shaped
           .groupBy("item_a", "item_b").agg(count(lit(1)).as("c_ab"))
           .filter(col("c_ab") >= 3))
       // past-ceiling twins of the three embedding-exact operators:
