@@ -55,6 +55,18 @@ object Bench {
       .getOrElse(Runtime.getRuntime.maxMemory / 3)
     val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
     val loadStart = osBean.getSystemLoadAverage
+    // JVM telemetry (VERDICT r14 #2): a degraded window must be provable
+    // from the artifact ALONE — suite GC seconds + peak heap separate
+    // heap-pressure slowdowns (pinned memo state squeezing a 32-thread
+    // heap) from host co-tenancy (uniform inflation at benign GC), and
+    // load_avg_end closes the start-only gap a mid-run co-tenant hides in
+    val gcBeans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+    def gcMs: Long = {
+      var t = 0L
+      gcBeans.forEach(b => t += math.max(0L, b.getCollectionTime))
+      t
+    }
+    val gcStartMs = gcMs
     var errors = List.empty[String]
     var refused = List.empty[String]
     var evictions = 0
@@ -156,8 +168,17 @@ object Bench {
       "\"" + q + "\":" + st.map { case (s, v) => "\"" + s + "\":" + f1(v) }
         .mkString("{", ",", "}")
     }.mkString("{", ",", "}")
+    val gcSec = (gcMs - gcStartMs) / 1000.0
+    var peakHeapB = 0L
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.forEach { p =>
+      if (p.getType == java.lang.management.MemoryType.HEAP &&
+          p.getPeakUsage != null) peakHeapB += p.getPeakUsage.getUsed
+    }
+    val loadEnd = osBean.getSystemLoadAverage
+    val jvmTelemetry =
+      s""""load_avg_end":${f1(loadEnd)},"gc_time_sec":${f1(gcSec)},"peak_heap_mb":${peakHeapB / 1024 / 1024},"max_heap_mb":${Runtime.getRuntime.maxMemory / 1024 / 1024}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"refused":$refusedJson,"refused_sec":$refusedSecJson,"sf":"$sfDir","load_avg_start":${f1(loadStart)},"loads":$loads,"cpus":$cpus,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions,"memo_entries":$memoEntries,"stages":$stagesJson}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"refused":$refusedJson,"refused_sec":$refusedSecJson,"sf":"$sfDir","load_avg_start":${f1(loadStart)},"loads":$loads,"cpus":$cpus,$jvmTelemetry,"memo_budget_mb":${memoBudget / 1024 / 1024},"memo_evictions":$evictions,"memo_entries":$memoEntries,"stages":$stagesJson}"""
     println(json)
     // full, untruncated artifact: the driver's log tail drops entries
     // past its window (8 of 74 in r5), so round-over-round comparisons
@@ -174,7 +195,7 @@ object Bench {
       .map { case (k, (v, _)) => "\"" + k + "\":" + f1(v) }
       .mkString("{", ",", "}")
     println(
-      s"""{"metric":"total","value":${f1(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"refused":$refusedJson,"sf":"$sfDir","cpus":$cpus,"load_avg_start":${f1(loadStart)},"memo_evictions":$evictions,"queries":$slow}""")
+      s"""{"metric":"total","value":${f1(total)},"unit":"sec","n_queries":${results.size},"errors":$errs,"refused":$refusedJson,"sf":"$sfDir","cpus":$cpus,"load_avg_start":${f1(loadStart)},$jvmTelemetry,"memo_evictions":$evictions,"queries":$slow}""")
     spark.stop()
   }
 }

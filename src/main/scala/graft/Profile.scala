@@ -22,16 +22,30 @@ object Profile {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // Spark job counter (r15, VERDICT r14 #3): the ~0.4s floor under the
+    // sub-second queries is 1-3 driver job round-trips each — per-query
+    // job counts pick the fuse-the-actions targets. Async listener: the
+    // count can lag a fast query by one event, fine for dev triage.
+    val jobCount = new java.util.concurrent.atomic.AtomicInteger
+    spark.sparkContext.addSparkListener(
+      new org.apache.spark.scheduler.SparkListener {
+        override def onJobStart(
+            j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+          jobCount.incrementAndGet()
+      })
     def time(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       // clock starts BEFORE the builder is forced: eager builders
       // (streaming runBounded, lifecycle collects) do their work inside
       // build(), exactly like Bench measures them
       val t0 = System.nanoTime()
+      val j0 = jobCount.get()
       val d = df
       val tBuild = (System.nanoTime() - t0) / 1e9
       if (explain) { println(s"==== $name plan"); d.explain("formatted") }
       val n = d.count()
-      println(f"==== $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2f s (build $tBuild%.2f)  rows=$n")
+      val el = (System.nanoTime() - t0) / 1e9 // clock stops BEFORE the event-drain sleep
+      Thread.sleep(50) // let trailing job-start events land
+      println(f"==== $name%-28s $el%8.2f s (build $tBuild%.2f)  rows=$n  jobs=${jobCount.get() - j0}")
     }
     val picked =
       if (names.isEmpty) SparkEntry.defs.keys.toSeq.sorted
@@ -56,9 +70,6 @@ object Profile {
           bandBits = bits.toInt, numBands = 2))
       case s"dev:ivf$k" if k.matches("\\d+") =>
         time(s"dev:ivf$k", ext.IvfQueries.ivfTopK(spark, sfDir, k = k.toInt))
-      // cooc pair-kernel probe: explicit repartition on the pair key
-      // before the count agg — skips the futile map-side combine over
-      // ~ΣC(d,2) mostly-unique keys (complete-mode agg after exchange)
       // near-dup candidate-arm probes (r11): count one generator's pair
       // volume, or run the full verify over one arm, without the CC tail
       case s"dev:ndcand_$mode" =>
@@ -125,6 +136,34 @@ object Profile {
       // past-ceiling twins of the three embedding-exact operators:
       // maxBroadcast=0 forces the LSH-banded candidate branch a 100 TB
       // corpus would take, so its cost is measurable on the scale dirs
+      // triangle pair-kernel subtree (r15): the explode chain is inside an
+      // eager builder, so q_triangles' own explain shows only the final
+      // LocalTableScan — this probe explains/times the pair relation itself
+      case "dev:tri_pairs" =>
+        time("dev:tri_pairs", ext.GraphQueries.trianglePairs(spark, sfDir))
+      // the r14 collect_set shape of the same subtree, kept inline for the
+      // unconfounded bounded-vs-collect_set A/B (plan + warm timing in one
+      // JVM) — per-hub aggregation state is O(distinct suppliers) here,
+      // O(TriCap) in the shipped kernel above
+      case "dev:tri_pairs_cs" =>
+        import org.apache.spark.sql.functions._
+        time("dev:tri_pairs_cs", Tables.orders(spark, sfDir)
+          .join(Tables.lineitem(spark, sfDir),
+            col("l_orderkey") === col("o_orderkey"))
+          .select(col("o_custkey").as("c"),
+            graft.Hashing.h60(col("o_custkey"), col("l_suppkey")).as("h"),
+            col("l_suppkey").as("s"))
+          .groupBy("c")
+          .agg(collect_set(struct(col("h"), col("s"))).as("hs"))
+          .withColumn("ss", expr("array_sort(transform(slice(array_sort(hs)" +
+            s", 1, ${ext.GraphQueries.TriCap}), x -> x.s))"))
+          .filter(size(col("ss")) >= 2)
+          .select(explode(expr(
+            """flatten(transform(ss, (x, ix) ->
+              |  transform(slice(ss, ix + 2, size(ss) - ix - 1),
+              |            y -> named_struct('u', x, 'v', y))))""".stripMargin))
+            .as("p"))
+          .select(col("p.u").as("u"), col("p.v").as("v")).distinct())
       case "dev:embed_pc" =>
         time("dev:embed_pc",
           ext.SimilarityQueries.embedNearDup(spark, sfDir, maxBroadcast = 0))

@@ -247,23 +247,31 @@ object EtlQueries {
         // (domain, kind), reshaped to the output row per domain — the
         // interactions cache is scanned once instead of twice and the
         // dedup exchange carries both kinds together
+        // kind as a BOOLEAN, not a "u"/"i" string (r15, guide §2.3
+        // "narrower types"): the (domain, kind, k) dedup exchange is this
+        // query's entire cost and carries every row — a string column is
+        // a 16-byte UnsafeRow field (8 fixed + 8 padded variable) plus
+        // per-row string hashing, a boolean is 8 bytes flat. The sketch
+        // still hashes only `k`, so the HLL estimate — hence the gated
+        // flag — is bit-identical, and the bijection u↔true keeps the
+        // dedup and the reshape exact.
         val inter = Interactions(spark, d)
         val perKind = inter
-          .select(col("domain"), lit("u").as("kind"), col("user_id").as("k"))
+          .select(col("domain"), lit(true).as("is_u"), col("user_id").as("k"))
           .unionAll(inter
-            .select(col("domain"), lit("i").as("kind"), col("item_id").as("k")))
+            .select(col("domain"), lit(false).as("is_u"), col("item_id").as("k")))
           .distinct()
-          .groupBy("domain", "kind")
+          .groupBy("domain", "is_u")
           .agg(count(lit(1)).as("exact"),
             (abs(approx_count_distinct(col("k"), rsd).cast("double")
                 - count(lit(1)))
               / count(lit(1)) < bound).as("flag"))
         perKind.groupBy("domain")
           .agg(
-            max(when(col("kind") === "u", col("exact"))).as("n_users_exact"),
-            max(when(col("kind") === "i", col("exact"))).as("n_items_exact"),
-            max(when(col("kind") === "u", col("flag"))).as("users_within_5pct"),
-            max(when(col("kind") === "i", col("flag"))).as("items_within_5pct"))
+            max(when(col("is_u"), col("exact"))).as("n_users_exact"),
+            max(when(!col("is_u"), col("exact"))).as("n_items_exact"),
+            max(when(col("is_u"), col("flag"))).as("users_within_5pct"),
+            max(when(!col("is_u"), col("flag"))).as("items_within_5pct"))
           .persist()
       }.orderBy("domain")
     },

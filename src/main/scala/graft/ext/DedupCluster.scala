@@ -87,7 +87,9 @@ object DedupCluster {
     // through to the propagation loop having collected nothing extra.
     if (fwd.schema.fields.forall(_.dataType ==
         org.apache.spark.sql.types.LongType)) {
-      val cap = CC_DRIVER_MAX_EDGES
+      // clamp before toInt (VERDICT r14 #3): an env override above
+      // Int.MaxValue would wrap negative and limit() would throw
+      val cap = math.min(CC_DRIVER_MAX_EDGES, Int.MaxValue - 1L)
       val t0 = System.nanoTime()
       val collected =
         fwd.limit((cap + 1).toInt).collect()

