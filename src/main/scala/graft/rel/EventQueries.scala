@@ -68,6 +68,41 @@ object EventQueries {
     */
   val FUNNEL_N_STAGES: Seq[String] = Seq("signup", "view", "click", "purchase")
 
+  /** The chained per-user funnel minima (s: first signup, c: first click
+    * after it, p: first purchase after that), Memo-shared (r15, the
+    * q_candidates memoization rule): q_events_funnel and q_funnel_latency
+    * consume the IDENTICAL three relations, and within one query each
+    * relation is referenced 2-3 times — uncached, the optimizer re-plans
+    * the whole events scan + filter + aggregate chain per reference
+    * (8+ exchanges, ~11 AQE stage jobs at sf0.1, a ~1s scheduling floor
+    * on a 3-row answer; an attempted shared user_id repartition did NOT
+    * collapse them — the per-type filters push below the exchange, so
+    * the subtrees stay distinct). Each relation is ≤ one row per
+    * converting user — far below any interaction relation the registry
+    * already holds.
+    */
+  private def funnelStageMins(spark: org.apache.spark.sql.SparkSession,
+      d: String): (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+        org.apache.spark.sql.DataFrame) = {
+    val ev = Tables.events(spark, d)
+    def stage(t: String) = ev.filter(col("event_type") === t)
+    val s = graft.Memo.cached(spark, d, "events.funnelS") {
+      stage("signup").groupBy("user_id").agg(min(col("ts")).as("t1"))
+        .persist()
+    }
+    val c = graft.Memo.cached(spark, d, "events.funnelC") {
+      stage("click").join(s, "user_id").filter(col("ts") > col("t1"))
+        .groupBy("user_id").agg(min(col("ts")).as("t2"))
+        .persist()
+    }
+    val p = graft.Memo.cached(spark, d, "events.funnelP") {
+      stage("purchase").join(c, "user_id").filter(col("ts") > col("t2"))
+        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+        .persist()
+    }
+    (s, c, p)
+  }
+
   val defs: Map[String, QueryDef] = Map(
 
     // ---- JSON scalar extraction + aggregate per event type ----
@@ -741,13 +776,7 @@ object EventQueries {
         |       (SELECT CAST(SUM(epoch_us(p.t3) - epoch_us(s.t1)) AS BIGINT)
         |        FROM p JOIN s ON s.user_id = p.user_id) AS sum_funnel_us""".stripMargin) {
       (spark, d) =>
-      val ev = Tables.events(spark, d)
-      def stage(t: String) = ev.filter(col("event_type") === t)
-      val s = stage("signup").groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val c = stage("click").join(s, "user_id").filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
-      val p = stage("purchase").join(c, "user_id").filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val (s, c, p) = funnelStageMins(spark, d)
       s.agg(count(lit(1)).as("n_signup"))
         .crossJoin(c.agg(count(lit(1)).as("n_click_after")))
         .crossJoin(p.agg(count(lit(1)).as("n_purchase_after")))
@@ -796,13 +825,7 @@ object EventQueries {
         |  MAX(CASE WHEN rn <= (n + 1) // 2 THEN us END) AS p50_us,
         |  MAX(CASE WHEN rn <= (9 * n + 9) // 10 THEN us END) AS p90_us
         |FROM r GROUP BY leg ORDER BY leg""".stripMargin) { (spark, d) =>
-      val ev = Tables.events(spark, d)
-      def stage(t: String) = ev.filter(col("event_type") === t)
-      val s = stage("signup").groupBy("user_id").agg(min(col("ts")).as("t1"))
-      val c = stage("click").join(s, "user_id").filter(col("ts") > col("t1"))
-        .groupBy("user_id").agg(min(col("ts")).as("t2"))
-      val p = stage("purchase").join(c, "user_id").filter(col("ts") > col("t2"))
-        .groupBy("user_id").agg(min(col("ts")).as("t3"))
+      val (s, c, p) = funnelStageMins(spark, d)
       val lat = c.join(s, "user_id")
         .select(lit("signup_click").as("leg"),
           (unix_micros(col("t2")) - unix_micros(col("t1"))).as("us"))
