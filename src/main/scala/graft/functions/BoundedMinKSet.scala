@@ -36,12 +36,25 @@ class BoundedMinKSet(k: Int) extends Aggregator[HsPair, Seq[HsPair], Seq[Long]] 
 
   override def zero: Seq[HsPair] = Vector.empty
 
-  override def reduce(b: Seq[HsPair], a: HsPair): Seq[HsPair] =
-    // fast O(1) reject: a full buffer whose worst member is no worse than
-    // the candidate cannot change (covers duplicates of the kth entry too)
-    if (b.lengthCompare(k) >= 0 && !lt(a, b.last)) b
-    else if (b.contains(a)) b
-    else ((b :+ a).sortWith(lt)).take(k)
+  // The buffer invariant — (h, s)-ascending, distinct, ≤ k entries — makes
+  // the per-row path one O(1) reject test for the common case (a full
+  // buffer whose worst member is no worse than the candidate, which also
+  // covers duplicates of the kth entry) and one O(log k) binary search
+  // otherwise (dedup test and insertion point in the same search; no
+  // linear contains, no re-sort per insert).
+  override def reduce(b: Seq[HsPair], a: HsPair): Seq[HsPair] = {
+    val n = b.length
+    if (n >= k && !lt(a, b(n - 1))) return b
+    var lo = 0
+    var hi = n
+    while (lo < hi) {
+      val m = (lo + hi) >>> 1
+      if (lt(b(m), a)) lo = m + 1 else hi = m
+    }
+    if (lo < n && b(lo) == a) return b // already a member
+    val grown = (b.take(lo) :+ a) ++ b.drop(lo)
+    if (grown.length > k) grown.take(k) else grown
+  }
 
   override def merge(x: Seq[HsPair], y: Seq[HsPair]): Seq[HsPair] =
     ((x ++ y).distinct.sortWith(lt)).take(k)
